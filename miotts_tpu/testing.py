@@ -1,0 +1,204 @@
+"""Synthetic model-asset generation for tests and benchmarks.
+
+The reference repo ships no model weights (they are downloaded from HF,
+``models_download.sh``), so unit tests and benchmarks generate GGUFs with
+the exact tensor names/shapes the converter emits
+(``scripts/convert_miocodec_to_gguf.py:385-588``) and random weights.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .gguf.writer import GGUFWriter
+from .models.miocodec import MioCodecConfig
+
+
+def tiny_codec_config(**overrides) -> MioCodecConfig:
+    base = dict(
+        model_type=0, sample_rate=24000, n_fft=64, hop_length=16, n_mels=0,
+        samples_per_token=32,
+        prenet_layers=2, prenet_dim=64, prenet_heads=4, prenet_ff=96, prenet_window=9,
+        decoder_layers=2, decoder_dim=32, decoder_heads=4, decoder_ff=48,
+        decoder_window=9, decoder_adanorm_dim=16,
+        resnet_blocks=2, resnet_groups=32,
+        rope_theta=10000.0, norm_eps=1e-5, group_norm_eps=1e-6,
+        dynamic_global=True,
+        global_encoder_input_channels=24, global_encoder_output_channels=16,
+        global_encoder_dim=20, global_encoder_intermediate_dim=40,
+        global_encoder_layers=2,
+        vocab_size=128,
+    )
+    base.update(overrides)
+    return MioCodecConfig(**base)
+
+
+def full_codec_config(**overrides) -> MioCodecConfig:
+    """Production-scale config (matches the shipped 24 kHz MioCodec,
+    miocodec-decoder.h:12-48)."""
+    base = dict(dynamic_global=True)
+    base.update(overrides)
+    return MioCodecConfig(**base)
+
+
+def write_synthetic_miocodec_gguf(path: str, cfg: MioCodecConfig, seed: int = 0,
+                                  with_global_encoder: bool = True) -> None:
+    rng = np.random.RandomState(seed)
+
+    def rnd(*shape, scale=None):
+        if scale is None:
+            fan_in = shape[-1] if len(shape) >= 2 else shape[0]
+            scale = 1.0 / np.sqrt(max(1, fan_in))
+        return (rng.randn(*shape) * scale).astype(np.float32)
+
+    w = GGUFWriter(path, arch="miocodec-dec")
+    w.add_string("general.type", "model")
+    w.add_string("general.name", "synthetic miocodec")
+    w.add_uint32("miocodec.model_type", cfg.model_type)
+    w.add_uint32("miocodec.dynamic_global", 1 if cfg.dynamic_global else 0)
+    w.add_uint32("miocodec.sample_rate", cfg.sample_rate)
+    w.add_uint32("miocodec.n_fft", cfg.n_fft)
+    w.add_uint32("miocodec.hop_length", cfg.hop_length)
+    w.add_uint32("miocodec.n_mels", cfg.n_mels)
+    w.add_uint32("miocodec.samples_per_token", cfg.samples_per_token)
+    w.add_uint32("miocodec.prenet_layers", cfg.prenet_layers)
+    w.add_uint32("miocodec.prenet_dim", cfg.prenet_dim)
+    w.add_uint32("miocodec.prenet_heads", cfg.prenet_heads)
+    w.add_uint32("miocodec.prenet_ff", cfg.prenet_ff)
+    w.add_uint32("miocodec.prenet_window", cfg.prenet_window)
+    w.add_uint32("miocodec.decoder_layers", cfg.decoder_layers)
+    w.add_uint32("miocodec.decoder_dim", cfg.decoder_dim)
+    w.add_uint32("miocodec.decoder_heads", cfg.decoder_heads)
+    w.add_uint32("miocodec.decoder_ff", cfg.decoder_ff)
+    w.add_uint32("miocodec.decoder_window", cfg.decoder_window)
+    w.add_uint32("miocodec.decoder_adanorm_dim", cfg.decoder_adanorm_dim)
+    w.add_uint32("miocodec.resnet_blocks", cfg.resnet_blocks)
+    w.add_uint32("miocodec.resnet_groups", cfg.resnet_groups)
+    w.add_uint32("miocodec.wave_upsampler_layers", len(cfg.wave_upsampler_factors))
+    w.add_float32("miocodec.rope_theta", cfg.rope_theta)
+    w.add_float32("miocodec.norm_eps", cfg.norm_eps)
+    w.add_float32("miocodec.group_norm_eps", cfg.group_norm_eps)
+    w.add_uint32("miocodec.has_vocoder", 0)
+    w.add_uint32("miocodec.global_encoder.input_channels", cfg.global_encoder_input_channels)
+    w.add_uint32("miocodec.global_encoder.output_channels", cfg.global_encoder_output_channels)
+    w.add_uint32("miocodec.global_encoder.dim", cfg.global_encoder_dim)
+    w.add_uint32("miocodec.global_encoder.intermediate_dim", cfg.global_encoder_intermediate_dim)
+    w.add_uint32("miocodec.global_encoder.num_layers", cfg.global_encoder_layers)
+
+    if cfg.wave_upsampler_factors:
+        w.add_tensor("miocodec.wave_upsampler.factors",
+                     np.asarray(cfg.wave_upsampler_factors, np.int32))
+        w.add_tensor("miocodec.wave_upsampler.kernel_sizes",
+                     np.asarray(cfg.wave_upsampler_kernel_sizes, np.int32))
+
+    pd, dd = cfg.prenet_dim, cfg.decoder_dim
+    w.add_tensor("token_embd", rnd(cfg.vocab_size, pd, scale=0.5))
+
+    def transformer(prefix, n, dim, ff, cond_dim=None):
+        for i in range(n):
+            p = f"{prefix}.blk.{i}"
+            if cond_dim is None:
+                w.add_tensor(f"{p}.attn_norm.weight", 1.0 + rnd(dim, scale=0.05))
+                w.add_tensor(f"{p}.attn_norm.bias", rnd(dim, scale=0.05))
+                w.add_tensor(f"{p}.ffn_norm.weight", 1.0 + rnd(dim, scale=0.05))
+                w.add_tensor(f"{p}.ffn_norm.bias", rnd(dim, scale=0.05))
+            else:
+                w.add_tensor(f"{p}.attn_cond.weight", rnd(3 * dim, cond_dim, scale=0.1))
+                w.add_tensor(f"{p}.attn_cond.bias", rnd(3 * dim, scale=0.1))
+                w.add_tensor(f"{p}.ffn_cond.weight", rnd(3 * dim, cond_dim, scale=0.1))
+                w.add_tensor(f"{p}.ffn_cond.bias", rnd(3 * dim, scale=0.1))
+            for nm in ("attn_q", "attn_k", "attn_v", "attn_output"):
+                w.add_tensor(f"{p}.{nm}.weight", rnd(dim, dim))
+            w.add_tensor(f"{p}.ffn_gate.weight", rnd(ff, dim))
+            w.add_tensor(f"{p}.ffn_down.weight", rnd(dim, ff))
+            w.add_tensor(f"{p}.ffn_up.weight", rnd(ff, dim))
+
+    transformer("wave_prenet", cfg.prenet_layers, pd, cfg.prenet_ff)
+    w.add_tensor("wave_prenet.norm.weight", 1.0 + rnd(pd, scale=0.05))
+    w.add_tensor("wave_prenet.norm.bias", rnd(pd, scale=0.05))
+    w.add_tensor("wave_prenet.output.weight", rnd(dd, pd))
+    w.add_tensor("wave_prenet.output.bias", rnd(dd, scale=0.05))
+    w.add_tensor("wave_upsample.weight", rnd(dd, dd, 4))  # ConvTranspose1d [in,out,k]
+    w.add_tensor("wave_upsample.bias", rnd(dd, scale=0.05))
+
+    def resnet(prefix, n, ch, k=3):
+        for i in range(n):
+            p = f"{prefix}.{i}"
+            w.add_tensor(f"{p}.norm1.weight", 1.0 + rnd(ch, scale=0.05))
+            w.add_tensor(f"{p}.norm1.bias", rnd(ch, scale=0.05))
+            w.add_tensor(f"{p}.conv1.weight", rnd(ch, ch, k))
+            w.add_tensor(f"{p}.conv1.bias", rnd(ch, scale=0.05))
+            w.add_tensor(f"{p}.norm2.weight", 1.0 + rnd(ch, scale=0.05))
+            w.add_tensor(f"{p}.norm2.bias", rnd(ch, scale=0.05))
+            w.add_tensor(f"{p}.conv2.weight", rnd(ch, ch, k))
+            w.add_tensor(f"{p}.conv2.bias", rnd(ch, scale=0.05))
+
+    if cfg.model_type == 0:
+        resnet("wave_prior", cfg.resnet_blocks, dd)
+        resnet("wave_post", cfg.resnet_blocks, dd)
+
+    transformer("wave_decoder", cfg.decoder_layers, dd, cfg.decoder_ff,
+                cond_dim=cfg.decoder_adanorm_dim if cfg.dynamic_global else None)
+    if cfg.dynamic_global:
+        w.add_tensor("wave_decoder.norm_cond.weight", rnd(2 * dd, cfg.decoder_adanorm_dim, scale=0.1))
+        w.add_tensor("wave_decoder.norm_cond.bias", rnd(2 * dd, scale=0.1))
+    else:
+        w.add_tensor("wave_decoder.norm.weight", 1.0 + rnd(dd, scale=0.05))
+        w.add_tensor("wave_decoder.norm.bias", rnd(dd, scale=0.05))
+
+    ch_final = dd
+    if cfg.wave_upsampler_factors:
+        for i, (f, k) in enumerate(zip(cfg.wave_upsampler_factors, cfg.wave_upsampler_kernel_sizes)):
+            w.add_tensor(f"wave_upsampler.up.{i}.weight", rnd(ch_final, ch_final, k))
+            w.add_tensor(f"wave_upsampler.up.{i}.bias", rnd(ch_final, scale=0.05))
+            w.add_tensor(f"wave_upsampler.snake.{i}.alpha", rnd(ch_final, scale=0.1))
+            w.add_tensor(f"wave_upsampler.snake.{i}.beta", rnd(ch_final, scale=0.1))
+            p = f"wave_upsampler.resblk.{i}"
+            w.add_tensor(f"{p}.norm1.weight", 1.0 + rnd(ch_final, scale=0.05))
+            w.add_tensor(f"{p}.norm1.bias", rnd(ch_final, scale=0.05))
+            w.add_tensor(f"{p}.conv1.weight", rnd(ch_final, ch_final, 3))
+            w.add_tensor(f"{p}.conv1.bias", rnd(ch_final, scale=0.05))
+            w.add_tensor(f"{p}.norm2.weight", 1.0 + rnd(ch_final, scale=0.05))
+            w.add_tensor(f"{p}.norm2.bias", rnd(ch_final, scale=0.05))
+            w.add_tensor(f"{p}.conv2.weight", rnd(ch_final, ch_final, 3))
+            w.add_tensor(f"{p}.conv2.bias", rnd(ch_final, scale=0.05))
+        w.add_tensor("wave_upsampler.out_proj.weight", rnd(ch_final, ch_final))
+        w.add_tensor("wave_upsampler.out_proj.bias", rnd(ch_final, scale=0.05))
+        w.add_tensor("wave_upsampler.out_snake.alpha", rnd(ch_final, scale=0.1))
+        w.add_tensor("wave_upsampler.out_snake.beta", rnd(ch_final, scale=0.1))
+
+    bins = (cfg.n_fft + 2) if cfg.model_type == 0 else cfg.n_mels
+    # keep logmag small so exp() stays tame
+    w.add_tensor("istft_head.out.weight", rnd(bins, ch_final, scale=0.02))
+    w.add_tensor("istft_head.out.bias", rnd(bins, scale=0.02))
+
+    if with_global_encoder:
+        gd, gi = cfg.global_encoder_dim, cfg.global_encoder_intermediate_dim
+        gin, gout = cfg.global_encoder_input_channels, cfg.global_encoder_output_channels
+        w.add_tensor("global_encoder.backbone.embed.weight", rnd(gd, gin, 7))
+        w.add_tensor("global_encoder.backbone.embed.bias", rnd(gd, scale=0.05))
+        w.add_tensor("global_encoder.backbone.norm.weight", 1.0 + rnd(gd, scale=0.05))
+        w.add_tensor("global_encoder.backbone.norm.bias", rnd(gd, scale=0.05))
+        for i in range(cfg.global_encoder_layers):
+            p = f"global_encoder.backbone.blk.{i}"
+            w.add_tensor(f"{p}.dwconv.weight", rnd(gd, 1, 7))
+            w.add_tensor(f"{p}.dwconv.bias", rnd(gd, scale=0.05))
+            w.add_tensor(f"{p}.norm.weight", 1.0 + rnd(gd, scale=0.05))
+            w.add_tensor(f"{p}.norm.bias", rnd(gd, scale=0.05))
+            w.add_tensor(f"{p}.pw1.weight", rnd(gi, gd))
+            w.add_tensor(f"{p}.pw1.bias", rnd(gi, scale=0.05))
+            w.add_tensor(f"{p}.pw2.weight", rnd(gd, gi))
+            w.add_tensor(f"{p}.pw2.bias", rnd(gd, scale=0.05))
+            w.add_tensor(f"{p}.gamma", rnd(gd, scale=0.3))
+        w.add_tensor("global_encoder.backbone.final_norm.weight", 1.0 + rnd(gd, scale=0.05))
+        w.add_tensor("global_encoder.backbone.final_norm.bias", rnd(gd, scale=0.05))
+        w.add_tensor("global_encoder.pool.attn0.weight", rnd(gd, gd, 1))
+        w.add_tensor("global_encoder.pool.attn0.bias", rnd(gd, scale=0.05))
+        w.add_tensor("global_encoder.pool.attn2.weight", rnd(gd, gd, 1))
+        w.add_tensor("global_encoder.pool.attn2.bias", rnd(gd, scale=0.05))
+        w.add_tensor("global_encoder.pool.proj.weight", rnd(gout, 2 * gd))
+        w.add_tensor("global_encoder.pool.proj.bias", rnd(gout, scale=0.05))
+        w.add_tensor("global_encoder.pool.norm.weight", 1.0 + rnd(gout, scale=0.05))
+        w.add_tensor("global_encoder.pool.norm.bias", rnd(gout, scale=0.05))
+
+    w.write()
