@@ -1,0 +1,425 @@
+"""MioTTS codec-token LLM engine (llama/Qwen-family GGUF) on TPU.
+
+Replaces the llama.cpp decode loop the reference drives per token
+(tts-mio-cli.cpp:1002-1063, llama_sampler_sample -> llama_decode(1)): here
+prefill is one jitted call and generation is a jitted ``lax.while_loop`` over
+a batched KV cache with the full sampler chain in-graph
+(penalties(last-64) -> top-k -> top-p -> temperature -> categorical,
+matching make_sampler order, tts-mio-cli.cpp:979-1000). Batch lanes replace
+the reference server's mutex-serialized shared context
+(tts-mio-server.cpp:2752-2774).
+
+Weights load from llama.cpp-convention GGUFs (arch llama/qwen2/qwen3),
+dequantized to bf16 for the MXU; logits/softmax run in f32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf import GGUFReader
+from ..runtime.tokenizer import BPETokenizer
+from .sampling import SamplerParams, sample_token, init_sampler_state, update_sampler_state
+
+Pytree = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class LLMConfig:
+    arch: str
+    n_layers: int
+    dim: int
+    n_heads: int
+    n_kv_heads: int
+    head_dim: int
+    ffn_dim: int
+    vocab_size: int
+    rms_eps: float = 1e-6
+    rope_base: float = 10000.0
+    rope_neox: bool = True
+    context_length: int = 4096
+    has_qkv_bias: bool = False
+    has_qk_norm: bool = False
+    tie_embeddings: bool = False
+
+
+def load_llm_gguf(path: str, dtype=jnp.bfloat16) -> tuple[LLMConfig, Pytree, BPETokenizer]:
+    r = GGUFReader(path)
+    arch = r.get_str("general.architecture")
+    if arch is None:
+        raise ValueError("GGUF missing general.architecture")
+
+    def kv(key, default=None):
+        return r.kv.get(f"{arch}.{key}", default)
+
+    n_layers = int(kv("block_count"))
+    dim = int(kv("embedding_length"))
+    n_heads = int(kv("attention.head_count"))
+    n_kv = int(kv("attention.head_count_kv", n_heads))
+    head_dim = int(kv("attention.key_length", dim // n_heads))
+    ffn = int(kv("feed_forward_length"))
+    rms_eps = float(kv("attention.layer_norm_rms_epsilon", 1e-6))
+    rope_base = float(kv("rope.freq_base", 10000.0))
+    ctx = int(kv("context_length", 4096))
+    has_qk_norm = r.has_tensor("blk.0.attn_q_norm.weight")
+    has_qkv_bias = r.has_tensor("blk.0.attn_q.bias")
+    tie = not r.has_tensor("output.weight")
+    rope_neox = arch not in ("llama",)  # qwen2/qwen3/gemma-style use NEOX
+
+    tokenizer = BPETokenizer.from_gguf_kv(r.kv)
+    vocab_size = len(tokenizer.tokens)
+
+    cfg = LLMConfig(
+        arch=arch, n_layers=n_layers, dim=dim, n_heads=n_heads, n_kv_heads=n_kv,
+        head_dim=head_dim, ffn_dim=ffn, vocab_size=vocab_size, rms_eps=rms_eps,
+        rope_base=rope_base, rope_neox=rope_neox, context_length=ctx,
+        has_qkv_bias=has_qkv_bias, has_qk_norm=has_qk_norm, tie_embeddings=tie,
+    )
+
+    def t(name, transpose=False):
+        arr = r.tensor(name, dtype=np.float32)
+        if transpose:
+            arr = np.ascontiguousarray(arr.T)
+        return arr
+
+    def stack(fmt, transpose=False, optional=False):
+        if optional and not r.has_tensor(fmt.format(i=0)):
+            return None
+        return np.stack([t(fmt.format(i=i), transpose) for i in range(n_layers)])
+
+    w = {
+        "token_embd": t("token_embd.weight"),  # [V, D]
+        "attn_norm": stack("blk.{i}.attn_norm.weight"),
+        "wq": stack("blk.{i}.attn_q.weight", transpose=True),
+        "wk": stack("blk.{i}.attn_k.weight", transpose=True),
+        "wv": stack("blk.{i}.attn_v.weight", transpose=True),
+        "wo": stack("blk.{i}.attn_output.weight", transpose=True),
+        "ffn_norm": stack("blk.{i}.ffn_norm.weight"),
+        "w_gate": stack("blk.{i}.ffn_gate.weight", transpose=True),
+        "w_up": stack("blk.{i}.ffn_up.weight", transpose=True),
+        "w_down": stack("blk.{i}.ffn_down.weight", transpose=True),
+        "bq": stack("blk.{i}.attn_q.bias", optional=True),
+        "bk": stack("blk.{i}.attn_k.bias", optional=True),
+        "bv": stack("blk.{i}.attn_v.bias", optional=True),
+        "q_norm": stack("blk.{i}.attn_q_norm.weight", optional=True),
+        "k_norm": stack("blk.{i}.attn_k_norm.weight", optional=True),
+        "output_norm": t("output_norm.weight"),
+        "output": None if tie else t("output.weight", transpose=True),  # [D, V]
+    }
+    r.close()
+    w = {k: (jnp.asarray(v, dtype=dtype) if v is not None else None) for k, v in w.items()}
+    # keep norms in f32
+    for k in ("attn_norm", "ffn_norm", "output_norm", "q_norm", "k_norm"):
+        if w[k] is not None:
+            w[k] = w[k].astype(jnp.float32)
+    return cfg, w, tokenizer
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * scale * weight).astype(x.dtype)
+
+
+def _rope_tables(positions: jnp.ndarray, head_dim: int, base: float):
+    half = head_dim // 2
+    inv_freq = jnp.power(jnp.float32(base), jnp.arange(half, dtype=jnp.float32) * (-2.0 / head_dim))
+    ang = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., half]
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope_llm(x: jnp.ndarray, positions: jnp.ndarray, base: float, neox: bool) -> jnp.ndarray:
+    """x: [B, T, H, D]; positions: [B, T]. NEOX (half-split) or NORM
+    (adjacent-pair) rotation."""
+    B, T, H, D = x.shape
+    cos, sin = _rope_tables(positions, D, base)  # [B, T, half]
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    xf = x.astype(jnp.float32)
+    if neox:
+        x0, x1 = xf[..., : D // 2], xf[..., D // 2:]
+        y = jnp.concatenate([x0 * cos - x1 * sin, x0 * sin + x1 * cos], axis=-1)
+    else:
+        xp = xf.reshape(B, T, H, D // 2, 2)
+        y0 = xp[..., 0] * cos - xp[..., 1] * sin
+        y1 = xp[..., 0] * sin + xp[..., 1] * cos
+        y = jnp.stack([y0, y1], axis=-1).reshape(B, T, H, D)
+    return y.astype(x.dtype)
+
+
+def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def _layer_qkv(cfg: LLMConfig, blk, xn):
+    q = xn @ blk["wq"]
+    k = xn @ blk["wk"]
+    v = xn @ blk["wv"]
+    if blk["bq"] is not None:
+        q = q + blk["bq"]
+        k = k + blk["bk"]
+        v = v + blk["bv"]
+    B, T = xn.shape[:2]
+    q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
+    k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+    v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+    if blk["q_norm"] is not None:
+        q = rms_norm(q, blk["q_norm"], cfg.rms_eps)
+        k = rms_norm(k, blk["k_norm"], cfg.rms_eps)
+    return q, k, v
+
+
+def llm_prefill(
+    cfg: LLMConfig,
+    w: Pytree,
+    tokens: jnp.ndarray,
+    lengths: jnp.ndarray,
+    cache_k: jnp.ndarray,
+    cache_v: jnp.ndarray,
+    start_pos: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Process padded prompts [B, T]; fill KV cache at [start, start+T) and
+    return logits of the last valid token per lane, plus updated caches."""
+    B, T = tokens.shape
+    S = cache_k.shape[2]
+    if start_pos is None:
+        start_pos = jnp.zeros((B,), jnp.int32)
+    positions = start_pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+
+    x = w["token_embd"][tokens]  # [B, T, D] bf16
+    group = cfg.n_heads // cfg.n_kv_heads
+
+    t_idx = jnp.arange(T, dtype=jnp.int32)
+    causal = t_idx[:, None] >= t_idx[None, :]
+    valid_k = t_idx[None, :] < lengths[:, None]
+    mask = (causal[None] & valid_k[:, None, :])[:, None, :, :]  # [B, 1, Tq, Tk]
+
+    new_k_layers = []
+    new_v_layers = []
+    for li in range(cfg.n_layers):
+        blk = {k: (w[k][li] if w[k] is not None else None)
+               for k in ("attn_norm", "wq", "wk", "wv", "wo", "ffn_norm",
+                         "w_gate", "w_up", "w_down", "bq", "bk", "bv",
+                         "q_norm", "k_norm")}
+        xn = rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+        q, k, v = _layer_qkv(cfg, blk, xn)
+        q = apply_rope_llm(q, positions, cfg.rope_base, cfg.rope_neox)
+        k = apply_rope_llm(k, positions, cfg.rope_base, cfg.rope_neox)
+        new_k_layers.append(k)
+        new_v_layers.append(v)
+
+        kr = jnp.repeat(k, group, axis=2)
+        vr = jnp.repeat(v, group, axis=2)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, kr,
+                            preferred_element_type=jnp.float32)
+        scores = scores * (1.0 / np.sqrt(cfg.head_dim))
+        scores = jnp.where(mask, scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        att = jnp.einsum("bhqk,bkhd->bqhd", probs, vr).reshape(B, T, -1)
+        x = x + att @ blk["wo"]
+
+        fn = rms_norm(x, blk["ffn_norm"], cfg.rms_eps)
+        x = x + (jax.nn.silu(fn @ blk["w_gate"]) * (fn @ blk["w_up"])) @ blk["w_down"]
+
+    # write prompt K/V into the cache at per-lane offsets
+    new_k = jnp.stack(new_k_layers)  # [L, B, T, KVH, HD]
+    new_v = jnp.stack(new_v_layers)
+    s_idx = start_pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # [B, T]
+    in_range = (jnp.arange(T)[None, :] < lengths[:, None])
+    s_idx = jnp.where(in_range, s_idx, S)  # out-of-range writes are dropped
+    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
+    cache_k = cache_k.at[:, b_idx, s_idx].set(new_k.astype(cache_k.dtype), mode="drop")
+    cache_v = cache_v.at[:, b_idx, s_idx].set(new_v.astype(cache_v.dtype), mode="drop")
+
+    xn = rms_norm(x, w["output_norm"], cfg.rms_eps)
+    out_w = w["output"] if w["output"] is not None else w["token_embd"].T
+    logits = (xn @ out_w).astype(jnp.float32)  # [B, T, V]
+    last = jnp.take_along_axis(
+        logits, jnp.maximum(lengths - 1, 0)[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    return last, cache_k, cache_v
+
+
+def llm_decode_step(
+    cfg: LLMConfig,
+    w: Pytree,
+    token: jnp.ndarray,
+    pos: jnp.ndarray,
+    cache_k: jnp.ndarray,
+    cache_v: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decode step for a batch of lanes. token/pos: [B]. Returns
+    (logits [B, V], cache_k, cache_v)."""
+    B = token.shape[0]
+    S = cache_k.shape[2]
+    group = cfg.n_heads // cfg.n_kv_heads
+
+    x = w["token_embd"][token][:, None, :]  # [B, 1, D]
+    positions = pos[:, None]
+    b_idx = jnp.arange(B)
+
+    kmask = (jnp.arange(S, dtype=jnp.int32)[None, :] <= pos[:, None])  # [B, S]
+
+    for li in range(cfg.n_layers):
+        blk = {k: (w[k][li] if w[k] is not None else None)
+               for k in ("attn_norm", "wq", "wk", "wv", "wo", "ffn_norm",
+                         "w_gate", "w_up", "w_down", "bq", "bk", "bv",
+                         "q_norm", "k_norm")}
+        xn = rms_norm(x, blk["attn_norm"], cfg.rms_eps)
+        q, k, v = _layer_qkv(cfg, blk, xn)
+        q = apply_rope_llm(q, positions, cfg.rope_base, cfg.rope_neox)
+        k = apply_rope_llm(k, positions, cfg.rope_base, cfg.rope_neox)
+
+        cache_k = cache_k.at[li, b_idx, pos].set(k[:, 0].astype(cache_k.dtype), mode="drop")
+        cache_v = cache_v.at[li, b_idx, pos].set(v[:, 0].astype(cache_v.dtype), mode="drop")
+
+        ck = cache_k[li]  # [B, S, KVH, HD]
+        cv = cache_v[li]
+        qh = q[:, 0].reshape(B, cfg.n_kv_heads, group, cfg.head_dim)
+        scores = jnp.einsum("bngd,bsnd->bngs", qh, ck,
+                            preferred_element_type=jnp.float32)
+        scores = scores * (1.0 / np.sqrt(cfg.head_dim))
+        scores = jnp.where(kmask[:, None, None, :], scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        att = jnp.einsum("bngs,bsnd->bngd", probs, cv).reshape(B, 1, -1)
+        x = x + att @ blk["wo"]
+
+        fn = rms_norm(x, blk["ffn_norm"], cfg.rms_eps)
+        x = x + (jax.nn.silu(fn @ blk["w_gate"]) * (fn @ blk["w_up"])) @ blk["w_down"]
+
+    xn = rms_norm(x, w["output_norm"], cfg.rms_eps)
+    out_w = w["output"] if w["output"] is not None else w["token_embd"].T
+    logits = (xn[:, 0] @ out_w).astype(jnp.float32)
+    return logits, cache_k, cache_v
+
+
+# ---------------------------------------------------------------------------
+# generation
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 6, 7))
+def llm_generate(
+    cfg: LLMConfig,
+    w: Pytree,
+    prompt_tokens: jnp.ndarray,
+    prompt_lengths: jnp.ndarray,
+    eog_ids: jnp.ndarray,
+    rng_key: jax.Array,
+    n_predict: int,
+    sampler: SamplerParams,
+    cache_k: jnp.ndarray,
+    cache_v: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Prefill + autoregressive generation. Returns (tokens [B, n_predict],
+    n_generated [B]); lanes stop at their first EOG token (which is included,
+    matching generate_audio_tokens, tts-mio-cli.cpp:1042-1058)."""
+    B = prompt_tokens.shape[0]
+    logits, cache_k, cache_v = llm_prefill(cfg, w, prompt_tokens, prompt_lengths,
+                                           cache_k, cache_v)
+
+    out = jnp.zeros((B, n_predict), jnp.int32)
+    state0 = init_sampler_state(B)
+
+    def cond(carry):
+        i, done, *_ = carry
+        return (i < n_predict) & ~jnp.all(done)
+
+    def body(carry):
+        (i, done, logits, cache_k, cache_v, pos, sstate, key, out, n_gen) = carry
+        key, sub = jax.random.split(key)
+        tok = sample_token(logits, sampler, sstate, sub)
+        sstate = update_sampler_state(sstate, tok)
+        is_eog = jnp.isin(tok, eog_ids)
+        out = out.at[:, i].set(jnp.where(done, 0, tok))
+        n_gen = n_gen + (~done).astype(jnp.int32)
+        done_next = done | is_eog
+        # feed the token back (masked lanes feed token 0; their writes land
+        # beyond pos and results are ignored)
+        logits, cache_k, cache_v = llm_decode_step(cfg, w, tok, pos, cache_k, cache_v)
+        pos = pos + jnp.where(done_next, 0, 1)
+        return (i + 1, done_next, logits, cache_k, cache_v, pos, sstate, key, out, n_gen)
+
+    carry = (jnp.int32(0), jnp.zeros((B,), bool), logits, cache_k, cache_v,
+             prompt_lengths.astype(jnp.int32), state0, rng_key, out,
+             jnp.zeros((B,), jnp.int32))
+    carry = jax.lax.while_loop(cond, body, carry)
+    return carry[8], carry[9]
+
+
+# ---------------------------------------------------------------------------
+# engine (host-side orchestration)
+# ---------------------------------------------------------------------------
+
+CHAT_TEMPLATE = "<|im_start|>user\n{text}<|im_end|>\n<|im_start|>assistant\n"
+
+_PROMPT_BUCKETS = (32, 64, 128, 256, 512)
+
+
+class LLMEngine:
+    """Load a MioTTS LLM GGUF and run text -> codec-token generation.
+
+    Mirrors the CLI's generate_audio_tokens (tts-mio-cli.cpp:1002-1063) and
+    mio_tts_vocab_map (mio-tts-lib.cpp:181-223, 913-998)."""
+
+    def __init__(self, path: str, dtype=jnp.bfloat16):
+        self.config, self.weights, self.tokenizer = load_llm_gguf(path, dtype=dtype)
+        # token -> audio-code map from <|s_N|> vocab pieces
+        import re
+
+        pat = re.compile(r"^<\|s_(\d+)\|>$")
+        self.token_to_code: dict[int, int] = {}
+        for tid, text in enumerate(self.tokenizer.tokens):
+            m = pat.match(text)
+            if m:
+                code = int(m.group(1))
+                if 0 <= code <= 12799:
+                    self.token_to_code[tid] = code
+        if not self.token_to_code:
+            raise ValueError("MioTTS audio token range not found (<|s_0|>..<|s_12799|>)")
+        self.eog_ids = jnp.asarray(
+            sorted(tid for tid in range(len(self.tokenizer.tokens))
+                   if self.tokenizer.is_eog(tid)) or [-1],
+            jnp.int32,
+        )
+
+    def tokens_to_codes(self, tokens: list[int]) -> list[int]:
+        return [self.token_to_code[t] for t in tokens if t in self.token_to_code]
+
+    def token_to_code_or_none(self, token: int) -> int | None:
+        return self.token_to_code.get(token)
+
+    def generate_audio_tokens(
+        self,
+        text: str,
+        n_predict: int = 400,
+        n_ctx: int = 700,
+        sampler: SamplerParams | None = None,
+    ) -> list[int]:
+        sampler = sampler or SamplerParams()
+        prompt = CHAT_TEMPLATE.format(text=text)
+        ids = self.tokenizer.encode(prompt, parse_special=True)
+        T = len(ids)
+        bucket = next((b for b in _PROMPT_BUCKETS if T <= b), ((T + 127) // 128) * 128)
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, :T] = ids
+        max_len = max(n_ctx, T + n_predict + 32)
+        cache_k, cache_v = init_kv_cache(self.config, 1, max_len)
+        key = jax.random.PRNGKey(sampler.seed)
+        out, n_gen = llm_generate(
+            self.config, self.weights, jnp.asarray(toks),
+            jnp.asarray([T], jnp.int32), self.eog_ids, key,
+            n_predict, sampler, cache_k, cache_v,
+        )
+        n = int(n_gen[0])
+        return [int(t) for t in np.asarray(out[0][:n])]

@@ -1,0 +1,92 @@
+"""In-graph sampler chain: penalties -> top-k -> top-p -> temp -> categorical.
+
+Order and semantics mirror the reference's llama.cpp chain
+(make_sampler, tts-mio-cli.cpp:979-1000):
+- penalties(last_n=64, repeat_penalty, freq=0, presence=0): tokens present in
+  the last-64 accepted ring get logit/p (if >0) else logit*p
+- top_k when k > 0
+- top_p when 0 < p < 1 (min_keep=1)
+- temperature then categorical; greedy when temp <= 0
+
+Token-exact RNG parity with llama.cpp's std::mt19937 is impossible by
+construction; conformance is distributional (see tests).
+
+SamplerParams is static (hashable): sampler settings are compile-time
+constants, so the chain specializes and runs on the top-k subset only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+PENALTY_LAST_N = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerParams:
+    temp: float = 0.8
+    top_k: int = 50
+    top_p: float = 1.0
+    repeat_penalty: float = 1.0
+    seed: int = 0
+
+
+class SamplerState(NamedTuple):
+    ring: jnp.ndarray  # [B, PENALTY_LAST_N] int32, -1 = empty
+    idx: jnp.ndarray  # [] int32 write cursor
+
+
+def init_sampler_state(batch: int) -> SamplerState:
+    return SamplerState(
+        ring=jnp.full((batch, PENALTY_LAST_N), -1, jnp.int32),
+        idx=jnp.int32(0),
+    )
+
+
+def update_sampler_state(state: SamplerState, token: jnp.ndarray) -> SamplerState:
+    ring = state.ring.at[:, state.idx % PENALTY_LAST_N].set(token)
+    return SamplerState(ring=ring, idx=state.idx + 1)
+
+
+def apply_repeat_penalty(logits: jnp.ndarray, state: SamplerState, penalty: float) -> jnp.ndarray:
+    """logits: [B, V] f32."""
+    B, V = logits.shape
+    safe = jnp.where(state.ring >= 0, state.ring, V)  # out-of-range -> dropped
+    presence = jnp.zeros((B, V), jnp.bool_).at[
+        jnp.arange(B)[:, None], safe
+    ].set(True, mode="drop")
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(presence, penalized, logits)
+
+
+def sample_token(
+    logits: jnp.ndarray,
+    params: SamplerParams,
+    state: SamplerState,
+    key: jax.Array,
+) -> jnp.ndarray:
+    """One sampler-chain step. logits: [B, V] f32 -> token ids [B] int32."""
+    B, V = logits.shape
+    if params.repeat_penalty != 1.0:
+        logits = apply_repeat_penalty(logits, state, params.repeat_penalty)
+
+    k = params.top_k if params.top_k > 0 else min(V, 2048)
+    k = min(k, V)
+    vals, idx = jax.lax.top_k(logits, k)  # [B, k] descending
+
+    if 0.0 < params.top_p < 1.0:
+        probs = jax.nn.softmax(vals, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = (cum - probs) < params.top_p  # include the crossing token
+        keep = keep.at[:, 0].set(True)  # min_keep = 1
+        vals = jnp.where(keep, vals, -jnp.inf)
+
+    if params.temp <= 0.0:
+        choice = jnp.argmax(vals, axis=-1)
+    else:
+        choice = jax.random.categorical(key, vals / params.temp, axis=-1)
+    return jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0].astype(jnp.int32)

@@ -1,0 +1,178 @@
+"""MioTTS pipeline context: model loading + jitted, length-bucketed synthesis.
+
+TPU-native equivalent of ``mio_tts_context`` (mio-tts-lib.cpp:33-43,795-860):
+instead of a runtime mutex around per-shape GGML graph rebuilds, requests are
+padded into a small ladder of length buckets and dispatched to a jitted
+forward whose compiled executables are cached by XLA per bucket. Contexts are
+trivially shareable across threads (weights are immutable jax arrays), so the
+reference's ``mio_tts_context_clone`` becomes a no-op.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import MIO_CODE_MAX, MIO_CODE_MIN
+from .gguf.writer import load_embedding_gguf, save_embedding_gguf
+from .models.miocodec import (
+    MioCodecConfig,
+    codec_synthesize,
+    encode_global_embedding,
+    load_miocodec,
+)
+
+DEFAULT_BUCKETS = (32, 64, 96, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048)
+
+
+def pick_bucket(n: int, buckets=DEFAULT_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return ((n + 511) // 512) * 512
+
+
+@dataclasses.dataclass
+class SynthesisResult:
+    audio: np.ndarray  # f32 mono
+    sample_rate: int
+    decode_ms: float
+    n_codes: int
+    n_frames: int
+
+
+class MioTTSPipeline:
+    """Shared-weights synthesis context.
+
+    Thread-safe without locks: all state after construction is immutable.
+    """
+
+    def __init__(
+        self,
+        codec_path: str | Path,
+        wavlm_path: str | Path | None = None,
+        buckets: tuple[int, ...] = DEFAULT_BUCKETS,
+    ):
+        self.codec_path = str(codec_path)
+        self.config, weights = load_miocodec(self.codec_path)
+        self.weights = jax.tree.map(jnp.asarray, weights)
+        self.buckets = buckets
+        self._synth_fn = jax.jit(
+            functools.partial(codec_synthesize, self.config),
+            static_argnames=(),
+        )
+        self._encode_fn = jax.jit(functools.partial(encode_global_embedding, self.config))
+        self.wavlm = None
+        if wavlm_path:
+            from .models.wavlm import WavLMExtractor
+
+            self.wavlm = WavLMExtractor(str(wavlm_path))
+
+    # -- introspection (mio-tts-lib.h parity) --------------------------------
+
+    @property
+    def sample_rate(self) -> int:
+        return self.config.sample_rate
+
+    @property
+    def samples_per_token(self) -> int:
+        return self.config.samples_per_token
+
+    @property
+    def is_dynamic_global(self) -> bool:
+        return self.config.dynamic_global
+
+    @property
+    def has_global_encoder(self) -> bool:
+        return "global_encoder" in self.weights
+
+    def clone(self) -> "MioTTSPipeline":
+        """Weights are immutable + jit cache is shared: a clone is self
+        (reference needed shared_ptr plumbing, mio-tts-lib.cpp:847-859)."""
+        return self
+
+    # -- synthesis -------------------------------------------------------------
+
+    def synthesize(
+        self,
+        codes: list[int] | np.ndarray,
+        embedding: np.ndarray | None = None,
+    ) -> SynthesisResult:
+        """codes -> waveform (mio_tts_synthesize, mio-tts-lib.cpp:1182-1323)."""
+        codes = np.asarray(codes, dtype=np.int32).reshape(-1)
+        if codes.size == 0:
+            raise ValueError("codes are empty")
+        if codes.min() < MIO_CODE_MIN or codes.max() > MIO_CODE_MAX:
+            if codes.max() >= self.config.vocab_size or codes.min() < 0:
+                raise ValueError("code id out of range")
+        if self.config.dynamic_global and embedding is None:
+            raise ValueError("dynamic-global MioCodec requires embedding")
+        if not self.config.dynamic_global and embedding is not None:
+            raise ValueError("static MioCodec does not accept external embedding")
+        if embedding is not None:
+            embedding = np.asarray(embedding, dtype=np.float32).reshape(-1)
+            if embedding.size != self.config.decoder_adanorm_dim:
+                raise ValueError("embedding dimension mismatch")
+
+        n = int(codes.size)
+        bucket = pick_bucket(n, self.buckets)
+        tokens = np.zeros((1, bucket), np.int32)
+        tokens[0, :n] = codes
+        lengths = jnp.asarray([n], jnp.int32)
+        cond = jnp.asarray(embedding)[None] if embedding is not None else None
+
+        t0 = time.perf_counter()
+        audio, n_samples = self._synth_fn(self.weights, jnp.asarray(tokens), lengths, cond)
+        audio = np.asarray(audio[0])
+        n_valid = int(n_samples[0])
+        decode_ms = (time.perf_counter() - t0) * 1e3
+        return SynthesisResult(
+            audio=audio[:n_valid],
+            sample_rate=self.config.sample_rate,
+            decode_ms=decode_ms,
+            n_codes=n,
+            n_frames=n_valid // self.config.hop_length,
+        )
+
+    # -- voice cloning ----------------------------------------------------------
+
+    def reference_to_embedding(
+        self,
+        reference_audio: str | Path,
+        max_reference_seconds: float = 20.0,
+    ) -> np.ndarray:
+        """Reference audio -> 128-d speaker embedding
+        (mio_tts_reference_to_embedding, mio-tts-lib.cpp:1048-1125)."""
+        if not self.is_dynamic_global:
+            raise ValueError("reference embedding requires dynamic-global MioCodec")
+        if not self.has_global_encoder:
+            raise ValueError("reference embedding requires global_encoder tensors in MioCodec GGUF")
+        if self.wavlm is None:
+            raise ValueError("WavLM model is not loaded")
+        ssl, n_frames = self.wavlm.extract_ssl_features(
+            reference_audio,
+            source_rate=self.config.sample_rate,
+            max_seconds=max_reference_seconds,
+        )
+        emb = self._encode_fn(
+            self.weights,
+            jnp.asarray(ssl)[None],
+            jnp.asarray([n_frames], jnp.int32),
+        )
+        return np.asarray(emb[0], dtype=np.float32)
+
+    # -- embedding I/O ------------------------------------------------------------
+
+    @staticmethod
+    def load_embedding(path: str | Path) -> np.ndarray:
+        return load_embedding_gguf(path)
+
+    @staticmethod
+    def save_embedding(path: str | Path, embedding: np.ndarray) -> None:
+        save_embedding_gguf(path, embedding)

@@ -12,6 +12,9 @@ import numpy as np
 
 from .gguf.writer import GGUFWriter
 from .models.miocodec import MioCodecConfig
+from .runtime.tokenizer import (
+    TOKEN_TYPE_CONTROL, TOKEN_TYPE_NORMAL, _bytes_to_unicode,
+)
 
 
 def tiny_codec_config(**overrides) -> MioCodecConfig:
@@ -201,4 +204,80 @@ def write_synthetic_miocodec_gguf(path: str, cfg: MioCodecConfig, seed: int = 0,
         w.add_tensor("global_encoder.pool.norm.weight", 1.0 + rnd(gout, scale=0.05))
         w.add_tensor("global_encoder.pool.norm.bias", rnd(gout, scale=0.05))
 
+    w.write()
+
+
+# ---------------------------------------------------------------------------
+# Synthetic LLM GGUF (qwen2-convention) for tests/benchmarks
+# ---------------------------------------------------------------------------
+
+def synthetic_vocab(n_audio: int = 64) -> tuple[list[str], list[int]]:
+    """Byte-level vocab + chat specials + <|s_N|> audio tokens."""
+    byte_chars = list(_bytes_to_unicode().values())
+    tokens = byte_chars[:]
+    types = [TOKEN_TYPE_NORMAL] * len(tokens)
+    specials = ["<|endoftext|>", "<|im_start|>", "<|im_end|>"]
+    tokens += specials
+    types += [TOKEN_TYPE_CONTROL] * len(specials)
+    for i in range(n_audio):
+        tokens.append(f"<|s_{i}|>")
+        types.append(TOKEN_TYPE_CONTROL)
+    return tokens, types
+
+
+def write_synthetic_llm_gguf(
+    path: str,
+    n_audio: int = 64,
+    dim: int = 32,
+    n_layers: int = 2,
+    n_heads: int = 4,
+    n_kv_heads: int = 2,
+    ffn: int = 64,
+    seed: int = 0,
+    arch: str = "qwen2",
+) -> None:
+    rng = np.random.RandomState(seed)
+    tokens, types = synthetic_vocab(n_audio)
+    vocab = len(tokens)
+    head_dim = dim // n_heads
+
+    def rnd(*shape):
+        fan_in = shape[-1] if len(shape) >= 2 else shape[0]
+        return (rng.randn(*shape) / np.sqrt(max(1, fan_in))).astype(np.float32)
+
+    w = GGUFWriter(path, arch=arch)
+    w.add_string("general.type", "model")
+    w.add_string("general.name", "synthetic miotts llm")
+    w.add_uint32(f"{arch}.block_count", n_layers)
+    w.add_uint32(f"{arch}.embedding_length", dim)
+    w.add_uint32(f"{arch}.attention.head_count", n_heads)
+    w.add_uint32(f"{arch}.attention.head_count_kv", n_kv_heads)
+    w.add_uint32(f"{arch}.feed_forward_length", ffn)
+    w.add_float32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_float32(f"{arch}.rope.freq_base", 10000.0)
+    w.add_uint32(f"{arch}.context_length", 2048)
+    w.add_string("tokenizer.ggml.model", "gpt2")
+    w.add_array_str("tokenizer.ggml.tokens", tokens)
+    w.add_array_i32("tokenizer.ggml.token_type", types)
+    w.add_array_str("tokenizer.ggml.merges", [])
+    w.add_uint32("tokenizer.ggml.eos_token_id", tokens.index("<|im_end|>"))
+    w.add_uint32("tokenizer.ggml.bos_token_id", tokens.index("<|endoftext|>"))
+    w.add_bool("tokenizer.ggml.add_bos_token", False)
+
+    w.add_tensor("token_embd.weight", rnd(vocab, dim))
+    for i in range(n_layers):
+        w.add_tensor(f"blk.{i}.attn_norm.weight", 1.0 + rnd(dim) * 0.05)
+        w.add_tensor(f"blk.{i}.attn_q.weight", rnd(n_heads * head_dim, dim))
+        w.add_tensor(f"blk.{i}.attn_q.bias", rnd(n_heads * head_dim) * 0.05)
+        w.add_tensor(f"blk.{i}.attn_k.weight", rnd(n_kv_heads * head_dim, dim))
+        w.add_tensor(f"blk.{i}.attn_k.bias", rnd(n_kv_heads * head_dim) * 0.05)
+        w.add_tensor(f"blk.{i}.attn_v.weight", rnd(n_kv_heads * head_dim, dim))
+        w.add_tensor(f"blk.{i}.attn_v.bias", rnd(n_kv_heads * head_dim) * 0.05)
+        w.add_tensor(f"blk.{i}.attn_output.weight", rnd(dim, n_heads * head_dim))
+        w.add_tensor(f"blk.{i}.ffn_norm.weight", 1.0 + rnd(dim) * 0.05)
+        w.add_tensor(f"blk.{i}.ffn_gate.weight", rnd(ffn, dim))
+        w.add_tensor(f"blk.{i}.ffn_up.weight", rnd(ffn, dim))
+        w.add_tensor(f"blk.{i}.ffn_down.weight", rnd(dim, ffn))
+    w.add_tensor("output_norm.weight", 1.0 + rnd(dim) * 0.05)
+    w.add_tensor("output.weight", rnd(vocab, dim))
     w.write()

@@ -1,0 +1,186 @@
+"""LLM engine tests: GGUF load, numpy-oracle prefill parity, prefill/decode
+consistency, generation semantics, sampler chain."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from miotts_tpu.models.llm import (
+    LLMEngine, init_kv_cache, llm_decode_step, llm_generate, llm_prefill,
+    load_llm_gguf,
+)
+from miotts_tpu.models.sampling import (
+    SamplerParams, SamplerState, init_sampler_state, sample_token,
+    update_sampler_state,
+)
+from miotts_tpu.gguf import GGUFReader
+from miotts_tpu.testing import write_synthetic_llm_gguf
+
+
+@pytest.fixture(scope="module")
+def tiny_llm(tmp_path_factory):
+    path = tmp_path_factory.mktemp("llm") / "tiny_llm.gguf"
+    write_synthetic_llm_gguf(str(path), n_audio=64, dim=32, n_layers=2,
+                             n_heads=4, n_kv_heads=2, ffn=64, seed=0)
+    cfg, w, tok = load_llm_gguf(str(path), dtype=jnp.float32)
+    with GGUFReader(path) as r:
+        raw = {name: np.array(r.tensor(name)) for name in r.tensors}
+    return str(path), cfg, w, tok, raw
+
+
+def _oracle_prefill_logits(cfg, raw, tokens):
+    """Plain-numpy qwen2 forward: RMSNorm, NEOX RoPE, GQA, SwiGLU."""
+    def rms(x, g, eps=1e-6):
+        return x / np.sqrt((x * x).mean(-1, keepdims=True) + eps) * g
+
+    def rope_neox(x, pos, base):
+        T, H, D = x.shape
+        half = D // 2
+        inv = base ** (-2.0 * np.arange(half) / D)
+        ang = pos[:, None] * inv
+        c, s = np.cos(ang)[:, None, :], np.sin(ang)[:, None, :]
+        x0, x1 = x[..., :half], x[..., half:]
+        return np.concatenate([x0 * c - x1 * s, x0 * s + x1 * c], axis=-1)
+
+    x = raw["token_embd.weight"][tokens].astype(np.float64)
+    T = len(tokens)
+    pos = np.arange(T)
+    hd = cfg.head_dim
+    group = cfg.n_heads // cfg.n_kv_heads
+    for i in range(cfg.n_layers):
+        xn = rms(x, raw[f"blk.{i}.attn_norm.weight"], cfg.rms_eps)
+        q = xn @ raw[f"blk.{i}.attn_q.weight"].T + raw[f"blk.{i}.attn_q.bias"]
+        k = xn @ raw[f"blk.{i}.attn_k.weight"].T + raw[f"blk.{i}.attn_k.bias"]
+        v = xn @ raw[f"blk.{i}.attn_v.weight"].T + raw[f"blk.{i}.attn_v.bias"]
+        q = rope_neox(q.reshape(T, cfg.n_heads, hd), pos, cfg.rope_base)
+        k = rope_neox(k.reshape(T, cfg.n_kv_heads, hd), pos, cfg.rope_base)
+        v = v.reshape(T, cfg.n_kv_heads, hd)
+        att = np.zeros((T, cfg.n_heads, hd))
+        for h in range(cfg.n_heads):
+            kh = k[:, h // group, :]
+            vh = v[:, h // group, :]
+            scores = q[:, h, :] @ kh.T / np.sqrt(hd)
+            scores += np.where(np.tril(np.ones((T, T))) > 0, 0.0, -np.inf)
+            p = np.exp(scores - scores.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            att[:, h, :] = p @ vh
+        x = x + att.reshape(T, -1) @ raw[f"blk.{i}.attn_output.weight"].T
+        fn = rms(x, raw[f"blk.{i}.ffn_norm.weight"], cfg.rms_eps)
+        gate = fn @ raw[f"blk.{i}.ffn_gate.weight"].T
+        up = fn @ raw[f"blk.{i}.ffn_up.weight"].T
+        x = x + ((gate / (1 + np.exp(-gate))) * up) @ raw[f"blk.{i}.ffn_down.weight"].T
+    xn = rms(x, raw["output_norm.weight"], cfg.rms_eps)
+    return xn @ raw["output.weight"].T
+
+
+def test_prefill_matches_oracle(tiny_llm):
+    _, cfg, w, tok, raw = tiny_llm
+    tokens = np.array([5, 200, 17, 92, 260, 3], np.int32)
+    ref = _oracle_prefill_logits(cfg, raw, tokens)
+
+    ck, cv = init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+    last, _, _ = jax.jit(llm_prefill, static_argnums=0)(
+        cfg, w, jnp.asarray(tokens)[None], jnp.asarray([len(tokens)], jnp.int32), ck, cv)
+    np.testing.assert_allclose(np.array(last[0]), ref[-1], rtol=2e-3, atol=2e-4)
+
+
+def test_prefill_padding_invariance(tiny_llm):
+    _, cfg, w, tok, raw = tiny_llm
+    tokens = np.array([5, 200, 17, 92], np.int32)
+    ck, cv = init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+    fwd = jax.jit(llm_prefill, static_argnums=0)
+    a, _, _ = fwd(cfg, w, jnp.asarray(tokens)[None], jnp.asarray([4], jnp.int32), ck, cv)
+    padded = np.zeros(12, np.int32)
+    padded[:4] = tokens
+    b, _, _ = fwd(cfg, w, jnp.asarray(padded)[None], jnp.asarray([4], jnp.int32), ck, cv)
+    np.testing.assert_allclose(np.array(a), np.array(b), rtol=1e-5, atol=1e-6)
+
+
+def test_decode_step_consistency(tiny_llm):
+    """prefill([t0..t3]) last-logits == prefill([t0..t2]) then decode(t3)."""
+    _, cfg, w, tok, raw = tiny_llm
+    tokens = np.array([5, 200, 17, 92], np.int32)
+    fwd = jax.jit(llm_prefill, static_argnums=0)
+    step = jax.jit(llm_decode_step, static_argnums=0)
+
+    ck, cv = init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+    full, _, _ = fwd(cfg, w, jnp.asarray(tokens)[None], jnp.asarray([4], jnp.int32), ck, cv)
+
+    ck, cv = init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+    _, ck, cv = fwd(cfg, w, jnp.asarray(tokens[:3])[None], jnp.asarray([3], jnp.int32), ck, cv)
+    got, _, _ = step(cfg, w, jnp.asarray([92], jnp.int32), jnp.asarray([3], jnp.int32), ck, cv)
+    np.testing.assert_allclose(np.array(got), np.array(full), rtol=2e-4, atol=2e-5)
+
+
+def test_batched_decode_lanes_independent(tiny_llm):
+    _, cfg, w, tok, raw = tiny_llm
+    fwd = jax.jit(llm_prefill, static_argnums=0)
+    t1 = np.array([5, 200, 17], np.int32)
+    t2 = np.array([260, 9, 92, 33, 7], np.int32)
+    batch = np.zeros((2, 5), np.int32)
+    batch[0, :3] = t1
+    batch[1, :] = t2
+    ck, cv = init_kv_cache(cfg, 2, 32, dtype=jnp.float32)
+    both, _, _ = fwd(cfg, w, jnp.asarray(batch), jnp.asarray([3, 5], jnp.int32), ck, cv)
+    ck1, cv1 = init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+    one, _, _ = fwd(cfg, w, jnp.asarray(t1)[None], jnp.asarray([3], jnp.int32), ck1, cv1)
+    np.testing.assert_allclose(np.array(both[0]), np.array(one[0]), rtol=1e-5, atol=1e-6)
+
+
+def test_engine_generate_and_codes(tiny_llm):
+    path, cfg, w, tok, raw = tiny_llm
+    eng = LLMEngine(path, dtype=jnp.float32)
+    assert len(eng.token_to_code) == 64
+    toks = eng.generate_audio_tokens("hi", n_predict=16, n_ctx=64,
+                                     sampler=SamplerParams(temp=0.8, seed=1))
+    assert 0 < len(toks) <= 16
+    codes = eng.tokens_to_codes(toks)
+    assert all(0 <= c < 64 for c in codes)
+    # greedy must be deterministic
+    g1 = eng.generate_audio_tokens("hi", n_predict=8, sampler=SamplerParams(temp=0.0))
+    g2 = eng.generate_audio_tokens("hi", n_predict=8, sampler=SamplerParams(temp=0.0))
+    assert g1 == g2
+
+
+def test_tokenizer_specials_roundtrip(tiny_llm):
+    _, cfg, w, tok, raw = tiny_llm
+    ids = tok.encode("<|im_start|>user\nhi there<|im_end|>\n", parse_special=True)
+    assert tok.token_to_id["<|im_start|>"] in ids
+    assert tok.token_to_id["<|im_end|>"] in ids
+    assert tok.decode(ids, special=True) == "<|im_start|>user\nhi there<|im_end|>\n"
+    # audio token pieces
+    sid = tok.token_to_id["<|s_5|>"]
+    assert tok.token_piece(sid) == "<|s_5|>"
+
+
+def test_sampler_greedy_topk_penalty():
+    logits = jnp.asarray([[1.0, 5.0, 3.0, 4.0, -1.0]])
+    state = init_sampler_state(1)
+    key = jax.random.PRNGKey(0)
+    # greedy
+    t = sample_token(logits, SamplerParams(temp=0.0, top_k=0), state, key)
+    assert int(t[0]) == 1
+    # top-k=1 equals argmax even with temperature
+    t = sample_token(logits, SamplerParams(temp=1.0, top_k=1), state, key)
+    assert int(t[0]) == 1
+    # repeat penalty pushes down a recently sampled token
+    state = update_sampler_state(state, jnp.asarray([1], jnp.int32))
+    t = sample_token(logits, SamplerParams(temp=0.0, top_k=0, repeat_penalty=10.0),
+                     state, key)
+    assert int(t[0]) == 3  # 5/10=0.5 < 4.0
+    # top-p keeps at least one candidate
+    t = sample_token(logits, SamplerParams(temp=1.0, top_p=1e-6), init_sampler_state(1), key)
+    assert int(t[0]) == 1
+
+
+def test_sampler_distribution_matches_softmax():
+    """Distributional conformance (token-exact RNG parity is impossible)."""
+    logits = jnp.asarray([[0.0, 1.0, 2.0]])
+    params = SamplerParams(temp=1.0, top_k=0, top_p=1.0)
+    state = init_sampler_state(1)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4000)
+    toks = jax.vmap(lambda k: sample_token(logits, params, state, k))(keys)
+    counts = np.bincount(np.array(toks).ravel(), minlength=3) / 4000
+    expect = np.exp([0, 1, 2]) / np.exp([0, 1, 2]).sum()
+    np.testing.assert_allclose(counts, expect, atol=0.03)
