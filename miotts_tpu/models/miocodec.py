@@ -547,7 +547,7 @@ def _encode_global_embedding_impl(cfg, w, ssl, lengths):
         y = conv1d_depthwise_same(y, blk["dwconv_w"], blk["dwconv_b"])
         y = mask_time(y, lengths)
         y = layer_norm(y, blk["norm_w"], blk["norm_b"], eps=1e-6)
-        y = jax.nn.gelu(y @ blk["pw1_w"] + blk["pw1_b"], approximate=False)
+        y = jax.nn.gelu(y @ blk["pw1_w"] + blk["pw1_b"], approximate=True)  # ggml_gelu = tanh approx
         y = y @ blk["pw2_w"] + blk["pw2_b"]
         y = y * blk["gamma"]
         x = res + y
