@@ -1,0 +1,142 @@
+#!/usr/bin/env python3
+"""End-to-end TTS pipeline benchmark on one chip.
+
+Measures aggregate synthesized-audio seconds per wall-clock second (xRT) for
+the full flagship pipeline: batched autoregressive LLM decode (0.1B-scale
+Qwen-family config) -> MioCodec synthesis (768/512-dim transformers,
+n_fft 1920) -> on-TPU iSTFT. Weights are synthetic at production shapes (the
+reference repo ships no weights; see models_download.sh).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is relative to the repo target of >=50x real time per chip
+(BASELINE.md north star; the reference publishes no numbers).
+
+Env knobs: MIOTTS_BENCH_LANES (default 8), MIOTTS_BENCH_TOKENS (default 250),
+MIOTTS_BENCH_MODE=pipeline|codec|llm.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    import functools
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from miotts_tpu.models.llm import (
+        SamplerParams, init_kv_cache, llm_generate, load_llm_gguf,
+    )
+    from miotts_tpu.models.miocodec import codec_synthesize, load_miocodec
+    from miotts_tpu.testing import (
+        full_codec_config, write_synthetic_llm_gguf, write_synthetic_miocodec_gguf,
+    )
+
+    lanes = int(os.environ.get("MIOTTS_BENCH_LANES", "8"))
+    n_gen = int(os.environ.get("MIOTTS_BENCH_TOKENS", "250"))
+    mode = os.environ.get("MIOTTS_BENCH_MODE", "pipeline")
+    iters = int(os.environ.get("MIOTTS_BENCH_ITERS", "3"))
+
+    log(f"bench: devices={jax.devices()} lanes={lanes} tokens={n_gen} mode={mode}")
+    tmp = tempfile.gettempdir()
+
+    # ---- flagship models (synthetic weights at production shapes) ----------
+    codec_path = os.path.join(tmp, "miotts_bench_codec.gguf")
+    llm_path = os.path.join(tmp, "miotts_bench_llm.gguf")
+    ccfg_probe = full_codec_config()
+    if not os.path.exists(codec_path):
+        log("bench: generating synthetic flagship codec gguf...")
+        write_synthetic_miocodec_gguf(codec_path, ccfg_probe, seed=0)
+    if not os.path.exists(llm_path):
+        log("bench: generating synthetic 0.1B-scale llm gguf...")
+        write_synthetic_llm_gguf(llm_path, n_audio=12800, dim=768, n_layers=12,
+                                 n_heads=12, n_kv_heads=2, ffn=2048, seed=0)
+
+    ccfg, cw = load_miocodec(codec_path)
+    cw = jax.tree.map(jnp.asarray, cw)
+    synth = jax.jit(functools.partial(codec_synthesize, ccfg))
+
+    rng = np.random.RandomState(0)
+    spt = ccfg.samples_per_token
+    sr = ccfg.sample_rate
+    audio_sec_per_lane = n_gen * spt / sr
+
+    # codec inputs at the generation-length bucket
+    code_bucket = max(256, ((n_gen + 255) // 256) * 256)
+    codes = rng.randint(0, ccfg.vocab_size, (lanes, code_bucket)).astype(np.int32)
+    clen = jnp.asarray([n_gen] * lanes, jnp.int32)
+    cond = jnp.asarray(rng.randn(lanes, ccfg.decoder_adanorm_dim).astype(np.float32))
+    codes_j = jnp.asarray(codes)
+
+    def run_codec():
+        audio, n = synth(cw, codes_j, clen, cond)
+        # np.asarray forces a real device->host fetch: through the axon relay
+        # block_until_ready() is not a reliable barrier, and a served request
+        # must deliver the PCM bytes anyway
+        return np.asarray(audio), np.asarray(n)
+
+    lcfg = lw = tok = None
+    if mode in ("pipeline", "llm"):
+        lcfg, lw, tok = load_llm_gguf(llm_path)
+        prompt_len = 24
+        prompt = rng.randint(0, 256, (lanes, 32)).astype(np.int32)
+        plen = jnp.asarray([prompt_len] * lanes, jnp.int32)
+        eog = jnp.asarray([tok.eos_id], jnp.int32)
+        sampler = SamplerParams(temp=0.8, top_k=50, top_p=1.0, repeat_penalty=1.0, seed=0)
+        S = 32 + n_gen + 32
+        prompt_j = jnp.asarray(prompt)
+
+        def run_llm():
+            ck, cv = init_kv_cache(lcfg, lanes, S)
+            out, ngen = llm_generate(lcfg, lw, prompt_j, plen, eog,
+                                     jax.random.PRNGKey(0), n_gen, sampler, ck, cv)
+            return np.asarray(out), np.asarray(ngen)
+
+    def run_pipeline():
+        out, _ = run_llm()
+        # synthetic LLM output tokens aren't codec codes; decode the fixed
+        # codes buffer (same cost as real codes)
+        return run_codec()
+
+    run = {"codec": run_codec, "llm": run_llm, "pipeline": run_pipeline}[mode]
+
+    log("bench: compiling (first call)...")
+    t0 = time.perf_counter()
+    run()
+    log(f"bench: first call {time.perf_counter() - t0:.1f}s")
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    audio_sec = lanes * audio_sec_per_lane
+    xrt = audio_sec / dt
+    log(f"bench: {dt * 1e3:.1f} ms for {audio_sec:.1f}s of audio "
+        f"({lanes} lanes x {audio_sec_per_lane:.1f}s)")
+
+    result = {
+        "metric": f"{mode}_xrt_per_chip",
+        "value": round(xrt, 2),
+        "unit": "audio-sec/sec",
+        "vs_baseline": round(xrt / 50.0, 3),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,91 @@
+"""Device mesh + sharding rules for the MioTTS stack.
+
+Axes:
+- ``dp``: data/request parallelism — server batch lanes (the TPU-native
+  replacement for the reference's ``-np`` worker slots,
+  tts-mio-server.cpp:2713-2777) and multi-chip request fan-out.
+- ``tp``: tensor parallelism for the LLM — megatron layout: QKV/gate/up
+  column-parallel (output features sharded), attn-out/down row-parallel
+  (input features sharded); XLA inserts the psum on the row-parallel matmul
+  from the shardings alone.
+
+The 0.1B production model runs replicated on one chip; ``tp`` exists for the
+1B+ stretch config (BASELINE.json config 5).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, dp: int | None = None, tp: int | None = None) -> Mesh:
+    """Build a (dp, tp) mesh. Defaults: tp=1, dp=all devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if tp is None:
+        tp = 1
+    if dp is None:
+        dp = n // tp
+    assert dp * tp == n, f"dp*tp ({dp}*{tp}) != n_devices ({n})"
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def llm_weight_shardings(mesh: Mesh, weights: Any) -> Any:
+    """PartitionSpec pytree for the LLM weight dict (models/llm.py layout:
+    stacked [n_layers, ...], linear weights pre-transposed to [in, out])."""
+    specs = {
+        "token_embd": P(None, None),       # [V, D] replicated
+        "attn_norm": P(None, None),
+        "wq": P(None, None, "tp"),         # [L, D, H*hd] column-parallel
+        "wk": P(None, None, "tp"),
+        "wv": P(None, None, "tp"),
+        "wo": P(None, "tp", None),         # [L, H*hd, D] row-parallel
+        "ffn_norm": P(None, None),
+        "w_gate": P(None, None, "tp"),     # [L, D, FF]
+        "w_up": P(None, None, "tp"),
+        "w_down": P(None, "tp", None),     # [L, FF, D]
+        "bq": P(None, "tp"),
+        "bk": P(None, "tp"),
+        "bv": P(None, "tp"),
+        "q_norm": P(None, None),
+        "k_norm": P(None, None),
+        "output_norm": P(None),
+        "output": P(None, None),           # [D, V]
+    }
+    out = {}
+    for k, v in weights.items():
+        if v is None:
+            out[k] = None
+        else:
+            out[k] = NamedSharding(mesh, specs[k])
+    return out
+
+
+def llm_data_shardings(mesh: Mesh) -> dict:
+    """Shardings for activations/caches: batch lanes over dp, KV heads over tp."""
+    return {
+        "tokens": NamedSharding(mesh, P("dp", None)),
+        "lengths": NamedSharding(mesh, P("dp")),
+        "cache": NamedSharding(mesh, P(None, "dp", None, "tp", None)),
+        "logits": NamedSharding(mesh, P("dp", None)),
+    }
+
+
+def shard_llm_weights(mesh: Mesh, weights: Any) -> Any:
+    shardings = llm_weight_shardings(mesh, weights)
+    return {
+        k: (jax.device_put(v, shardings[k]) if v is not None else None)
+        for k, v in weights.items()
+    }
+
+
+def codec_data_sharding(mesh: Mesh):
+    """Codec decode shards over batch lanes only (model is small; weights
+    replicated)."""
+    return NamedSharding(mesh, P("dp", None))
