@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,10 @@ import numpy as np
 
 from ..gguf import GGUFReader
 from ..runtime.tokenizer import BPETokenizer
-from .sampling import SamplerParams, sample_token, init_sampler_state, update_sampler_state
+from .sampling import (
+    SamplerParams, SamplerState, sample_token, init_sampler_state,
+    update_sampler_state,
+)
 
 Pytree = Any
 
@@ -358,6 +361,71 @@ def llm_generate(
 
 
 # ---------------------------------------------------------------------------
+# resumable chunked generation (SSE streaming / continuous batching primitive)
+# ---------------------------------------------------------------------------
+
+class GenState(NamedTuple):
+    """Carry state between generation chunks. All fields are device arrays."""
+    logits: jnp.ndarray  # [B, V] logits for the next sample
+    cache_k: jnp.ndarray
+    cache_v: jnp.ndarray
+    pos: jnp.ndarray  # [B] next cache write position
+    ring: jnp.ndarray  # sampler penalty ring [B, 64]
+    ring_idx: jnp.ndarray
+    done: jnp.ndarray  # [B] bool
+    key: jax.Array
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def llm_start(cfg: LLMConfig, w: Pytree, prompt_tokens, prompt_lengths,
+              cache_k, cache_v, rng_key) -> GenState:
+    logits, cache_k, cache_v = llm_prefill(cfg, w, prompt_tokens, prompt_lengths,
+                                           cache_k, cache_v)
+    B = prompt_tokens.shape[0]
+    s0 = init_sampler_state(B)
+    return GenState(logits, cache_k, cache_v, prompt_lengths.astype(jnp.int32),
+                    s0.ring, s0.idx, jnp.zeros((B,), bool), rng_key)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def llm_generate_chunk(
+    cfg: LLMConfig,
+    w: Pytree,
+    eog_ids: jnp.ndarray,
+    n_steps: int,
+    sampler: SamplerParams,
+    state: GenState,
+) -> tuple[jnp.ndarray, jnp.ndarray, GenState]:
+    """Run up to n_steps decode steps from a GenState. Returns
+    (tokens [B, n_steps], n_new [B], state). Already-done lanes emit 0s."""
+    B = state.logits.shape[0]
+    out = jnp.zeros((B, n_steps), jnp.int32)
+
+    def cond(c):
+        i, st, *_ = c
+        return (i < n_steps) & ~jnp.all(st.done)
+
+    def body(c):
+        i, st, out, n_new = c
+        key, sub = jax.random.split(st.key)
+        sstate = SamplerState(ring=st.ring, idx=st.ring_idx)
+        tok = sample_token(st.logits, sampler, sstate, sub)
+        sstate = update_sampler_state(sstate, tok)
+        is_eog = jnp.isin(tok, eog_ids)
+        out = out.at[:, i].set(jnp.where(st.done, 0, tok))
+        n_new = n_new + (~st.done).astype(jnp.int32)
+        done_next = st.done | is_eog
+        logits, ck, cv = llm_decode_step(cfg, w, tok, st.pos, st.cache_k, st.cache_v)
+        pos = st.pos + jnp.where(done_next, 0, 1)
+        return (i + 1, GenState(logits, ck, cv, pos, sstate.ring, sstate.idx,
+                                done_next, key), out, n_new)
+
+    i, state, out, n_new = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), state, out, jnp.zeros((B,), jnp.int32)))
+    return out, n_new, state
+
+
+# ---------------------------------------------------------------------------
 # engine (host-side orchestration)
 # ---------------------------------------------------------------------------
 
@@ -423,3 +491,47 @@ class LLMEngine:
         )
         n = int(n_gen[0])
         return [int(t) for t in np.asarray(out[0][:n])]
+
+    def generate_audio_tokens_streaming(
+        self,
+        text: str,
+        on_token,
+        n_predict: int = 700,
+        n_ctx: int = 700,
+        sampler: SamplerParams | None = None,
+        chunk: int = 16,
+    ) -> list[int]:
+        """Streaming variant (server SSE path,
+        tts-mio-server.cpp:1531-1621): generation runs in jitted chunks of
+        ``chunk`` steps; ``on_token(token_id, index, is_eog) -> bool`` is
+        called per token and may return False to cancel."""
+        sampler = sampler or SamplerParams()
+        prompt = CHAT_TEMPLATE.format(text=text)
+        ids = self.tokenizer.encode(prompt, parse_special=True)
+        T = len(ids)
+        bucket = next((b for b in _PROMPT_BUCKETS if T <= b), ((T + 127) // 128) * 128)
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, :T] = ids
+        max_len = max(n_ctx, T + n_predict + 32)
+        cache_k, cache_v = init_kv_cache(self.config, 1, max_len)
+        state = llm_start(self.config, self.weights, jnp.asarray(toks),
+                          jnp.asarray([T], jnp.int32), cache_k, cache_v,
+                          jax.random.PRNGKey(sampler.seed))
+        generated: list[int] = []
+        while len(generated) < n_predict:
+            n_steps = min(chunk, n_predict - len(generated))
+            out, n_new, state = llm_generate_chunk(
+                self.config, self.weights, self.eog_ids, n_steps, sampler, state)
+            n = int(np.asarray(n_new[0]))
+            toks_np = np.asarray(out[0][:n])
+            stop = False
+            for t in toks_np:
+                t = int(t)
+                is_eog = bool(np.isin(t, np.asarray(self.eog_ids)))
+                generated.append(t)
+                if on_token is not None and not on_token(t, len(generated) - 1, is_eog):
+                    stop = True
+                    break
+            if stop or n < n_steps or bool(np.asarray(state.done[0])):
+                break
+        return generated

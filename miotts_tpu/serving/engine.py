@@ -1,0 +1,242 @@
+"""Serving engine: model ownership + run_tts_request flow.
+
+Mirrors run_tts_request (tts-mio-server.cpp:2153-2453) including output JSON
+fields and error strings. The reference's worker-slot pool + llm mutex
+(:2713-2777, :3014-3042) is replaced by a counting semaphore for admission
+(slot ids preserved for the X-Slot header) — model weights are immutable jax
+arrays, so all lanes share one pipeline/engine with no runtime mutex; XLA
+serializes device work per chip while the host threads overlap pre/post
+processing.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+import uuid
+
+import numpy as np
+
+from ..pipeline import MioTTSPipeline
+from ..runtime.codes_io import load_codes, save_codes
+from .state import ReferenceCache, RequestError, RequestParams, ServerConfig
+
+
+def now_ms() -> float:
+    return time.perf_counter() * 1e3
+
+
+class SlotPool:
+    """Round-robin slot acquisition (tts-mio-server.cpp:3014-3042): slot ids
+    for logging/headers + admission control."""
+
+    def __init__(self, n: int):
+        self._free = list(range(n))
+        self._cv = threading.Condition()
+
+    def acquire(self) -> int:
+        with self._cv:
+            while not self._free:
+                self._cv.wait()
+            return self._free.pop(0)
+
+    def release(self, idx: int) -> None:
+        with self._cv:
+            self._free.append(idx)
+            self._cv.notify()
+
+
+class ServingEngine:
+    def __init__(self, cfg: ServerConfig):
+        self.cfg = cfg
+        self.pipeline = MioTTSPipeline(cfg.model_vocoder,
+                                       wavlm_path=cfg.wavlm_model or None)
+        self.llm = None
+        if cfg.model:
+            from ..models.llm import LLMEngine
+
+            self.llm = LLMEngine(cfg.model)
+        self.ref_cache = ReferenceCache()
+        self.slots = SlotPool(max(1, cfg.n_parallel))
+        n_ref = cfg.n_parallel_reference_generation or cfg.n_parallel
+        self.ref_slots = SlotPool(max(1, n_ref))
+        self.inflight = 0
+        self.ref_gen_inflight = 0
+        self._counter_lock = threading.Lock()
+        self.reference_init_done = True  # jit warms lazily; no separate pool
+
+        if cfg.reference_file_json:
+            self._preload_references(cfg.reference_file_json)
+
+    # -- counters ---------------------------------------------------------------
+
+    def _count(self, attr: str, delta: int) -> None:
+        with self._counter_lock:
+            setattr(self, attr, getattr(self, attr) + delta)
+
+    # -- reference preload (tts-mio-server.cpp:2608-2629) ------------------------
+
+    def _preload_references(self, spec: str) -> None:
+        import json as _json
+
+        data = _json.loads(spec)
+        entries = data if isinstance(data, list) else [data]
+        for e in entries:
+            key = e.get("key") or e.get("reference_key")
+            path = e.get("path") or e.get("file")
+            if not key or not path:
+                continue
+            emb = self.pipeline.load_embedding(path)
+            self.ref_cache.put(key, emb)
+
+    # -- codes acquisition --------------------------------------------------------
+
+    def _generate_codes(self, rp: RequestParams, out: dict,
+                        on_token=None) -> list[int]:
+        t0 = now_ms()
+        if self.cfg.llm_api_enabled:
+            from ..runtime.llm_api import generate_audio_codes_external_cfg
+
+            codes = generate_audio_codes_external_cfg(self.cfg, rp)
+            if not codes:
+                raise RequestError("token generation failed: external LLM API returned empty codes")
+        else:
+            if self.llm is None:
+                raise RequestError("text generation requested but LLM model is not loaded")
+            from ..models.llm import SamplerParams
+
+            sampler = SamplerParams(temp=rp.temp, top_k=rp.top_k, top_p=rp.top_p,
+                                    repeat_penalty=rp.repeat_penalty, seed=rp.seed)
+            if on_token is not None:
+                tokens = self.llm.generate_audio_tokens_streaming(
+                    rp.text, on_token, n_predict=rp.n_predict, n_ctx=rp.n_ctx,
+                    sampler=sampler)
+            else:
+                tokens = self.llm.generate_audio_tokens(
+                    rp.text, n_predict=rp.n_predict, n_ctx=rp.n_ctx, sampler=sampler)
+            out["n_tokens"] = len(tokens)
+            codes = self.llm.tokens_to_codes(tokens)
+            if not codes:
+                raise RequestError("no Mio audio codes were found in token sequence")
+        out["llm_ms"] = now_ms() - t0
+        return codes
+
+    # -- main request flow (run_tts_request parity) -------------------------------
+
+    def run_tts_request(self, rp: RequestParams, out: dict,
+                        on_token=None) -> tuple[np.ndarray, int] | None:
+        """Fills ``out`` with the reference's JSON fields. Returns
+        (audio f32, sample_rate) for synthesis requests, None for
+        codes/embedding-only."""
+        need_codes = (not rp.embedding_only) or rp.codes_only or bool(rp.codes_out)
+
+        codes: list[int] | None = None
+        if need_codes:
+            if rp.inline_codes:
+                codes = list(rp.inline_codes)
+            elif rp.codes_in:
+                try:
+                    codes = load_codes(rp.codes_in)
+                except (OSError, ValueError) as e:
+                    raise RequestError(f"mio_tts_codes_load failed: {e}")
+            elif rp.text:
+                codes = self._generate_codes(rp, out, on_token=on_token)
+                if not codes:
+                    raise RequestError("token generation produced no audio codes")
+            else:
+                raise RequestError("either text/prompt, codes, or codes_in is required")
+
+        if rp.codes_out:
+            if not codes:
+                raise RequestError("--codes_out requested but no codes available")
+            try:
+                save_codes(rp.codes_out, codes)
+            except (OSError, ValueError) as e:
+                raise RequestError(f"mio_tts_codes_save failed: {e}")
+
+        embedding: np.ndarray | None = None
+        if rp.embedding_in:
+            try:
+                embedding = self.pipeline.load_embedding(rp.embedding_in)
+            except Exception as e:
+                raise RequestError(f"mio_tts_embedding_load_gguf failed: {e}")
+        elif rp.reference_key:
+            embedding = self.ref_cache.get(rp.reference_key)
+            if embedding is None or embedding.size == 0:
+                raise RequestError(f"reference_key not found: {rp.reference_key}")
+        elif rp.reference_audio:
+            raise RequestError("reference_audio is not supported in synthesis requests. "
+                               "use /mio/generate_reference then reference_key")
+        else:
+            default_emb = rp.embedding_default_in or self.cfg.embedding_default_in
+            if default_emb and self.pipeline.is_dynamic_global:
+                try:
+                    embedding = self.pipeline.load_embedding(default_emb)
+                except Exception as e:
+                    raise RequestError(f"mio_tts_embedding_load_gguf (default) failed: {e}")
+
+        if rp.embedding_out:
+            if embedding is None or embedding.size == 0:
+                raise RequestError("--embedding_out requested but no embedding available")
+            self.pipeline.save_embedding(rp.embedding_out, embedding)
+
+        out["codes"] = len(codes) if codes else 0
+        out["embedding_dim"] = int(embedding.size) if embedding is not None else 0
+        out["codes_out"] = rp.codes_out
+        out["embedding_out"] = rp.embedding_out
+        out["reference_key"] = rp.reference_key
+        out["key"] = rp.reference_key
+
+        if rp.codes_only or rp.embedding_only:
+            if rp.codes_only and codes:
+                out["codes_values"] = codes
+            out["ok"] = True
+            out["mode"] = ("codes+embedding-only" if rp.codes_only and rp.embedding_only
+                           else "codes-only" if rp.codes_only else "embedding-only")
+            return None
+
+        if not codes:
+            raise RequestError("synthesis requires codes")
+
+        t0 = now_ms()
+        try:
+            result = self.pipeline.synthesize(codes, embedding)
+        except ValueError as e:
+            raise RequestError(f"mio_tts_synthesize failed: {e}")
+        out["synth_ms"] = now_ms() - t0
+        out["ok"] = True
+        out["mode"] = "synthesis"
+        out["sample_rate"] = result.sample_rate
+        out["n_audio"] = int(result.audio.size)
+        out["duration_sec"] = result.audio.size / result.sample_rate
+        return result.audio, result.sample_rate
+
+    def run_tts_request_to_file(self, rp: RequestParams, out: dict) -> None:
+        """Non-stream /mio/tts: writes a wav under output_dir like the
+        reference (tts-mio-server.cpp:2420-2447)."""
+        res = self.run_tts_request(rp, out)
+        if res is None:
+            return
+        audio, sr = res
+        from ..runtime.audio_io import save_wav16
+
+        output_file = rp.output_file or os.path.join(
+            self.cfg.output_dir, f"mio-tts-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}.wav")
+        parent = os.path.dirname(output_file)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        save_wav16(output_file, audio, sr)
+        out["output_file"] = output_file
+
+    # -- reference generation (voice cloning) ---------------------------------------
+
+    def generate_reference(self, audio_path: str, key: str,
+                           max_reference_seconds: float) -> np.ndarray:
+        emb = self.pipeline.reference_to_embedding(audio_path, max_reference_seconds)
+        self.ref_cache.put(key, emb)
+        if self.cfg.reference_added_output_dir:
+            os.makedirs(self.cfg.reference_added_output_dir, exist_ok=True)
+            self.pipeline.save_embedding(
+                os.path.join(self.cfg.reference_added_output_dir, f"{key}.emb.gguf"), emb)
+        return emb

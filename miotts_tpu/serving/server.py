@@ -1,0 +1,650 @@
+"""HTTP server with endpoint-for-endpoint parity to tts-mio-server
+(routes: tts-mio-server.cpp:3087-3172, 4007-4020).
+
+Routes:
+  GET  /health, /mio/health            — status JSON (:3087-3121)
+  GET  /mio/references, /v1/audio/references
+  GET  /                               — minimal web UI
+  POST /mio/tts, /v1/audio/speech      — JSON result (writes wav to disk)
+  POST /mio/tts/stream, /v1/audio/speech/stream
+       — SSE (stream_tokens=true: token/generation_complete/audio_meta/
+         audio_data events, :3724-3899) or chunked audio/wav with
+         X-Slot / X-Sample-Rate / X-Audio-Samples / X-Reference-Key headers
+  POST /mio/generate_reference, /v1/audio/generate_reference — voice clone,
+       returns the .emb.gguf bytes as attachment (:3177-3398)
+  POST /mio/add_reference, /mio/delete_reference (+ /mio/remove_reference,
+       /v1/audio/* aliases)
+
+Error shape: {"ok": false, "error": {"message", "code"}} (:2455-2463).
+
+Stdlib-only (ThreadingHTTPServer); heavy work happens inside jitted XLA
+computations which release the GIL.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import os
+import re
+import sys
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..runtime.audio_io import encode_wav16
+from .engine import ServingEngine, now_ms
+from .state import RequestError, ServerConfig, is_valid_reference_key, parse_request_json
+
+_UI_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>MioTTS-TPU</title></head>
+<body><h1>MioTTS-TPU server</h1>
+<p>POST /mio/tts — synthesize; POST /mio/tts/stream — stream;
+POST /mio/generate_reference — voice clone; GET /mio/references — list.</p>
+<form id="f"><input id="text" placeholder="text" size="48">
+<input id="key" placeholder="reference_key" size="16">
+<button>speak</button></form><audio id="a" controls></audio>
+<script>
+document.getElementById('f').onsubmit = async (e) => {
+  e.preventDefault();
+  const r = await fetch('/mio/tts/stream', {method:'POST',
+    body: JSON.stringify({text: document.getElementById('text').value,
+                          reference_key: document.getElementById('key').value})});
+  const b = await r.blob();
+  document.getElementById('a').src = URL.createObjectURL(b);
+  document.getElementById('a').play();
+};
+</script></body></html>"""
+
+
+def _error_json(message: str, code: int = 400) -> bytes:
+    return json.dumps({"ok": False, "error": {"message": message, "code": code}}).encode()
+
+
+def _parse_multipart(content_type: str, body: bytes):
+    """Minimal multipart/form-data parser -> (fields: dict[str,str],
+    files: dict[str, (filename, bytes)])."""
+    m = re.search(r'boundary="?([^";]+)"?', content_type)
+    if not m:
+        raise ValueError("multipart boundary missing")
+    boundary = m.group(1).encode()
+    fields: dict[str, str] = {}
+    files: dict[str, tuple[str, bytes]] = {}
+    for part in body.split(b"--" + boundary):
+        part = part.strip(b"\r\n")
+        if not part or part == b"--":
+            continue
+        if b"\r\n\r\n" not in part:
+            continue
+        head, _, data = part.partition(b"\r\n\r\n")
+        disp = ""
+        for line in head.split(b"\r\n"):
+            if line.lower().startswith(b"content-disposition"):
+                disp = line.decode("utf-8", errors="replace")
+        name_m = re.search(r'name="([^"]*)"', disp)
+        if not name_m:
+            continue
+        name = name_m.group(1)
+        file_m = re.search(r'filename="([^"]*)"', disp)
+        if file_m:
+            files[name] = (file_m.group(1), data)
+        else:
+            fields[name] = data.decode("utf-8", errors="replace")
+    return fields, files
+
+
+class MioTTSServer:
+    def __init__(self, cfg: ServerConfig):
+        self.cfg = cfg
+        self.engine = ServingEngine(cfg)
+        handler = self._make_handler()
+        self.httpd = ThreadingHTTPServer((cfg.host, cfg.port), handler)
+        self.port = self.httpd.server_address[1]
+
+    def serve_forever(self):
+        print(f"mio: server listening on http://{self.cfg.host}:{self.port}",
+              file=sys.stderr)
+        self.httpd.serve_forever()
+
+    def start_background(self) -> threading.Thread:
+        t = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+    # ------------------------------------------------------------------
+
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *args):  # route to stderr quietly
+                pass
+
+            # -- helpers -------------------------------------------------
+
+            def _send_json(self, obj, status=200):
+                data = obj if isinstance(obj, bytes) else json.dumps(obj).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json; charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def _send_error_json(self, message, code=400):
+                self._send_json(_error_json(message, code), status=code)
+
+            def _read_body(self) -> bytes:
+                n = int(self.headers.get("Content-Length", "0") or 0)
+                return self.rfile.read(n) if n else b""
+
+            def _json_body(self) -> dict:
+                raw = self._read_body()
+                try:
+                    return json.loads(raw.decode("utf-8") or "{}")
+                except Exception as e:
+                    raise RequestError(f"invalid JSON: {e}")
+
+            # -- GET routes ----------------------------------------------
+
+            def do_GET(self):
+                path = self.path.split("?")[0]
+                eng = server.engine
+                if path in ("/health", "/mio/health"):
+                    cfg = server.cfg
+                    self._send_json({
+                        "status": "ok",
+                        "parallel": cfg.n_parallel,
+                        "parallel_reference_generation":
+                            cfg.n_parallel_reference_generation or cfg.n_parallel,
+                        "reference_generation_enabled": bool(cfg.wavlm_model),
+                        "reference_generation_initialized": eng.reference_init_done,
+                        "inflight": eng.inflight,
+                        "reference_generation_inflight": eng.ref_gen_inflight,
+                        "reference_cache": len(eng.ref_cache),
+                        "external_llm_enabled": cfg.llm_api_enabled,
+                        "external_llm_mode": cfg.llm_api_mode,
+                        "llm_shared_context": cfg.llm_shared_context,
+                    })
+                elif path in ("/mio/references", "/v1/audio/references"):
+                    refs = [{"key": k, "embedding_dim": d}
+                            for k, d in eng.ref_cache.items()]
+                    self._send_json({"ok": True, "count": len(refs), "references": refs})
+                elif path == "/":
+                    data = _UI_HTML.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.send_header("Cache-Control", "no-store, no-cache, must-revalidate")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                else:
+                    self._send_error_json("not found", 404)
+
+            # -- POST routes -----------------------------------------------
+
+            def do_POST(self):
+                path = self.path.split("?")[0]
+                try:
+                    if path in ("/mio/tts", "/v1/audio/speech"):
+                        self._handle_tts()
+                    elif path in ("/mio/tts/stream", "/v1/audio/speech/stream"):
+                        self._handle_tts_stream()
+                    elif path in ("/mio/generate_reference", "/v1/audio/generate_reference"):
+                        self._handle_generate_reference()
+                    elif path in ("/mio/add_reference", "/v1/audio/add_reference"):
+                        self._handle_add_reference()
+                    elif path in ("/mio/delete_reference", "/mio/remove_reference",
+                                  "/v1/audio/delete_reference", "/v1/audio/remove_reference"):
+                        self._handle_delete_reference()
+                    else:
+                        self._send_error_json("not found", 404)
+                except RequestError as e:
+                    self._send_error_json(str(e), e.code)
+                except BrokenPipeError:
+                    pass
+                except Exception as e:  # pragma: no cover
+                    import traceback
+
+                    traceback.print_exc()
+                    self._send_error_json(f"internal error: {e}", 500)
+
+            # -- handlers ------------------------------------------------------
+
+            def _handle_tts(self):
+                t_begin = now_ms()
+                body = self._json_body()
+                rp = parse_request_json(body, server.cfg)
+                eng = server.engine
+                slot = eng.slots.acquire()
+                eng._count("inflight", 1)
+                out: dict = {}
+                try:
+                    eng.run_tts_request_to_file(rp, out)
+                except RequestError:
+                    raise
+                finally:
+                    eng.slots.release(slot)
+                    eng._count("inflight", -1)
+                out["slot"] = slot
+                total = now_ms() - t_begin
+                print(f"generate: path={self.path} slot={slot} ok=true "
+                      f"llm_ms={out.get('llm_ms', 0.0):.2f} "
+                      f"synth_ms={out.get('synth_ms', 0.0):.2f} total_ms={total:.2f} "
+                      f"n_predict={rp.n_predict} n_codes={out.get('codes', 0)} "
+                      f"ref={rp.reference_key or '-'} mode={out.get('mode')}",
+                      file=sys.stderr)
+                self._send_json(out)
+
+            def _handle_tts_stream(self):
+                t_begin = now_ms()
+                body = self._json_body()
+                rp = parse_request_json(body, server.cfg)
+                eng = server.engine
+
+                if rp.stream_tokens:
+                    if not rp.text:
+                        raise RequestError("stream_tokens requires text input")
+                    self._sse_stream(rp, t_begin)
+                    return
+
+                slot = eng.slots.acquire()
+                eng._count("inflight", 1)
+                out: dict = {}
+                try:
+                    res = eng.run_tts_request(rp, out)
+                finally:
+                    eng.slots.release(slot)
+                    eng._count("inflight", -1)
+                if res is None:
+                    self._send_json(out)
+                    return
+                audio, sr = res
+                wav = encode_wav16(audio, sr)
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("X-Slot", str(slot))
+                self.send_header("X-Sample-Rate", str(sr))
+                self.send_header("X-Audio-Samples", str(audio.size))
+                if rp.reference_key:
+                    self.send_header("X-Reference-Key", rp.reference_key)
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                for off in range(0, len(wav), 64 * 1024):
+                    chunk = wav[off:off + 64 * 1024]
+                    self.wfile.write(f"{len(chunk):X}\r\n".encode() + chunk + b"\r\n")
+                self.wfile.write(b"0\r\n\r\n")
+                total = now_ms() - t_begin
+                print(f"generate: path={self.path} slot={slot} ok=true "
+                      f"llm_ms={out.get('llm_ms', 0.0):.2f} "
+                      f"synth_ms={out.get('synth_ms', 0.0):.2f} total_ms={total:.2f} "
+                      f"n_predict={rp.n_predict} n_codes={out.get('codes', 0)} "
+                      f"ref={rp.reference_key or '-'} mode=binary_stream",
+                      file=sys.stderr)
+
+            def _sse_stream(self, rp, t_begin):
+                eng = server.engine
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream; charset=utf-8")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("X-Accel-Buffering", "no")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def sse(event: str, data: str) -> bool:
+                    try:
+                        msg = f"event: {event}\ndata: {data}\n\n".encode()
+                        self.wfile.write(f"{len(msg):X}\r\n".encode() + msg + b"\r\n")
+                        self.wfile.flush()
+                        return True
+                    except OSError:
+                        return False
+
+                def finish():
+                    try:
+                        self.wfile.write(b"0\r\n\r\n")
+                    except OSError:
+                        pass
+
+                t_wait = now_ms()
+                slot = eng.slots.acquire()
+                eng._count("inflight", 1)
+                try:
+                    emb = eng.ref_cache.get(rp.reference_key)
+                    if emb is None or emb.size == 0:
+                        sse("error", json.dumps(
+                            {"error": f"reference_key not found: {rp.reference_key}"}))
+                        finish()
+                        return
+
+                    if eng.llm is None:
+                        sse("error", json.dumps(
+                            {"error": "text generation requested but LLM model is not loaded"}))
+                        finish()
+                        return
+
+                    from ..models.llm import SamplerParams
+
+                    sampler = SamplerParams(temp=rp.temp, top_k=rp.top_k,
+                                            top_p=rp.top_p,
+                                            repeat_penalty=rp.repeat_penalty,
+                                            seed=rp.seed)
+                    t_llm = now_ms()
+
+                    def on_token(tok, index, is_eog):
+                        ev = {"id": tok, "i": index}
+                        code = eng.llm.token_to_code_or_none(tok)
+                        if code is not None:
+                            ev["code"] = code
+                        if is_eog:
+                            ev["eog"] = True
+                        return sse("token", json.dumps(ev))
+
+                    tokens = eng.llm.generate_audio_tokens_streaming(
+                        rp.text, on_token, n_predict=rp.n_predict,
+                        n_ctx=rp.n_ctx, sampler=sampler)
+                    llm_ms = now_ms() - t_llm
+                    codes = eng.llm.tokens_to_codes(tokens)
+                    if not codes:
+                        sse("error", json.dumps(
+                            {"error": "no Mio audio codes were found in token sequence"}))
+                        finish()
+                        return
+                    sse("generation_complete", json.dumps({
+                        "n_tokens": len(tokens), "n_codes": len(codes),
+                        "llm_ms": llm_ms}))
+
+                    t_synth = now_ms()
+                    try:
+                        result = eng.pipeline.synthesize(codes, emb)
+                    except ValueError as e:
+                        sse("error", json.dumps({"error": str(e)}))
+                        finish()
+                        return
+                    synth_ms = now_ms() - t_synth
+                    wav = encode_wav16(result.audio, result.sample_rate)
+                    total_ms = now_ms() - t_begin
+                    sse("audio_meta", json.dumps({
+                        "sample_rate": result.sample_rate,
+                        "n_audio": int(result.audio.size),
+                        "synth_ms": synth_ms, "total_ms": total_ms,
+                        "wav_size": len(wav)}))
+                    sse("audio_data", base64.b64encode(wav).decode())
+                    print(f"generate: path={self.path} slot={slot} ok=true "
+                          f"wait_ms={t_llm - t_wait:.2f} llm_ms={llm_ms:.2f} "
+                          f"synth_ms={synth_ms:.2f} total_ms={total_ms:.2f} "
+                          f"n_predict={rp.n_predict} n_codes={len(codes)} "
+                          f"ref={rp.reference_key} mode=sse_stream", file=sys.stderr)
+                    finish()
+                finally:
+                    eng.slots.release(slot)
+                    eng._count("inflight", -1)
+
+            def _handle_generate_reference(self):
+                eng = server.engine
+                cfg = server.cfg
+                if not cfg.wavlm_model:
+                    raise RequestError(
+                        "server requires --tts-wavlm-model for reference generation")
+                ctype = self.headers.get("Content-Type", "")
+                reference_key = ""
+                reference_audio = ""
+                max_ref_sec = cfg.max_reference_seconds
+                upload_path = ""
+                if ctype.startswith("multipart/form-data"):
+                    fields, files = _parse_multipart(ctype, self._read_body())
+                    reference_key = fields.get("reference_key", "")
+                    reference_audio = fields.get("reference_audio", "")
+                    if fields.get("max_reference_seconds"):
+                        try:
+                            max_ref_sec = float(fields["max_reference_seconds"])
+                        except ValueError:
+                            raise RequestError("invalid max_reference_seconds")
+                    if "audio" in files:
+                        filename, data = files["audio"]
+                        suffix = os.path.splitext(filename)[1] or ".wav"
+                        if len(suffix) > 8:
+                            suffix = ".wav"
+                        upload_path = os.path.join(
+                            cfg.output_dir,
+                            f"mio-upload-{uuid.uuid4().hex}{suffix}")
+                        os.makedirs(cfg.output_dir, exist_ok=True)
+                        with open(upload_path, "wb") as f:
+                            f.write(data)
+                        reference_audio = upload_path
+                else:
+                    body = self._json_body()
+                    reference_key = body.get("reference_key", "") or ""
+                    reference_audio = (body.get("reference_audio", "")
+                                       or body.get("tts_reference_audio", "") or "")
+                    if body.get("max_reference_seconds") is not None:
+                        max_ref_sec = float(body["max_reference_seconds"])
+
+                try:
+                    if not is_valid_reference_key(reference_key):
+                        raise RequestError("reference_key is invalid")
+                    if not reference_audio:
+                        raise RequestError(
+                            "reference_audio or multipart file 'audio' is required")
+                    slot = eng.ref_slots.acquire()
+                    eng._count("ref_gen_inflight", 1)
+                    try:
+                        emb = eng.generate_reference(reference_audio, reference_key,
+                                                     max_ref_sec)
+                    except RequestError:
+                        raise
+                    except Exception as e:
+                        raise RequestError(
+                            f"mio_tts_reference_to_embedding failed: {e}")
+                    finally:
+                        eng.ref_slots.release(slot)
+                        eng._count("ref_gen_inflight", -1)
+                finally:
+                    if upload_path:
+                        try:
+                            os.remove(upload_path)
+                        except OSError:
+                            pass
+
+                from ..gguf.writer import save_embedding_gguf
+
+                buf_path = os.path.join(cfg.output_dir,
+                                        f"mio-emb-{uuid.uuid4().hex}.emb.gguf")
+                save_embedding_gguf(buf_path, emb)
+                payload = open(buf_path, "rb").read()
+                os.remove(buf_path)
+
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Content-Disposition",
+                                 f'attachment; filename="{reference_key}.emb.gguf"')
+                self.send_header("X-Reference-Key", reference_key)
+                self.send_header("X-Embedding-Dim", str(emb.size))
+                if cfg.reference_added_output_dir:
+                    self.send_header("X-Reference-Saved-Path", os.path.join(
+                        cfg.reference_added_output_dir, f"{reference_key}.emb.gguf"))
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def _handle_add_reference(self):
+                eng = server.engine
+                cfg = server.cfg
+                ctype = self.headers.get("Content-Type", "")
+                reference_key = ""
+                embedding_path = ""
+                upload_path = ""
+                if ctype.startswith("multipart/form-data"):
+                    fields, files = _parse_multipart(ctype, self._read_body())
+                    reference_key = fields.get("reference_key") or fields.get("key", "")
+                    embedding_path = fields.get("path") or fields.get("file", "")
+                    file_entry = files.get("file") or files.get("embedding")
+                    if file_entry is not None:
+                        filename, data = file_entry
+                        suffix = os.path.splitext(filename)[1] or ".gguf"
+                        if len(suffix) > 16:
+                            suffix = ".gguf"
+                        upload_path = os.path.join(
+                            cfg.output_dir, f"mio-upload-{uuid.uuid4().hex}{suffix}")
+                        os.makedirs(cfg.output_dir, exist_ok=True)
+                        with open(upload_path, "wb") as f:
+                            f.write(data)
+                        embedding_path = upload_path
+                else:
+                    body = self._json_body()
+                    reference_key = body.get("reference_key") or body.get("key", "") or ""
+                    embedding_path = (body.get("path") or body.get("file")
+                                      or body.get("embedding_in", "") or "")
+
+                try:
+                    if not is_valid_reference_key(reference_key):
+                        raise RequestError("reference_key (or key) is invalid")
+                    if not embedding_path:
+                        raise RequestError("path (or uploaded file) is required")
+                    try:
+                        emb = eng.pipeline.load_embedding(embedding_path)
+                    except Exception as e:
+                        raise RequestError(f"failed to load embedding GGUF: {e}")
+                    eng.ref_cache.put(reference_key, emb)
+                    saved_path = ""
+                    if cfg.reference_added_output_dir:
+                        os.makedirs(cfg.reference_added_output_dir, exist_ok=True)
+                        saved_path = os.path.join(cfg.reference_added_output_dir,
+                                                  f"{reference_key}.emb.gguf")
+                        eng.pipeline.save_embedding(saved_path, emb)
+                finally:
+                    if upload_path:
+                        try:
+                            os.remove(upload_path)
+                        except OSError:
+                            pass
+
+                self._send_json({
+                    "ok": True,
+                    "mode": "add-reference",
+                    "reference_key": reference_key,
+                    "embedding_dim": int(emb.size),
+                    "reference_cache": len(eng.ref_cache),
+                    "saved_path": saved_path,
+                })
+
+            def _handle_delete_reference(self):
+                eng = server.engine
+                cfg = server.cfg
+                ctype = self.headers.get("Content-Type", "")
+                reference_key = ""
+                if ctype.startswith("multipart/form-data"):
+                    fields, _ = _parse_multipart(ctype, self._read_body())
+                    reference_key = fields.get("reference_key") or fields.get("key", "")
+                else:
+                    body = self._json_body()
+                    reference_key = body.get("reference_key") or body.get("key", "") or ""
+                if not is_valid_reference_key(reference_key):
+                    raise RequestError("reference_key (or key) is invalid")
+                removed = eng.ref_cache.remove(reference_key)
+                if not removed:
+                    raise RequestError(f"reference_key not found: {reference_key}", 404)
+                removed_saved_file = False
+                saved_path = ""
+                warning = ""
+                if cfg.reference_added_output_dir:
+                    saved_path = os.path.join(cfg.reference_added_output_dir,
+                                              f"{reference_key}.emb.gguf")
+                    try:
+                        os.remove(saved_path)
+                        removed_saved_file = True
+                    except FileNotFoundError:
+                        pass
+                    except OSError as e:
+                        warning = f"failed to remove saved embedding: {e}"
+                out = {
+                    "ok": True,
+                    "mode": "delete-reference",
+                    "reference_key": reference_key,
+                    "removed": True,
+                    "removed_saved_file": removed_saved_file,
+                    "saved_path": saved_path,
+                    "reference_cache": len(eng.ref_cache),
+                }
+                if warning:
+                    out["warning"] = warning
+                self._send_json(out)
+
+        return Handler
+
+
+def build_arg_parser():
+    """Server CLI flags (tts-mio-server.cpp print_usage)."""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="llama-tts-mio-server", add_help=True)
+    p.add_argument("-mv", "--model-vocoder", dest="model_vocoder", required=True)
+    p.add_argument("-m", "--model", dest="model", default="")
+    p.add_argument("--llm-api-url", default="")
+    p.add_argument("--llm-api-key", default="")
+    p.add_argument("--llm-api-model", default="")
+    p.add_argument("--llm-api-headers", default="")
+    p.add_argument("--llm-api-timeout", type=int, default=120)
+    p.add_argument("--llm-api-mode", default="openai-chat")
+    p.add_argument("--tts-wavlm-model", dest="wavlm_model", default="")
+    p.add_argument("-emb", "--tts-mio-default-embedding-in",
+                   dest="embedding_default_in", default="")
+    p.add_argument("--reference-file-json", default="")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=18089)
+    p.add_argument("--output-dir", default="/tmp")
+    p.add_argument("--reference-added-output-dir", default="")
+    p.add_argument("-np", "--parallel", dest="n_parallel", type=int, default=1)
+    p.add_argument("--llm-shared-context", default="on")
+    p.add_argument("--parallel-reference-generation", type=int, default=0)
+    p.add_argument("--mio-backend-devices", default="")
+    p.add_argument("-ngl", "--n-gpu-layers", type=int, default=-1)
+    p.add_argument("-fa", "--flash-attn", default="auto")
+    p.add_argument("--threads", type=int, default=2)
+    p.add_argument("--ctx-size", dest="n_ctx", type=int, default=700)
+    p.add_argument("-n", "--n-predict", dest="n_predict", type=int, default=700)
+    p.add_argument("--temp", type=float, default=0.8)
+    p.add_argument("--top-p", dest="top_p", type=float, default=1.0)
+    p.add_argument("--top-k", dest="top_k", type=int, default=50)
+    p.add_argument("--repeat-penalty", dest="repeat_penalty", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tts-max-reference-seconds", dest="max_reference_seconds",
+                   type=float, default=20.0)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    cfg = ServerConfig(
+        model_vocoder=args.model_vocoder, model=args.model,
+        wavlm_model=args.wavlm_model,
+        embedding_default_in=args.embedding_default_in,
+        reference_file_json=args.reference_file_json,
+        host=args.host, port=args.port, output_dir=args.output_dir,
+        reference_added_output_dir=args.reference_added_output_dir,
+        n_parallel=args.n_parallel,
+        llm_shared_context=args.llm_shared_context != "off",
+        n_parallel_reference_generation=args.parallel_reference_generation,
+        n_threads=args.threads, n_ctx=args.n_ctx, n_predict=args.n_predict,
+        top_k=args.top_k, top_p=args.top_p, temp=args.temp,
+        repeat_penalty=args.repeat_penalty, seed=args.seed,
+        max_reference_seconds=args.max_reference_seconds,
+        llm_api_url=args.llm_api_url, llm_api_key=args.llm_api_key,
+        llm_api_model=args.llm_api_model, llm_api_headers=args.llm_api_headers,
+        llm_api_timeout=args.llm_api_timeout, llm_api_mode=args.llm_api_mode,
+    )
+    MioTTSServer(cfg).serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,237 @@
+"""HTTP server conformance tests against the reference's /mio/* surface."""
+
+import base64
+import json
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from miotts_tpu.gguf.writer import save_embedding_gguf
+from miotts_tpu.runtime.audio_io import save_wav16
+from miotts_tpu.serving.server import MioTTSServer
+from miotts_tpu.serving.state import ServerConfig
+from miotts_tpu.testing import (
+    tiny_codec_config, write_synthetic_llm_gguf, write_synthetic_miocodec_gguf,
+    write_synthetic_wavlm_gguf,
+)
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    d = tmp_path_factory.mktemp("srv")
+    codec = d / "codec.gguf"
+    llm = d / "llm.gguf"
+    wavlm = d / "wavlm.gguf"
+    emb_path = d / "voice.emb.gguf"
+    cfg_codec = tiny_codec_config(global_encoder_input_channels=32)
+    write_synthetic_miocodec_gguf(str(codec), cfg_codec, seed=0)
+    write_synthetic_llm_gguf(str(llm), n_audio=cfg_codec.vocab_size, seed=1)
+    write_synthetic_wavlm_gguf(str(wavlm), seed=2)
+    rng = np.random.RandomState(0)
+    save_embedding_gguf(emb_path, rng.randn(cfg_codec.decoder_adanorm_dim).astype(np.float32))
+
+    cfg = ServerConfig(
+        model_vocoder=str(codec), model=str(llm), wavlm_model=str(wavlm),
+        host="127.0.0.1", port=0, output_dir=str(d / "out"),
+        reference_added_output_dir=str(d / "refs"),
+        n_parallel=2, n_predict=32, n_ctx=128,
+        reference_file_json=json.dumps({"key": "preset", "path": str(emb_path)}),
+    )
+    srv = MioTTSServer(cfg)
+    srv.start_background()
+    yield srv, d, emb_path, cfg_codec
+    srv.shutdown()
+
+
+def _url(srv, path):
+    return f"http://127.0.0.1:{srv.port}{path}"
+
+
+def _post_json(srv, path, obj, headers=None):
+    req = urllib.request.Request(
+        _url(srv, path), data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json", **(headers or {})})
+    return urllib.request.urlopen(req, timeout=120)
+
+
+def test_health(server):
+    srv, *_ = server
+    with urllib.request.urlopen(_url(srv, "/mio/health"), timeout=30) as r:
+        j = json.loads(r.read())
+    assert j["status"] == "ok"
+    assert j["parallel"] == 2
+    assert j["reference_generation_enabled"] is True
+    assert j["reference_cache"] >= 1
+    assert "llm_shared_context" in j and "external_llm_enabled" in j
+
+
+def test_references_list(server):
+    srv, *_ = server
+    with urllib.request.urlopen(_url(srv, "/mio/references"), timeout=30) as r:
+        j = json.loads(r.read())
+    assert j["ok"] is True
+    keys = [e["key"] for e in j["references"]]
+    assert "preset" in keys
+
+
+def test_tts_with_inline_codes(server):
+    srv, d, *_ = server
+    codes = list(range(24))
+    with _post_json(srv, "/mio/tts", {"codes": codes, "reference_key": "preset"}) as r:
+        j = json.loads(r.read())
+    assert j["ok"] is True
+    assert j["mode"] == "synthesis"
+    assert j["codes"] == 24
+    assert j["sample_rate"] == 24000
+    assert j["n_audio"] > 0
+    assert "output_file" in j and j["output_file"].endswith(".wav")
+    assert "slot" in j
+
+
+def test_tts_stream_binary(server):
+    srv, *_ = server
+    with _post_json(srv, "/mio/tts/stream",
+                    {"codes": [1, 2, 3, 4, 5, 6, 7, 8], "reference_key": "preset"}) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        assert r.headers["X-Reference-Key"] == "preset"
+        assert int(r.headers["X-Sample-Rate"]) == 24000
+        data = r.read()
+    assert data[:4] == b"RIFF"
+    assert int(r.headers["X-Audio-Samples"]) * 2 + 44 == len(data)
+
+
+def test_tts_text_via_llm(server):
+    srv, *_ = server
+    with _post_json(srv, "/v1/audio/speech",
+                    {"text": "hello world", "reference_key": "preset",
+                     "n_predict": 16}) as r:
+        j = json.loads(r.read())
+    assert j["ok"] is True
+    assert j["codes"] > 0
+    assert "llm_ms" in j
+
+
+def test_tts_sse_stream_tokens(server):
+    srv, *_ = server
+    with _post_json(srv, "/mio/tts/stream",
+                    {"text": "hi", "reference_key": "preset",
+                     "stream_tokens": True, "n_predict": 12}) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        body = r.read().decode()
+    events = {}
+    order = []
+    for block in body.strip().split("\n\n"):
+        lines = block.split("\n")
+        ev = next((l[7:] for l in lines if l.startswith("event: ")), None)
+        data = next((l[6:] for l in lines if l.startswith("data: ")), None)
+        if ev:
+            events.setdefault(ev, []).append(data)
+            order.append(ev)
+    assert "token" in events
+    tok0 = json.loads(events["token"][0])
+    assert "id" in tok0 and tok0["i"] == 0
+    assert "generation_complete" in events
+    gc = json.loads(events["generation_complete"][0])
+    assert gc["n_codes"] > 0 and "llm_ms" in gc
+    meta = json.loads(events["audio_meta"][0])
+    assert meta["sample_rate"] == 24000 and meta["wav_size"] > 44
+    wav = base64.b64decode(events["audio_data"][0])
+    assert wav[:4] == b"RIFF" and len(wav) == meta["wav_size"]
+    assert order.index("generation_complete") < order.index("audio_meta") < order.index("audio_data")
+
+
+def test_error_shape_and_missing_reference(server):
+    srv, *_ = server
+    try:
+        _post_json(srv, "/mio/tts", {"codes": [1, 2], "reference_key": "nope"})
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        j = json.loads(e.read())
+        assert j["ok"] is False
+        assert j["error"]["code"] == 400
+        assert "reference_key not found" in j["error"]["message"]
+
+    # synthesis without reference_key is rejected at parse time
+    try:
+        _post_json(srv, "/mio/tts", {"codes": [1, 2]})
+        assert False
+    except urllib.error.HTTPError as e:
+        assert "synthesis requires reference_key" in json.loads(e.read())["error"]["message"]
+
+
+def test_codes_only(server):
+    srv, *_ = server
+    with _post_json(srv, "/mio/tts", {"codes": [5, 6, 7], "codes_only": True,
+                                      "reference_key": "preset"}) as r:
+        j = json.loads(r.read())
+    assert j["ok"] is True
+    assert j["mode"] == "codes-only"
+    assert j["codes_values"] == [5, 6, 7]
+
+
+def test_generate_reference_multipart_and_synthesis(server, tmp_path):
+    srv, d, emb_path, cfg_codec = server
+    sr = 24000
+    audio = (0.4 * np.sin(2 * np.pi * 330 * np.arange(sr) / sr)).astype(np.float32)
+    wav_path = tmp_path / "voice.wav"
+    save_wav16(wav_path, audio, sr)
+    wav_bytes = wav_path.read_bytes()
+
+    boundary = "----miotestboundary"
+    parts = []
+    parts.append(f'--{boundary}\r\nContent-Disposition: form-data; name="reference_key"\r\n\r\ncloned1\r\n')
+    parts.append(f'--{boundary}\r\nContent-Disposition: form-data; name="audio"; filename="voice.wav"\r\n'
+                 'Content-Type: audio/wav\r\n\r\n')
+    body = "".join(parts).encode() + wav_bytes + f"\r\n--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        _url(srv, "/mio/generate_reference"), data=body,
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["X-Reference-Key"] == "cloned1"
+        dim = int(r.headers["X-Embedding-Dim"])
+        payload = r.read()
+    assert dim == cfg_codec.decoder_adanorm_dim
+    assert payload[:4] == b"GGUF"
+    # saved to reference-added-output-dir
+    assert (d / "refs" / "cloned1.emb.gguf").exists()
+
+    # now usable as reference_key
+    with _post_json(srv, "/mio/tts", {"codes": [1, 2, 3, 4], "reference_key": "cloned1"}) as r:
+        assert json.loads(r.read())["ok"] is True
+
+
+def test_add_and_delete_reference(server, tmp_path):
+    srv, d, emb_path, cfg_codec = server
+    with _post_json(srv, "/mio/add_reference",
+                    {"key": "added1", "path": str(emb_path)}) as r:
+        j = json.loads(r.read())
+    assert j["ok"] is True and j["mode"] == "add-reference"
+    assert j["embedding_dim"] == cfg_codec.decoder_adanorm_dim
+
+    with _post_json(srv, "/mio/delete_reference", {"key": "added1"}) as r:
+        j = json.loads(r.read())
+    assert j["ok"] is True and j["removed"] is True
+
+    try:
+        _post_json(srv, "/mio/delete_reference", {"key": "added1"})
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_parallel_requests(server):
+    srv, *_ = server
+    import concurrent.futures
+
+    def one(i):
+        with _post_json(srv, "/mio/tts",
+                        {"codes": list(range(8 + i)), "reference_key": "preset"}) as r:
+            return json.loads(r.read())
+
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        results = list(ex.map(one, range(6)))
+    assert all(j["ok"] for j in results)
+    assert {j["slot"] for j in results} <= {0, 1}
