@@ -70,6 +70,8 @@ class MioCodecConfig:
     wave_upsampler_factors: tuple[int, ...] = ()
     wave_upsampler_kernel_sizes: tuple[int, ...] = ()
     vocab_size: int = 12800
+    vocoder_upsample_rates: tuple[int, ...] = ()
+    vocoder_num_kernels: int = 0
 
     @property
     def wave_upsampler_total_factor(self) -> int:
@@ -180,6 +182,12 @@ def load_miocodec(path: str, dtype=np.float32) -> tuple[MioCodecConfig, Pytree]:
         ups_factors = tuple(int(x) for x in r.tensor("miocodec.wave_upsampler.factors"))
         ups_kernels = tuple(int(x) for x in r.tensor("miocodec.wave_upsampler.kernel_sizes"))
 
+    voc_rates: tuple[int, ...] = ()
+    voc_num_kernels = 0
+    if kv_u("has_vocoder", 0):
+        voc_rates = tuple(int(x) for x in r.tensor("miovocoder.upsample_rates"))
+        voc_num_kernels = r.get_u32("miovocoder.num_kernels", 0)
+
     d = MioCodecConfig()
     cfg = MioCodecConfig(
         model_type=kv_u("model_type", d.model_type),
@@ -216,6 +224,8 @@ def load_miocodec(path: str, dtype=np.float32) -> tuple[MioCodecConfig, Pytree]:
         wave_upsampler_factors=ups_factors,
         wave_upsampler_kernel_sizes=ups_kernels,
         vocab_size=int(r.tensors["token_embd"].shape[0]),
+        vocoder_upsample_rates=voc_rates,
+        vocoder_num_kernels=voc_num_kernels,
     )
 
     def get(name):
@@ -276,6 +286,11 @@ def load_miocodec(path: str, dtype=np.float32) -> tuple[MioCodecConfig, Pytree]:
             "norm_w": ("mel_postnet.{i}.norm.weight", False),
             "norm_b": ("mel_postnet.{i}.norm.bias", False),
         })
+
+    if cfg.has_vocoder:
+        from .vocoder import load_vocoder_weights
+
+        w["vocoder"] = load_vocoder_weights(get, cfg)
 
     # optional global encoder (miocodec-decoder.cpp:713-744)
     if r.has_tensor("global_encoder.backbone.embed.weight"):
@@ -502,13 +517,20 @@ def codec_synthesize(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full codes -> waveform. Returns (audio [B, S_max], n_samples [B]);
     audio is peak-normalized per example like mio_tts_synthesize
-    (mio-tts-lib.cpp:1299-1310). Wave-mode (STFT head) path."""
-    if cfg.model_type != 0:
-        raise NotImplementedError("mel-mode synthesis uses the vocoder path")
+    (mio-tts-lib.cpp:1299-1310). Wave mode goes through the iSTFT head;
+    mel mode through the bundled BigVGAN-style vocoder (mio-tts-lib.cpp:
+    1277-1286)."""
     spec, frame_len = codec_decode_spec(cfg, w, tokens, token_lengths, cond)
     with jax.default_matmul_precision("float32"):
-        audio = spec_to_audio(spec, frame_len, cfg.n_fft, cfg.hop_length)
-    n_samples = frame_len * cfg.hop_length
+        if cfg.model_type == 0:
+            audio = spec_to_audio(spec, frame_len, cfg.n_fft, cfg.hop_length)
+            n_samples = frame_len * cfg.hop_length
+        else:
+            if not cfg.has_vocoder:
+                raise NotImplementedError("mel-mode model has no bundled MioVocoder tensors")
+            from .vocoder import vocoder_decode
+
+            audio, n_samples = vocoder_decode(cfg, w, spec, frame_len)
     valid = time_mask(audio.shape[1], n_samples)
     audio = audio * valid.astype(audio.dtype)
     peak = jnp.max(jnp.abs(jnp.where(jnp.isfinite(audio), audio, 0.0)), axis=1)

@@ -365,3 +365,141 @@ def write_synthetic_wavlm_gguf(
         w.add_tensor(f"{p}.norm2.weight", 1.0 + rnd(embed, scale=0.05))
         w.add_tensor(f"{p}.norm2.bias", rnd(embed, scale=0.05))
     w.write()
+
+
+def write_synthetic_mel_vocoder_gguf(path: str, cfg: MioCodecConfig, seed: int = 0,
+                                     act_filter_len: int = 12,
+                                     mel_postnet_layers: int = 2,
+                                     mel_postnet_kernel: int = 5) -> None:
+    """Mel-mode MioCodec with a bundled BigVGAN-style vocoder (small dims).
+
+    cfg must have model_type=1, n_mels>0, vocoder_upsample_rates and
+    vocoder_num_kernels set."""
+    assert cfg.model_type == 1 and cfg.n_mels > 0 and cfg.vocoder_upsample_rates
+    rng = np.random.RandomState(seed)
+
+    def rnd(*shape, scale=None):
+        if scale is None:
+            fan_in = shape[-1] if len(shape) >= 2 else shape[0]
+            scale = 1.0 / np.sqrt(max(1, fan_in))
+        return (rng.randn(*shape) * scale).astype(np.float32)
+
+    # reuse the wave-mode writer for the transformer trunk by writing the
+    # common KVs/tensors here directly (model_type=1 skips resnets)
+    w = GGUFWriter(path, arch="miocodec-dec")
+    w.add_string("general.type", "model")
+    w.add_uint32("miocodec.model_type", 1)
+    w.add_uint32("miocodec.dynamic_global", 1 if cfg.dynamic_global else 0)
+    w.add_uint32("miocodec.sample_rate", cfg.sample_rate)
+    w.add_uint32("miocodec.n_fft", cfg.n_fft)
+    w.add_uint32("miocodec.hop_length", cfg.hop_length)
+    w.add_uint32("miocodec.n_mels", cfg.n_mels)
+    w.add_uint32("miocodec.samples_per_token", cfg.samples_per_token)
+    w.add_uint32("miocodec.prenet_layers", cfg.prenet_layers)
+    w.add_uint32("miocodec.prenet_dim", cfg.prenet_dim)
+    w.add_uint32("miocodec.prenet_heads", cfg.prenet_heads)
+    w.add_uint32("miocodec.prenet_ff", cfg.prenet_ff)
+    w.add_uint32("miocodec.prenet_window", cfg.prenet_window)
+    w.add_uint32("miocodec.decoder_layers", cfg.decoder_layers)
+    w.add_uint32("miocodec.decoder_dim", cfg.decoder_dim)
+    w.add_uint32("miocodec.decoder_heads", cfg.decoder_heads)
+    w.add_uint32("miocodec.decoder_ff", cfg.decoder_ff)
+    w.add_uint32("miocodec.decoder_window", cfg.decoder_window)
+    w.add_uint32("miocodec.decoder_adanorm_dim", cfg.decoder_adanorm_dim)
+    w.add_uint32("miocodec.resnet_blocks", 0)
+    w.add_uint32("miocodec.resnet_groups", 1)
+    w.add_uint32("miocodec.wave_upsampler_layers", 0)
+    w.add_float32("miocodec.rope_theta", cfg.rope_theta)
+    w.add_float32("miocodec.norm_eps", cfg.norm_eps)
+    w.add_float32("miocodec.group_norm_eps", cfg.group_norm_eps)
+    w.add_uint32("miocodec.has_vocoder", 1)
+    w.add_uint32("miocodec.mel_postnet_layers", mel_postnet_layers)
+    w.add_uint32("miocodec.mel_postnet_kernel_size", mel_postnet_kernel)
+    w.add_uint32("miocodec.global_encoder.input_channels", cfg.global_encoder_input_channels)
+    w.add_uint32("miocodec.global_encoder.output_channels", cfg.global_encoder_output_channels)
+    w.add_uint32("miocodec.global_encoder.dim", cfg.global_encoder_dim)
+    w.add_uint32("miocodec.global_encoder.intermediate_dim", cfg.global_encoder_intermediate_dim)
+    w.add_uint32("miocodec.global_encoder.num_layers", cfg.global_encoder_layers)
+
+    pd, dd = cfg.prenet_dim, cfg.decoder_dim
+    w.add_tensor("token_embd", rnd(cfg.vocab_size, pd, scale=0.5))
+
+    def transformer(prefix, n, dim, ff, cond_dim=None):
+        for i in range(n):
+            p = f"{prefix}.blk.{i}"
+            if cond_dim is None:
+                w.add_tensor(f"{p}.attn_norm.weight", 1.0 + rnd(dim, scale=0.05))
+                w.add_tensor(f"{p}.attn_norm.bias", rnd(dim, scale=0.05))
+                w.add_tensor(f"{p}.ffn_norm.weight", 1.0 + rnd(dim, scale=0.05))
+                w.add_tensor(f"{p}.ffn_norm.bias", rnd(dim, scale=0.05))
+            else:
+                w.add_tensor(f"{p}.attn_cond.weight", rnd(3 * dim, cond_dim, scale=0.1))
+                w.add_tensor(f"{p}.attn_cond.bias", rnd(3 * dim, scale=0.1))
+                w.add_tensor(f"{p}.ffn_cond.weight", rnd(3 * dim, cond_dim, scale=0.1))
+                w.add_tensor(f"{p}.ffn_cond.bias", rnd(3 * dim, scale=0.1))
+            for nm in ("attn_q", "attn_k", "attn_v", "attn_output"):
+                w.add_tensor(f"{p}.{nm}.weight", rnd(dim, dim))
+            w.add_tensor(f"{p}.ffn_gate.weight", rnd(ff, dim))
+            w.add_tensor(f"{p}.ffn_down.weight", rnd(dim, ff))
+            w.add_tensor(f"{p}.ffn_up.weight", rnd(ff, dim))
+
+    transformer("wave_prenet", cfg.prenet_layers, pd, cfg.prenet_ff)
+    w.add_tensor("wave_prenet.norm.weight", 1.0 + rnd(pd, scale=0.05))
+    w.add_tensor("wave_prenet.norm.bias", rnd(pd, scale=0.05))
+    w.add_tensor("wave_prenet.output.weight", rnd(dd, pd))
+    w.add_tensor("wave_prenet.output.bias", rnd(dd, scale=0.05))
+    w.add_tensor("wave_upsample.weight", rnd(dd, dd, 4))
+    w.add_tensor("wave_upsample.bias", rnd(dd, scale=0.05))
+    transformer("wave_decoder", cfg.decoder_layers, dd, cfg.decoder_ff,
+                cond_dim=cfg.decoder_adanorm_dim if cfg.dynamic_global else None)
+    if cfg.dynamic_global:
+        w.add_tensor("wave_decoder.norm_cond.weight", rnd(2 * dd, cfg.decoder_adanorm_dim, scale=0.1))
+        w.add_tensor("wave_decoder.norm_cond.bias", rnd(2 * dd, scale=0.1))
+    else:
+        w.add_tensor("wave_decoder.norm.weight", 1.0 + rnd(dd, scale=0.05))
+        w.add_tensor("wave_decoder.norm.bias", rnd(dd, scale=0.05))
+    w.add_tensor("istft_head.out.weight", rnd(cfg.n_mels, dd, scale=0.1))
+    w.add_tensor("istft_head.out.bias", rnd(cfg.n_mels, scale=0.05))
+
+    for i in range(mel_postnet_layers):
+        w.add_tensor(f"mel_postnet.{i}.conv.weight", rnd(cfg.n_mels, cfg.n_mels, mel_postnet_kernel, scale=0.1))
+        w.add_tensor(f"mel_postnet.{i}.conv.bias", rnd(cfg.n_mels, scale=0.05))
+        w.add_tensor(f"mel_postnet.{i}.norm.weight", 1.0 + rnd(cfg.n_mels, scale=0.05))
+        w.add_tensor(f"mel_postnet.{i}.norm.bias", rnd(cfg.n_mels, scale=0.05))
+
+    # vocoder
+    rates = cfg.vocoder_upsample_rates
+    num_k = cfg.vocoder_num_kernels
+    ch = 16  # vocoder channel width
+    w.add_uint32("miovocoder.sample_rate", cfg.sample_rate)
+    w.add_uint32("miovocoder.n_mels", cfg.n_mels)
+    w.add_uint32("miovocoder.num_upsamples", len(rates))
+    w.add_uint32("miovocoder.num_kernels", num_k)
+    w.add_tensor("miovocoder.upsample_rates", np.asarray(rates, np.int32))
+    w.add_tensor("vocoder.conv_pre.weight", rnd(ch, cfg.n_mels, 7, scale=0.1))
+    w.add_tensor("vocoder.conv_pre.bias", rnd(ch, scale=0.02))
+    w.add_tensor("vocoder.conv_post.weight", rnd(1, ch, 7, scale=0.1))
+    for i in range(len(rates)):
+        w.add_tensor(f"vocoder.ups.{i}.after.weight", rnd(ch, ch, 1, scale=0.2))
+        w.add_tensor(f"vocoder.ups.{i}.after.bias", rnd(ch, scale=0.02))
+        w.add_tensor(f"vocoder.ups.{i}.noise.weight", rnd(ch, ch, 7, scale=0.1))
+        w.add_tensor(f"vocoder.ups.{i}.noise.bias", rnd(ch, scale=0.02))
+    # anti-aliasing filter (kaiser-like; any fixed taps work for tests)
+    act_filt = np.hanning(act_filter_len + 2)[1:-1].astype(np.float32)
+    act_filt = act_filt / act_filt.sum()
+    for r in range(len(rates) * num_k):
+        for c in range(3):
+            w.add_tensor(f"vocoder.resblocks.{r}.convs1.{c}.weight", rnd(ch, ch, 3, scale=0.1))
+            w.add_tensor(f"vocoder.resblocks.{r}.convs1.{c}.bias", rnd(ch, scale=0.02))
+            w.add_tensor(f"vocoder.resblocks.{r}.convs2.{c}.weight", rnd(ch, ch, 3, scale=0.1))
+            w.add_tensor(f"vocoder.resblocks.{r}.convs2.{c}.bias", rnd(ch, scale=0.02))
+        for a in range(6):
+            w.add_tensor(f"vocoder.resblocks.{r}.acts.{a}.alpha", rnd(ch, scale=0.1))
+            w.add_tensor(f"vocoder.resblocks.{r}.acts.{a}.beta", rnd(ch, scale=0.1))
+            w.add_tensor(f"vocoder.resblocks.{r}.acts.{a}.up_filter", act_filt.reshape(-1, 1, 1))
+            w.add_tensor(f"vocoder.resblocks.{r}.acts.{a}.down_filter", act_filt.reshape(-1, 1, 1))
+    w.add_tensor("vocoder.activation_post.alpha", rnd(ch, scale=0.1))
+    w.add_tensor("vocoder.activation_post.beta", rnd(ch, scale=0.1))
+    w.add_tensor("vocoder.activation_post.up_filter", act_filt.reshape(-1, 1, 1))
+    w.add_tensor("vocoder.activation_post.down_filter", act_filt.reshape(-1, 1, 1))
+    w.write()

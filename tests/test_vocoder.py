@@ -1,0 +1,96 @@
+"""MioVocoder tests: numpy-oracle parity, padding invariance, end-to-end
+mel-mode synthesis."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from miotts_tpu.gguf import GGUFReader
+from miotts_tpu.models.miocodec import codec_synthesize, load_miocodec
+from miotts_tpu.models.vocoder import julius_lowpass_kernel, vocoder_decode
+from miotts_tpu.testing import tiny_codec_config, write_synthetic_mel_vocoder_gguf
+
+import oracle_vocoder as oracle
+
+
+@pytest.fixture(scope="module")
+def mel_model(tmp_path_factory):
+    path = tmp_path_factory.mktemp("voc") / "mel_vocoder.gguf"
+    cfg = tiny_codec_config(
+        model_type=1, n_mels=12, n_fft=64, hop_length=16, samples_per_token=32,
+        resnet_blocks=0,
+        vocoder_upsample_rates=(4, 2, 2), vocoder_num_kernels=2,
+    )
+    write_synthetic_mel_vocoder_gguf(str(path), cfg, seed=0)
+    loaded, w = load_miocodec(str(path))
+    assert loaded.has_vocoder and loaded.model_type == 1
+    assert loaded.vocoder_upsample_rates == (4, 2, 2)
+    with GGUFReader(path) as r:
+        raw = {name: np.array(r.tensor(name)) for name in r.tensors}
+    return loaded, jax.tree.map(jnp.asarray, w), raw
+
+
+def test_julius_kernel_matches_oracle():
+    for cutoff in (0.5 / 4, 0.5 / 2, 0.25):
+        got = julius_lowpass_kernel(round(cutoff, 9))
+        expect = oracle.julius_lowpass_kernel(cutoff)
+        np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-7)
+
+
+def test_vocoder_matches_oracle(mel_model):
+    cfg, w, raw = mel_model
+    rng = np.random.RandomState(0)
+    T = 9
+    mel_ct = (rng.randn(cfg.n_mels, T) * 0.5).astype(np.float32)  # [C, T]
+
+    ocfg = {
+        "mel_postnet_layers": cfg.mel_postnet_layers,
+        "norm_eps": cfg.norm_eps,
+        "vocoder_upsample_rates": cfg.vocoder_upsample_rates,
+        "vocoder_num_kernels": cfg.vocoder_num_kernels,
+    }
+    ref = oracle.decode_mel_to_audio(raw, ocfg, mel_ct)
+
+    mel_btc = jnp.asarray(mel_ct.T)[None]  # [1, T, C]
+    lengths = jnp.asarray([T], jnp.int32)
+
+    audio, n_samples = jax.jit(lambda w, m, l: vocoder_decode(cfg, w, m, l))(
+        w, mel_btc, lengths)
+    n = int(n_samples[0])
+    got = np.array(audio[0, :n])
+    assert got.shape == ref.shape, (got.shape, ref.shape)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_vocoder_padding_invariance(mel_model):
+    cfg, w, raw = mel_model
+    rng = np.random.RandomState(1)
+    T = 7
+    mel = (rng.randn(1, T, cfg.n_mels) * 0.5).astype(np.float32)
+    fwd = jax.jit(lambda w, m, l: vocoder_decode(cfg, w, m, l))
+    a, na = fwd(w, jnp.asarray(mel), jnp.asarray([T], jnp.int32))
+    padded = np.zeros((1, 16, cfg.n_mels), np.float32)
+    padded[:, :T] = mel
+    b, nb = fwd(w, jnp.asarray(padded), jnp.asarray([T], jnp.int32))
+    n = int(na[0])
+    assert int(nb[0]) == n
+    np.testing.assert_allclose(np.array(a[0, :n]), np.array(b[0, :n]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_mel_mode_end_to_end_synthesis(mel_model):
+    cfg, w, raw = mel_model
+    rng = np.random.RandomState(2)
+    codes = rng.randint(0, cfg.vocab_size, 6).astype(np.int32)
+    cond = jnp.asarray(rng.randn(1, cfg.decoder_adanorm_dim).astype(np.float32))
+    audio, n_samples = jax.jit(codec_synthesize, static_argnums=0)(
+        cfg, w, jnp.asarray(codes)[None], jnp.asarray([6], jnp.int32), cond)
+    n = int(n_samples[0])
+    # total upsampling = prod(rates) = 16 per mel frame; 6 codes -> 12 frames
+    assert n == cfg.decoder_frames(6) * 16
+    a = np.array(audio[0, :n])
+    assert np.isfinite(a).all()
+    assert np.abs(a).max() <= 1.0 + 1e-6
