@@ -109,6 +109,44 @@ def main() -> int:
         # codes buffer (same cost as real codes)
         return run_codec()
 
+    if mode == "ttfa":
+        # time-to-first-audio through the streaming pipeline (single stream)
+        from miotts_tpu.models.llm import LLMEngine
+        from miotts_tpu.pipeline import MioTTSPipeline
+        from miotts_tpu.streaming import stream_text_to_audio
+
+        pipe = MioTTSPipeline(codec_path)
+        eng = LLMEngine(llm_path)
+        emb = rng.randn(ccfg.decoder_adanorm_dim).astype(np.float32)
+
+        def once():
+            t0 = time.perf_counter()
+            first = [None]
+
+            def on_audio(pcm):
+                if first[0] is None:
+                    first[0] = time.perf_counter() - t0
+
+            stream_text_to_audio(pipe, eng, "hello world, this is a benchmark",
+                                 emb, n_predict=64, token_chunk=16,
+                                 lookahead_tokens=8, on_audio=on_audio)
+            return first[0] if first[0] is not None else float("nan")
+
+        log("bench: compiling streaming path...")
+        t0 = time.perf_counter()
+        once()
+        log(f"bench: first call {time.perf_counter() - t0:.1f}s")
+        ttfas = sorted(once() for _ in range(max(3, iters)))
+        p50 = ttfas[len(ttfas) // 2]
+        log(f"bench: ttfa samples {['%.0fms' % (t * 1e3) for t in ttfas]}")
+        print(json.dumps({
+            "metric": "ttfa_p50",
+            "value": round(p50 * 1e3, 1),
+            "unit": "ms",
+            "vs_baseline": round(300.0 / (p50 * 1e3), 3),  # target p50 < 300 ms
+        }))
+        return 0
+
     run = {"codec": run_codec, "llm": run_llm, "pipeline": run_pipeline}[mode]
 
     log("bench: compiling (first call)...")

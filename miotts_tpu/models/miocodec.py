@@ -418,6 +418,7 @@ def codec_decode_spec(
     tokens: jnp.ndarray,
     token_lengths: jnp.ndarray,
     cond: jnp.ndarray | None,
+    interp_anchor_tokens: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """tokens: [B, N] int32 codes (padded), token_lengths: [B], cond: [B, Dc]
     speaker embedding or None (static models).
@@ -425,14 +426,20 @@ def codec_decode_spec(
     Returns (spec [B, F, bins], frame_lengths [B]) where bins = n_fft+2 (wave)
     or n_mels (mel). Mirrors decode_tokens (miocodec-decoder.cpp:1353-1465).
 
+    ``interp_anchor_tokens`` (static) pins the bilinear-resize ratio to a
+    fixed token count so streaming prefix re-decodes are time-axis consistent
+    (None = exact reference semantics: ratio from true lengths).
+
     Matmuls run at float32 precision: the reference accumulates attention in
     f32 (GGML_PREC_F32, miocodec-decoder.cpp:1252) and the fidelity target is
     mel-L1 < 1e-2, which TPU default-bf16 matmuls would not meet."""
     with jax.default_matmul_precision("float32"):
-        return _codec_decode_spec_impl(cfg, w, tokens, token_lengths, cond)
+        return _codec_decode_spec_impl(cfg, w, tokens, token_lengths, cond,
+                                       interp_anchor_tokens)
 
 
-def _codec_decode_spec_impl(cfg, w, tokens, token_lengths, cond):
+def _codec_decode_spec_impl(cfg, w, tokens, token_lengths, cond,
+                            interp_anchor_tokens=None):
     B, N = tokens.shape
     spt, hop = cfg.samples_per_token, cfg.hop_length
     tf = cfg.wave_upsampler_total_factor
@@ -460,7 +467,11 @@ def _codec_decode_spec_impl(cfg, w, tokens, token_lengths, cond):
     y = conv_transpose1d(x, w["upsample_w"], w["upsample_b"], stride=2)
     src_len = (token_lengths - 1) * 2 + K_up
     y = mask_time(y, src_len)
-    y = linear_interpolate(y, src_len, dec_len, F_dec)
+    scale_override = None
+    if interp_anchor_tokens is not None:
+        a = interp_anchor_tokens
+        scale_override = ((a - 1) * 2 + K_up, cfg.decoder_frames(a))
+    y = linear_interpolate(y, src_len, dec_len, F_dec, scale_override=scale_override)
     y = mask_time(y, dec_len)
 
     if cfg.model_type == 0:
@@ -514,13 +525,17 @@ def codec_synthesize(
     tokens: jnp.ndarray,
     token_lengths: jnp.ndarray,
     cond: jnp.ndarray | None,
+    interp_anchor_tokens: int | None = None,
+    peak_normalize: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full codes -> waveform. Returns (audio [B, S_max], n_samples [B]);
     audio is peak-normalized per example like mio_tts_synthesize
-    (mio-tts-lib.cpp:1299-1310). Wave mode goes through the iSTFT head;
-    mel mode through the bundled BigVGAN-style vocoder (mio-tts-lib.cpp:
-    1277-1286)."""
-    spec, frame_len = codec_decode_spec(cfg, w, tokens, token_lengths, cond)
+    (mio-tts-lib.cpp:1299-1310) unless ``peak_normalize`` is False
+    (streaming prefix decodes must keep a consistent gain). Wave mode goes
+    through the iSTFT head; mel mode through the bundled BigVGAN-style
+    vocoder (mio-tts-lib.cpp:1277-1286)."""
+    spec, frame_len = codec_decode_spec(cfg, w, tokens, token_lengths, cond,
+                                        interp_anchor_tokens)
     with jax.default_matmul_precision("float32"):
         if cfg.model_type == 0:
             audio = spec_to_audio(spec, frame_len, cfg.n_fft, cfg.hop_length)
@@ -533,9 +548,11 @@ def codec_synthesize(
             audio, n_samples = vocoder_decode(cfg, w, spec, frame_len)
     valid = time_mask(audio.shape[1], n_samples)
     audio = audio * valid.astype(audio.dtype)
-    peak = jnp.max(jnp.abs(jnp.where(jnp.isfinite(audio), audio, 0.0)), axis=1)
-    gain = jnp.where(peak > 0.98, 0.95 / jnp.maximum(peak, 1e-9), 1.0)
-    return audio * gain[:, None], n_samples
+    if peak_normalize:
+        peak = jnp.max(jnp.abs(jnp.where(jnp.isfinite(audio), audio, 0.0)), axis=1)
+        gain = jnp.where(peak > 0.98, 0.95 / jnp.maximum(peak, 1e-9), 1.0)
+        audio = audio * gain[:, None]
+    return audio, n_samples
 
 
 # ---------------------------------------------------------------------------

@@ -89,16 +89,24 @@ def linear_interpolate(
     src_lengths: jnp.ndarray,
     dst_lengths: jnp.ndarray,
     dst_size: int,
+    scale_override: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """Per-example 1-D bilinear resize along time with half-pixel centers.
 
     x: [B, T_src, C]; src_lengths/dst_lengths: [B] true lengths; output
     [B, dst_size, C] valid for t < dst_lengths[b] (rest is clamped garbage —
     callers mask it). Index math mirrors GGML's bilinear upscale: dx is taken
-    from the unclamped floor, then indices clamp to [0, src_len-1]."""
+    from the unclamped floor, then indices clamp to [0, src_len-1].
+
+    ``scale_override = (src_anchor, dst_anchor)`` pins the resampling ratio
+    to a fixed value independent of the true lengths (streaming mode: prefix
+    re-decodes of growing sequences must not shift the time axis)."""
     B, T_src, C = x.shape
     dst_idx = jnp.arange(dst_size, dtype=jnp.float32)[None, :]  # [1, D]
-    sf = dst_lengths.astype(jnp.float32) / jnp.maximum(src_lengths.astype(jnp.float32), 1.0)
+    if scale_override is not None:
+        sf = jnp.full((B,), scale_override[1] / scale_override[0], jnp.float32)
+    else:
+        sf = dst_lengths.astype(jnp.float32) / jnp.maximum(src_lengths.astype(jnp.float32), 1.0)
     pos = (dst_idx + 0.5) / sf[:, None] - 0.5  # [B, D]
     x0f = jnp.floor(pos)
     dx = pos - x0f

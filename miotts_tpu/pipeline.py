@@ -65,7 +65,7 @@ class MioTTSPipeline:
         self.buckets = buckets
         self._synth_fn = jax.jit(
             functools.partial(codec_synthesize, self.config),
-            static_argnames=(),
+            static_argnames=("interp_anchor_tokens", "peak_normalize"),
         )
         self._encode_fn = jax.jit(functools.partial(encode_global_embedding, self.config))
         self.wavlm = None
@@ -103,6 +103,8 @@ class MioTTSPipeline:
         self,
         codes: list[int] | np.ndarray,
         embedding: np.ndarray | None = None,
+        interp_anchor: int | None = None,
+        peak_normalize: bool = True,
     ) -> SynthesisResult:
         """codes -> waveform (mio_tts_synthesize, mio-tts-lib.cpp:1182-1323)."""
         codes = np.asarray(codes, dtype=np.int32).reshape(-1)
@@ -128,7 +130,9 @@ class MioTTSPipeline:
         cond = jnp.asarray(embedding)[None] if embedding is not None else None
 
         t0 = time.perf_counter()
-        audio, n_samples = self._synth_fn(self.weights, jnp.asarray(tokens), lengths, cond)
+        audio, n_samples = self._synth_fn(self.weights, jnp.asarray(tokens), lengths, cond,
+                                          interp_anchor_tokens=interp_anchor,
+                                          peak_normalize=peak_normalize)
         audio = np.asarray(audio[0])
         n_valid = int(n_samples[0])
         decode_ms = (time.perf_counter() - t0) * 1e3

@@ -1,0 +1,148 @@
+"""Streaming synthesis: incremental codes -> audio with bounded lookahead.
+
+The codec transformers use window-65 *local* attention (SURVEY §5), so a
+frame's value stabilizes once enough future tokens are present. Exact
+stability needs the full receptive field (~hundreds of tokens — seconds of
+latency), so we re-decode growing prefixes (cheap: the whole decode is a few
+ms on TPU) and emit samples more than ``lookahead_tokens`` behind the prefix
+end; a short raised-cosine crossfade at each emission boundary masks the
+residual sub-1e-3 boundary drift. This replaces the mobile/WASM motivation
+for streaming (BASELINE.json config 4) with a TPU-native design: the jit
+bucket ladder means prefix re-decodes reuse compiled executables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .pipeline import MioTTSPipeline
+
+
+class StreamingSynthesizer:
+    """Feed codes incrementally; receive stable PCM increments.
+
+    Usage:
+        ss = StreamingSynthesizer(pipeline, embedding)
+        for chunk in code_chunks:
+            pcm = ss.feed(chunk)      # f32 samples newly finalized
+        pcm = ss.finalize()           # remaining samples
+    """
+
+    def __init__(
+        self,
+        pipeline: MioTTSPipeline,
+        embedding: np.ndarray | None,
+        lookahead_tokens: int = 8,
+        crossfade_samples: int = 128,
+        min_decode_tokens: int = 4,
+    ):
+        self.pipeline = pipeline
+        self.embedding = embedding
+        self.lookahead = max(0, lookahead_tokens)
+        self.crossfade = max(0, crossfade_samples)
+        self.min_decode = max(1, min_decode_tokens)
+        self.codes: list[int] = []
+        self.emitted = 0  # samples already returned
+        self._prev_audio: np.ndarray | None = None
+        self.sample_rate = pipeline.sample_rate
+
+    INTERP_ANCHOR = 1024  # fixed resample ratio across prefix re-decodes
+
+    def _decode_prefix(self) -> np.ndarray:
+        result = self.pipeline.synthesize(self.codes, self.embedding,
+                                          interp_anchor=self.INTERP_ANCHOR,
+                                          peak_normalize=False)
+        return result.audio
+
+    def _emit(self, audio: np.ndarray, upto: int) -> np.ndarray:
+        """Emit [self.emitted, upto) with crossfade against the previously
+        decoded tail around the boundary."""
+        upto = min(upto, audio.size)
+        if upto <= self.emitted:
+            return np.zeros(0, np.float32)
+        out = audio[self.emitted:upto].copy()
+        if (self._prev_audio is not None and self.crossfade > 0
+                and self.emitted > 0):
+            n = min(self.crossfade, out.size,
+                    max(0, self._prev_audio.size - self.emitted))
+            if n > 0:
+                t = np.arange(n, dtype=np.float32) / n
+                fade = 0.5 - 0.5 * np.cos(np.pi * t)  # 0 -> 1
+                prev = self._prev_audio[self.emitted:self.emitted + n]
+                out[:n] = prev * (1.0 - fade) + out[:n] * fade
+        self.emitted = upto
+        self._prev_audio = audio
+        return out
+
+    def feed(self, new_codes: list[int]) -> np.ndarray:
+        """Append codes; return newly stabilized samples (may be empty)."""
+        self.codes.extend(int(c) for c in new_codes)
+        n = len(self.codes)
+        stable_tokens = n - self.lookahead
+        if n < self.min_decode or stable_tokens <= 0:
+            return np.zeros(0, np.float32)
+        audio = self._decode_prefix()
+        spt = self.pipeline.samples_per_token
+        stable_samples = stable_tokens * spt
+        return self._emit(audio, stable_samples)
+
+    def finalize(self) -> np.ndarray:
+        """Flush: decode the full sequence and emit everything left."""
+        if not self.codes:
+            return np.zeros(0, np.float32)
+        audio = self._decode_prefix()
+        return self._emit(audio, audio.size)
+
+
+def stream_text_to_audio(
+    pipeline: MioTTSPipeline,
+    llm_engine,
+    text: str,
+    embedding: np.ndarray | None,
+    n_predict: int = 700,
+    n_ctx: int = 700,
+    sampler=None,
+    token_chunk: int = 16,
+    lookahead_tokens: int = 8,
+    on_audio=None,
+    on_token=None,
+):
+    """Full streaming pipeline: chunked LLM generation interleaved with
+    incremental synthesis. Calls on_audio(np.ndarray) per stable PCM chunk
+    and on_token(tok, i, eog) per token. Returns (audio, n_codes)."""
+    ss = StreamingSynthesizer(pipeline, embedding, lookahead_tokens=lookahead_tokens)
+    pieces: list[np.ndarray] = []
+    pending: list[int] = []
+
+    def handle(tok, index, is_eog):
+        if on_token is not None and not on_token(tok, index, is_eog):
+            return False
+        code = llm_engine.token_to_code_or_none(tok)
+        if code is not None:
+            pending.append(code)
+        if len(pending) >= token_chunk:
+            pcm = ss.feed(pending)
+            pending.clear()
+            if pcm.size and on_audio is not None:
+                on_audio(pcm)
+            if pcm.size:
+                pieces.append(pcm)
+        return True
+
+    llm_engine.generate_audio_tokens_streaming(
+        text, handle, n_predict=n_predict, n_ctx=n_ctx, sampler=sampler,
+        chunk=token_chunk)
+    if pending:
+        pcm = ss.feed(pending)
+        pending.clear()
+        if pcm.size:
+            pieces.append(pcm)
+            if on_audio is not None:
+                on_audio(pcm)
+    tail = ss.finalize()
+    if tail.size:
+        pieces.append(tail)
+        if on_audio is not None:
+            on_audio(tail)
+    audio = np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
+    return audio, len(ss.codes)
