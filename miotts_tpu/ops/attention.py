@@ -26,16 +26,15 @@ def band_length_mask(seq: int, window: int, lengths: jnp.ndarray) -> jnp.ndarray
     return allow | diag
 
 
-def banded_attention(
+def banded_attention_dense(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     lengths: jnp.ndarray,
     window: int,
 ) -> jnp.ndarray:
-    """q/k/v: [B, T, H, D] (post-RoPE). Returns [B, T, H, D].
-
-    Scores are computed and softmaxed in float32 (GGML_PREC_F32 parity)."""
+    """Reference-shaped dense path (materializes [T, T] scores like the
+    GGML graph). q/k/v: [B, T, H, D]; f32 scores/softmax."""
     B, T, H, D = q.shape
     scale = 1.0 / jnp.sqrt(jnp.float32(D))
     qf = q.astype(jnp.float32)
@@ -47,3 +46,75 @@ def banded_attention(
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32))
     return out.astype(q.dtype)
+
+
+def banded_attention_blocked(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    lengths: jnp.ndarray,
+    window: int,
+    block_q: int = 128,
+) -> jnp.ndarray:
+    """Windowed-gather banded attention: O(T * (block+2*halo)) memory.
+
+    Queries are tiled into blocks; each block attends to a key slice
+    [i*block - halo, i*block + block + halo) gathered with a halo pad —
+    no [T, T] tensor is ever materialized. Exactly equals the dense path."""
+    B, T, H, D = q.shape
+    half = max(0, window // 2)
+    Tp = ((T + block_q - 1) // block_q) * block_q
+    if Tp != T:
+        pad = Tp - T
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    nb = Tp // block_q
+    W = block_q + 2 * half
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+
+    # halo-pad keys/values so every block's window is a static slice
+    kp = jnp.pad(k, ((0, 0), (half, half), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (half, half), (0, 0), (0, 0)))
+    # windows[i] = kp[:, i*block : i*block + W] -> [B, nb, W, H, D]
+    idx = (jnp.arange(nb)[:, None] * block_q + jnp.arange(W)[None, :])  # [nb, W]
+    kw = kp[:, idx]  # [B, nb, W, H, D]
+    vw = vp[:, idx]
+    qb = q.reshape(B, nb, block_q, H, D)
+
+    scores = jnp.einsum("bnqhd,bnkhd->bnhqk", qb.astype(jnp.float32),
+                        kw.astype(jnp.float32)) * scale
+    q_pos = (jnp.arange(nb)[:, None] * block_q + jnp.arange(block_q)[None, :])  # [nb, BQ]
+    k_pos = idx - half  # absolute key positions, [nb, W]
+    band = jnp.abs(k_pos[:, None, :] - q_pos[:, :, None]) <= half  # [nb, BQ, W]
+    valid = ((k_pos[None, :, None, :] < lengths[:, None, None, None])
+             & (k_pos[None, :, None, :] >= 0))  # [B, nb, 1, W]
+    diag = k_pos[:, None, :] == q_pos[:, :, None]
+    allow = (band[None] & valid) | diag[None]
+    scores = jnp.where(allow[:, :, None], scores, -jnp.inf)
+    probs = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    out = jnp.einsum("bnhqk,bnkhd->bnqhd", probs, vw.astype(jnp.float32))
+    out = out.reshape(B, Tp, H, D)[:, :T]
+    return out.astype(q.dtype)
+
+
+# dispatch threshold: below this T the dense path is cheaper than gathers
+_DENSE_MAX_T = 256
+
+
+def banded_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    lengths: jnp.ndarray,
+    window: int,
+) -> jnp.ndarray:
+    """q/k/v: [B, T, H, D] (post-RoPE). Returns [B, T, H, D].
+
+    Dispatches: dense for short sequences, windowed-blocked beyond
+    (O(T*window) instead of O(T^2)). Scores/softmax in f32."""
+    T = q.shape[1]
+    if T <= _DENSE_MAX_T or T <= window:
+        return banded_attention_dense(q, k, v, lengths, window)
+    return banded_attention_blocked(q, k, v, lengths, window)
