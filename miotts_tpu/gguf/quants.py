@@ -240,9 +240,16 @@ def dequantize(raw: np.ndarray, ggml_type: int, n_elements: int) -> np.ndarray:
     """Dequantize raw bytes of a GGML tensor into a flat numpy array.
 
     Simple float/int types are returned as views in their native dtype
-    (caller reshapes); quantized types are expanded to float32.
-    """
+    (caller reshapes); quantized types are expanded to float32. Large
+    tensors use the threaded native kernel when the runtime library is
+    available (runtime/native.py)."""
     ggml_type = GGMLType(ggml_type)
+    if n_elements >= 1 << 16 and ggml_type != GGMLType.F32:
+        from ..runtime.native import dequantize_native
+
+        out = dequantize_native(raw, int(ggml_type), n_elements)
+        if out is not None:
+            return out
     if ggml_type in _SIMPLE_DTYPES:
         return raw.view(_SIMPLE_DTYPES[ggml_type])[:n_elements]
     if ggml_type == GGMLType.BF16:

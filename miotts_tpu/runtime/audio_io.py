@@ -32,6 +32,11 @@ def wav16_header(n_samples: int, sample_rate: int, num_channels: int = 1) -> byt
 
 
 def encode_wav16(audio: np.ndarray, sample_rate: int) -> bytes:
+    from .native import encode_wav16_native
+
+    native = encode_wav16_native(np.asarray(audio, np.float32), sample_rate)
+    if native is not None:
+        return native
     x = np.clip(np.asarray(audio, dtype=np.float32), -1.0, 1.0)
     pcm = np.rint(x * 32767.0).astype(np.int16)
     return wav16_header(pcm.size, sample_rate) + pcm.tobytes()

@@ -1,0 +1,102 @@
+"""Native runtime library vs numpy reference implementations."""
+
+import numpy as np
+import pytest
+
+from miotts_tpu.runtime import native
+
+
+@pytest.fixture(scope="module")
+def lib_available():
+    if not native.available():
+        pytest.skip("native runtime library unavailable (no compiler)")
+    return True
+
+
+def test_native_dequant_q8_0(lib_available):
+    rng = np.random.RandomState(0)
+    x = (rng.randn(8192) * 0.5).astype(np.float32)
+    xb = x.reshape(-1, 32)
+    amax = np.abs(xb).max(axis=1, keepdims=True)
+    d16 = np.float16((amax / 127.0).astype(np.float32))
+    q = np.round(xb / np.where(amax == 0, 1, amax) * 127.0).astype(np.int8)
+    blocks = b"".join(d16[i, 0].tobytes() + q[i].tobytes() for i in range(xb.shape[0]))
+    raw = np.frombuffer(blocks, dtype=np.uint8)
+
+    got = native.dequantize_native(raw, 8, 8192)
+    expect = (d16.astype(np.float32) * q).reshape(-1)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_native_dequant_f16_bf16(lib_available):
+    rng = np.random.RandomState(1)
+    x = (rng.randn(70000)).astype(np.float32)
+    raw16 = np.frombuffer(x.astype(np.float16).tobytes(), np.uint8)
+    got = native.dequantize_native(raw16, 1, 70000)
+    np.testing.assert_array_equal(got, x.astype(np.float16).astype(np.float32))
+    bf = (x.view(np.uint32) >> 16).astype(np.uint16)  # truncation is fine here
+    got = native.dequantize_native(np.frombuffer(bf.tobytes(), np.uint8), 30, 70000)
+    expect = (bf.astype(np.uint32) << 16).view(np.float32)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_native_dequant_q6_k_matches_numpy(lib_available):
+    from miotts_tpu.gguf.quants import _dequant_q6_k
+
+    rng = np.random.RandomState(2)
+    raw = rng.randint(0, 256, size=16 * 210, dtype=np.uint8)
+    # keep the f16 scale finite
+    for b in range(16):
+        raw[b * 210 + 208:b * 210 + 210] = np.frombuffer(
+            np.float16(0.01).tobytes(), np.uint8)
+    got = native.dequantize_native(raw, 14, 16 * 256)
+    expect = _dequant_q6_k(raw, 16 * 256)
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+
+def test_native_wav_encode_matches_numpy(lib_available):
+    from miotts_tpu.runtime.audio_io import wav16_header
+
+    rng = np.random.RandomState(3)
+    audio = (rng.randn(1000) * 0.7).astype(np.float32)
+    got = native.encode_wav16_native(audio, 24000)
+    x = np.clip(audio, -1.0, 1.0)
+    pcm = np.rint(x * 32767.0).astype(np.int16)
+    expect = wav16_header(pcm.size, 24000) + pcm.tobytes()
+    assert got == expect
+
+
+def test_native_resample_matches_numpy(lib_available):
+    from miotts_tpu.runtime.audio_io import resample_linear
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(24000).astype(np.float32)
+    got = native.resample_linear_native(x, 24000, 16000)
+    expect = resample_linear(x, 24000, 16000)
+    assert got.shape == expect.shape
+    np.testing.assert_allclose(got, expect, atol=1e-6)
+
+
+def test_dequantize_dispatch_uses_native_for_large(lib_available):
+    """gguf.dequantize must give identical results whether or not the
+    native path kicks in."""
+    import os
+
+    from miotts_tpu.gguf.quants import dequantize
+
+    rng = np.random.RandomState(5)
+    n = 1 << 17
+    x = (rng.randn(n) * 0.3).astype(np.float32)
+    raw = np.frombuffer(x.astype(np.float16).tobytes(), np.uint8)
+    a = dequantize(raw, 1, n)
+    os.environ["MIOTTS_NO_NATIVE"] = "1"
+    try:
+        import miotts_tpu.runtime.native as nat
+
+        old_lib, old_tried = nat._lib, nat._tried
+        nat._lib, nat._tried = None, True
+        b = dequantize(raw, 1, n)
+        nat._lib, nat._tried = old_lib, old_tried
+    finally:
+        del os.environ["MIOTTS_NO_NATIVE"]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
