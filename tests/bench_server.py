@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Server concurrency/latency benchmark — equivalent of the reference's
+tests/test_performance.sh: sweeps concurrency levels against
+POST /mio/tts/stream and reports success rate, RPS, latency percentiles
+and TTFB into summary.csv.
+
+Usage:
+  python tests/bench_server.py --url http://127.0.0.1:18089 \
+      --reference-key preset [--concurrency 1,2,4,8,16,32] \
+      [--requests-per-worker 2] [--text "..."] [--codes 1,2,3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import concurrent.futures
+import csv
+import json
+import statistics
+import sys
+import time
+import urllib.request
+
+
+def one_request(url: str, payload: bytes) -> tuple[bool, float, float]:
+    """Returns (ok, total_sec, ttfb_sec)."""
+    req = urllib.request.Request(
+        f"{url}/mio/tts/stream", data=payload,
+        headers={"Content-Type": "application/json"})
+    t0 = time.perf_counter()
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            first = r.read(1)
+            ttfb = time.perf_counter() - t0
+            while r.read(65536):
+                pass
+            ok = bool(first)
+        return ok, time.perf_counter() - t0, ttfb
+    except Exception:
+        return False, time.perf_counter() - t0, float("nan")
+
+
+def percentile(xs: list[float], p: float) -> float:
+    if not xs:
+        return float("nan")
+    xs = sorted(xs)
+    k = min(len(xs) - 1, int(round(p / 100.0 * (len(xs) - 1))))
+    return xs[k]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--url", default="http://127.0.0.1:18089")
+    ap.add_argument("--reference-key", default="preset")
+    ap.add_argument("--text", default="Hello, this is a benchmark request.")
+    ap.add_argument("--codes", default="", help="CSV codes (skips the LLM)")
+    ap.add_argument("--n-predict", type=int, default=200)
+    ap.add_argument("--concurrency", default="1,2,4,8,16,32")
+    ap.add_argument("--requests-per-worker", type=int, default=2)
+    ap.add_argument("--out", default="summary.csv")
+    args = ap.parse_args()
+
+    body: dict = {"reference_key": args.reference_key}
+    if args.codes:
+        body["codes"] = [int(c) for c in args.codes.split(",")]
+    else:
+        body["text"] = args.text
+        body["n_predict"] = args.n_predict
+    payload = json.dumps(body).encode()
+
+    rows = [("concurrency", "requests", "ok", "rps",
+             "avg_ms", "p50_ms", "p90_ms", "p95_ms", "p99_ms", "ttfb_p50_ms")]
+    for conc in [int(c) for c in args.concurrency.split(",")]:
+        n_req = conc * args.requests_per_worker
+        t0 = time.perf_counter()
+        with concurrent.futures.ThreadPoolExecutor(conc) as ex:
+            results = list(ex.map(lambda _: one_request(args.url, payload),
+                                  range(n_req)))
+        wall = time.perf_counter() - t0
+        oks = [r for r in results if r[0]]
+        lats = [r[1] * 1e3 for r in oks]
+        ttfbs = [r[2] * 1e3 for r in oks if r[2] == r[2]]
+        row = (conc, n_req, len(oks), round(len(oks) / wall, 2),
+               round(statistics.fmean(lats), 1) if lats else "nan",
+               round(percentile(lats, 50), 1), round(percentile(lats, 90), 1),
+               round(percentile(lats, 95), 1), round(percentile(lats, 99), 1),
+               round(percentile(ttfbs, 50), 1) if ttfbs else "nan")
+        rows.append(row)
+        print(" ".join(f"{k}={v}" for k, v in zip(rows[0], row)), file=sys.stderr)
+
+    with open(args.out, "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+    print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
