@@ -26,8 +26,8 @@ import numpy as np
 from ..gguf import GGUFReader
 from ..runtime.tokenizer import BPETokenizer
 from .sampling import (
-    SamplerParams, SamplerState, sample_token, init_sampler_state,
-    update_sampler_state,
+    BatchSamplerParams, SamplerParams, SamplerState, sample_token,
+    sample_token_batched, init_sampler_state, update_sampler_state,
 )
 
 Pytree = Any
@@ -423,6 +423,79 @@ def llm_generate_chunk(
     i, state, out, n_new = jax.lax.while_loop(
         cond, body, (jnp.int32(0), state, out, jnp.zeros((B,), jnp.int32)))
     return out, n_new, state
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def llm_generate_chunk_batched(
+    cfg: LLMConfig,
+    w: Pytree,
+    eog_ids: jnp.ndarray,
+    n_steps: int,
+    sampler: BatchSamplerParams,
+    state: GenState,
+) -> tuple[jnp.ndarray, jnp.ndarray, GenState]:
+    """Continuous-batching chunk step: like llm_generate_chunk but sampler
+    settings are per-lane arrays (mixed requests share one batch)."""
+    B = state.logits.shape[0]
+    out = jnp.zeros((B, n_steps), jnp.int32)
+
+    def cond(c):
+        i, st, *_ = c
+        return (i < n_steps) & ~jnp.all(st.done)
+
+    def body(c):
+        i, st, out, n_new = c
+        key, sub = jax.random.split(st.key)
+        sstate = SamplerState(ring=st.ring, idx=st.ring_idx)
+        tok = sample_token_batched(st.logits, sampler, sstate, sub)
+        sstate = update_sampler_state(sstate, tok)
+        is_eog = jnp.isin(tok, eog_ids)
+        out = out.at[:, i].set(jnp.where(st.done, 0, tok))
+        n_new = n_new + (~st.done).astype(jnp.int32)
+        done_next = st.done | is_eog
+        logits, ck, cv = llm_decode_step(cfg, w, tok, st.pos, st.cache_k, st.cache_v)
+        pos = st.pos + jnp.where(done_next, 0, 1)
+        return (i + 1, GenState(logits, ck, cv, pos, sstate.ring, sstate.idx,
+                                done_next, key), out, n_new)
+
+    i, state, out, n_new = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), state, out, jnp.zeros((B,), jnp.int32)))
+    return out, n_new, state
+
+
+@jax.jit
+def attach_lane(state: GenState, lane, logits1, ck1, cv1, pos1) -> GenState:
+    """Install a freshly prefilled request into lane ``lane`` of a batched
+    GenState (continuous batching: requests join at chunk boundaries)."""
+    return GenState(
+        logits=state.logits.at[lane].set(logits1[0]),
+        cache_k=state.cache_k.at[:, lane].set(ck1[:, 0]),
+        cache_v=state.cache_v.at[:, lane].set(cv1[:, 0]),
+        pos=state.pos.at[lane].set(pos1),
+        ring=state.ring.at[lane].set(-1),
+        ring_idx=state.ring_idx,
+        done=state.done.at[lane].set(False),
+        key=state.key,
+    )
+
+
+@jax.jit
+def set_lane_done(state: GenState, lane) -> GenState:
+    return state._replace(done=state.done.at[lane].set(True))
+
+
+def init_batched_state(cfg: LLMConfig, n_lanes: int, max_ctx: int,
+                       seed: int = 0) -> GenState:
+    ck, cv = init_kv_cache(cfg, n_lanes, max_ctx)
+    s0 = init_sampler_state(n_lanes)
+    return GenState(
+        logits=jnp.zeros((n_lanes, cfg.vocab_size), jnp.float32),
+        cache_k=ck, cache_v=cv,
+        pos=jnp.zeros((n_lanes,), jnp.int32),
+        ring=s0.ring, ring_idx=s0.idx,
+        done=jnp.ones((n_lanes,), bool),
+        key=jax.random.PRNGKey(seed),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -90,3 +90,63 @@ def sample_token(
     else:
         choice = jax.random.categorical(key, vals / params.temp, axis=-1)
     return jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0].astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# per-lane (batched) sampler — continuous-batching server lanes can carry
+# different requests with different sampling settings
+# ---------------------------------------------------------------------------
+
+class BatchSamplerParams(NamedTuple):
+    """Per-lane dynamic sampler settings, all [B] arrays."""
+    temp: jnp.ndarray
+    top_k: jnp.ndarray  # int32; <= MAX_TOP_K; 0 = disabled
+    top_p: jnp.ndarray
+    repeat_penalty: jnp.ndarray
+
+    @staticmethod
+    def make(temps, top_ks, top_ps, penalties) -> "BatchSamplerParams":
+        return BatchSamplerParams(
+            jnp.asarray(temps, jnp.float32), jnp.asarray(top_ks, jnp.int32),
+            jnp.asarray(top_ps, jnp.float32), jnp.asarray(penalties, jnp.float32))
+
+
+MAX_TOP_K = 256  # static candidate pool; per-lane top_k masks within it
+
+
+def sample_token_batched(
+    logits: jnp.ndarray,
+    params: BatchSamplerParams,
+    state: SamplerState,
+    key: jax.Array,
+) -> jnp.ndarray:
+    """Same chain as sample_token but every knob is a per-lane array."""
+    B, V = logits.shape
+    # penalties (no-op lanes have penalty == 1.0)
+    pen = params.repeat_penalty[:, None]
+    safe = jnp.where(state.ring >= 0, state.ring, V)
+    presence = jnp.zeros((B, V), jnp.bool_).at[
+        jnp.arange(B)[:, None], safe].set(True, mode="drop")
+    penalized = jnp.where(logits > 0, logits / pen, logits * pen)
+    logits = jnp.where(presence & (pen != 1.0), penalized, logits)
+
+    K = min(MAX_TOP_K, V)
+    vals, idx = jax.lax.top_k(logits, K)  # [B, K] descending
+    rank = jnp.arange(K, dtype=jnp.int32)[None, :]
+    # per-lane top_k: keep rank < top_k (0 => disabled => keep all)
+    k_eff = jnp.where(params.top_k > 0, jnp.minimum(params.top_k, K), K)
+    keep = rank < k_eff[:, None]
+    vals = jnp.where(keep, vals, -jnp.inf)
+    # per-lane top_p over the kept candidates
+    probs = jax.nn.softmax(vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    p_on = (params.top_p > 0.0) & (params.top_p < 1.0)
+    keep_p = ((cum - probs) < params.top_p[:, None]) | ~p_on[:, None]
+    keep_p = keep_p.at[:, 0].set(True)
+    vals = jnp.where(keep_p, vals, -jnp.inf)
+
+    greedy = jnp.argmax(vals, axis=-1)
+    temp = jnp.maximum(params.temp, 1e-6)[:, None]
+    sampled = jax.random.categorical(key, vals / temp, axis=-1)
+    choice = jnp.where(params.temp <= 0.0, greedy, sampled)
+    return jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0].astype(jnp.int32)

@@ -1,0 +1,177 @@
+"""Continuous-batching LLM worker.
+
+The TPU-native replacement for the reference's shared-llama-context mutex
+(tts-mio-server.cpp:2752-2774, llm_gen_mutex): instead of serializing
+requests on one context, a background worker owns a fixed set of batch
+lanes over one batched KV cache. Requests prefill (B=1) and attach to a free
+lane; every loop iteration runs one jitted chunk of decode steps over ALL
+active lanes (mixed per-lane sampler settings); tokens stream back per lane.
+New requests join at the next chunk boundary — no request ever waits for
+another to finish.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llm import (
+    CHAT_TEMPLATE, LLMEngine, attach_lane, init_batched_state, init_kv_cache,
+    llm_generate_chunk_batched, llm_prefill, set_lane_done,
+)
+from ..models.sampling import MAX_TOP_K, BatchSamplerParams, SamplerParams
+
+_PROMPT_BUCKETS = (32, 64, 128, 256, 512)
+
+
+@dataclasses.dataclass
+class _Lane:
+    handle: "GenerationHandle"
+    n_predict: int
+    generated: int = 0
+
+
+class GenerationHandle:
+    """Per-request stream of generated tokens."""
+
+    def __init__(self):
+        self._q: "queue.Queue[list[int] | None]" = queue.Queue()
+        self.cancelled = threading.Event()
+
+    def cancel(self) -> None:
+        self.cancelled.set()
+
+    def tokens(self):
+        """Yield tokens until generation completes."""
+        while True:
+            batch = self._q.get()
+            if batch is None:
+                return
+            yield from batch
+
+    def collect(self) -> list[int]:
+        return list(self.tokens())
+
+
+class ContinuousBatcher:
+    def __init__(self, engine: LLMEngine, n_lanes: int = 8,
+                 max_ctx: int = 1024, chunk: int = 16, seed: int = 0):
+        self.engine = engine
+        self.cfg = engine.config
+        self.n_lanes = n_lanes
+        self.max_ctx = max_ctx
+        self.chunk = chunk
+        self.state = init_batched_state(self.cfg, n_lanes, max_ctx, seed)
+        self.lanes: list[_Lane | None] = [None] * n_lanes
+        # per-lane sampler knobs mirrored host-side
+        self._temps = np.full(n_lanes, 0.8, np.float32)
+        self._top_ks = np.full(n_lanes, 50, np.int32)
+        self._top_ps = np.ones(n_lanes, np.float32)
+        self._pens = np.ones(n_lanes, np.float32)
+        self._cv = threading.Condition()
+        self._shutdown = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    # -- submission -------------------------------------------------------------
+
+    def submit(self, text: str, sampler: SamplerParams | None = None,
+               n_predict: int = 400, timeout: float | None = None) -> GenerationHandle:
+        sampler = sampler or SamplerParams()
+        prompt = CHAT_TEMPLATE.format(text=text)
+        ids = self.engine.tokenizer.encode(prompt, parse_special=True)
+        T = len(ids)
+        max_prompt = self.max_ctx - 8
+        if T > max_prompt:
+            ids = ids[:max_prompt]
+            T = max_prompt
+        bucket = next((b for b in _PROMPT_BUCKETS if T <= b),
+                      ((T + 127) // 128) * 128)
+        bucket = min(bucket, self.max_ctx)
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, :T] = ids
+        n_predict = min(n_predict, self.max_ctx - T - 1)
+
+        # prefill outside the lock (own arrays; safe alongside the chunk loop)
+        ck1, cv1 = init_kv_cache(self.cfg, 1, self.max_ctx)
+        logits1, ck1, cv1 = llm_prefill(
+            self.cfg, self.engine.weights, jnp.asarray(toks),
+            jnp.asarray([T], jnp.int32), ck1, cv1)
+
+        handle = GenerationHandle()
+        with self._cv:
+            while (lane_idx := self._free_lane()) is None:
+                if not self._cv.wait(timeout=timeout):
+                    raise TimeoutError("no free generation lane")
+            self.lanes[lane_idx] = _Lane(handle=handle, n_predict=n_predict)
+            self._temps[lane_idx] = sampler.temp
+            self._top_ks[lane_idx] = min(sampler.top_k, MAX_TOP_K) if sampler.top_k > 0 else 0
+            self._top_ps[lane_idx] = sampler.top_p
+            self._pens[lane_idx] = sampler.repeat_penalty
+            self.state = attach_lane(self.state, jnp.int32(lane_idx), logits1,
+                                     ck1, cv1, jnp.int32(T))
+            self._cv.notify_all()
+        return handle
+
+    def _free_lane(self) -> int | None:
+        for i, l in enumerate(self.lanes):
+            if l is None:
+                return i
+        return None
+
+    def shutdown(self) -> None:
+        with self._cv:
+            self._shutdown = True
+            self._cv.notify_all()
+        self._thread.join(timeout=5)
+
+    # -- worker loop ---------------------------------------------------------------
+
+    def _run(self) -> None:
+        while True:
+            with self._cv:
+                while not self._shutdown and all(l is None for l in self.lanes):
+                    self._cv.wait()
+                if self._shutdown:
+                    return
+                sampler = BatchSamplerParams.make(
+                    self._temps, self._top_ks, self._top_ps, self._pens)
+                state = self.state
+
+            out, n_new, state = llm_generate_chunk_batched(
+                self.cfg, self.engine.weights, self.engine.eog_ids,
+                self.chunk, sampler, state)
+            out_np = np.asarray(out)
+            n_np = np.asarray(n_new)
+            done_np = np.asarray(state.done)
+
+            with self._cv:
+                self.state = state
+                freed = False
+                for i, lane in enumerate(self.lanes):
+                    if lane is None:
+                        continue
+                    n = int(n_np[i])
+                    toks = [int(t) for t in out_np[i, :n]]
+                    budget_left = lane.n_predict - lane.generated
+                    if len(toks) > budget_left:
+                        toks = toks[:budget_left]
+                    lane.generated += len(toks)
+                    if toks and not lane.handle.cancelled.is_set():
+                        lane.handle._q.put(toks)
+                    finished = (bool(done_np[i]) or lane.generated >= lane.n_predict
+                                or lane.handle.cancelled.is_set())
+                    if finished:
+                        lane.handle._q.put(None)
+                        self.lanes[i] = None
+                        self._pens[i] = 1.0
+                        if not done_np[i]:
+                            self.state = set_lane_done(self.state, jnp.int32(i))
+                        freed = True
+                if freed:
+                    self._cv.notify_all()

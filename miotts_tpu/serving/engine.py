@@ -53,10 +53,18 @@ class ServingEngine:
         self.pipeline = MioTTSPipeline(cfg.model_vocoder,
                                        wavlm_path=cfg.wavlm_model or None)
         self.llm = None
+        self.batcher = None
         if cfg.model:
             from ..models.llm import LLMEngine
+            from .batching import ContinuousBatcher
 
             self.llm = LLMEngine(cfg.model)
+            self.batcher = ContinuousBatcher(
+                self.llm,
+                n_lanes=max(1, cfg.n_parallel),
+                max_ctx=cfg.n_ctx + cfg.n_predict + 64,
+                seed=cfg.seed,
+            )
         self.ref_cache = ReferenceCache()
         self.slots = SlotPool(max(1, cfg.n_parallel))
         n_ref = cfg.n_parallel_reference_generation or cfg.n_parallel
@@ -108,13 +116,18 @@ class ServingEngine:
 
             sampler = SamplerParams(temp=rp.temp, top_k=rp.top_k, top_p=rp.top_p,
                                     repeat_penalty=rp.repeat_penalty, seed=rp.seed)
-            if on_token is not None:
-                tokens = self.llm.generate_audio_tokens_streaming(
-                    rp.text, on_token, n_predict=rp.n_predict, n_ctx=rp.n_ctx,
-                    sampler=sampler)
-            else:
-                tokens = self.llm.generate_audio_tokens(
-                    rp.text, n_predict=rp.n_predict, n_ctx=rp.n_ctx, sampler=sampler)
+            # continuous batching: attach to a lane; tokens stream back as
+            # the shared chunk loop advances all active requests together
+            handle = self.batcher.submit(rp.text, sampler=sampler,
+                                         n_predict=rp.n_predict)
+            eog_set = set(int(t) for t in np.asarray(self.llm.eog_ids))
+            tokens: list[int] = []
+            for tok in handle.tokens():
+                tokens.append(tok)
+                if on_token is not None:
+                    if not on_token(tok, len(tokens) - 1, tok in eog_set):
+                        handle.cancel()
+                        break
             out["n_tokens"] = len(tokens)
             codes = self.llm.tokens_to_codes(tokens)
             if not codes:

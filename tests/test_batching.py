@@ -1,0 +1,76 @@
+"""Continuous-batching worker tests: lane join/leave, mixed sampler
+settings, consistency with the single-request path."""
+
+import concurrent.futures
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from miotts_tpu.models.llm import LLMEngine
+from miotts_tpu.models.sampling import SamplerParams
+from miotts_tpu.serving.batching import ContinuousBatcher
+from miotts_tpu.testing import write_synthetic_llm_gguf
+
+
+@pytest.fixture(scope="module")
+def batcher(tmp_path_factory):
+    path = tmp_path_factory.mktemp("cb") / "llm.gguf"
+    write_synthetic_llm_gguf(str(path), n_audio=64, seed=0)
+    eng = LLMEngine(str(path), dtype=jnp.float32)
+    b = ContinuousBatcher(eng, n_lanes=4, max_ctx=128, chunk=8)
+    yield eng, b
+    b.shutdown()
+
+
+def test_single_request(batcher):
+    eng, b = batcher
+    h = b.submit("hello", SamplerParams(temp=0.8, seed=1), n_predict=20)
+    toks = h.collect()
+    assert 0 < len(toks) <= 20
+    assert all(0 <= t < len(eng.tokenizer.tokens) for t in toks)
+
+
+def test_greedy_matches_single_path(batcher):
+    """temp=0 lanes are deterministic: batched output == single-request
+    engine output."""
+    eng, b = batcher
+    expect = eng.generate_audio_tokens("hi there", n_predict=12, n_ctx=64,
+                                       sampler=SamplerParams(temp=0.0))
+    got = b.submit("hi there", SamplerParams(temp=0.0), n_predict=12).collect()
+    assert got == expect
+
+
+def test_concurrent_mixed_requests(batcher):
+    eng, b = batcher
+
+    def one(i):
+        sampler = SamplerParams(temp=0.0 if i % 2 == 0 else 0.9,
+                                top_k=0 if i % 2 == 0 else 40)
+        return b.submit(f"request {i}", sampler, n_predict=10 + i).collect()
+
+    with concurrent.futures.ThreadPoolExecutor(6) as ex:
+        results = list(ex.map(one, range(6)))
+    for i, toks in enumerate(results):
+        assert 0 < len(toks) <= 10 + i
+    # greedy lanes must still be deterministic under concurrency
+    expect = eng.generate_audio_tokens("request 0", n_predict=10, n_ctx=64,
+                                       sampler=SamplerParams(temp=0.0))
+    assert results[0] == expect[:len(results[0])]
+
+
+def test_lane_reuse_after_completion(batcher):
+    eng, b = batcher
+    for round_ in range(3):
+        hs = [b.submit(f"round {round_} req {i}", SamplerParams(temp=0.5),
+                       n_predict=6) for i in range(4)]
+        outs = [h.collect() for h in hs]
+        assert all(0 < len(o) <= 6 for o in outs)
+    assert all(l is None for l in b.lanes)
+
+
+def test_budget_exact_cut(batcher):
+    eng, b = batcher
+    toks = b.submit("budget", SamplerParams(temp=0.7, seed=2), n_predict=5).collect()
+    assert len(toks) <= 5
