@@ -34,6 +34,7 @@ class _Lane:
     handle: "GenerationHandle"
     n_predict: int
     generated: int = 0
+    started: bool = False  # attach applied to the device state
 
 
 class GenerationHandle:
@@ -68,6 +69,9 @@ class ContinuousBatcher:
         self.chunk = chunk
         self.state = init_batched_state(self.cfg, n_lanes, max_ctx, seed)
         self.lanes: list[_Lane | None] = [None] * n_lanes
+        # attaches are queued and applied only by the worker loop, so the
+        # post-chunk state write-back can never clobber a concurrent attach
+        self._pending: list[tuple[int, object, object, object, int]] = []
         # per-lane sampler knobs mirrored host-side
         self._temps = np.full(n_lanes, 0.8, np.float32)
         self._top_ks = np.full(n_lanes, 50, np.int32)
@@ -113,8 +117,7 @@ class ContinuousBatcher:
             self._top_ks[lane_idx] = min(sampler.top_k, MAX_TOP_K) if sampler.top_k > 0 else 0
             self._top_ps[lane_idx] = sampler.top_p
             self._pens[lane_idx] = sampler.repeat_penalty
-            self.state = attach_lane(self.state, jnp.int32(lane_idx), logits1,
-                                     ck1, cv1, jnp.int32(T))
+            self._pending.append((lane_idx, logits1, ck1, cv1, T))
             self._cv.notify_all()
         return handle
 
@@ -135,13 +138,23 @@ class ContinuousBatcher:
     def _run(self) -> None:
         while True:
             with self._cv:
-                while not self._shutdown and all(l is None for l in self.lanes):
+                while not self._shutdown and not self._pending and all(
+                        l is None or not l.started for l in self.lanes):
                     self._cv.wait()
                 if self._shutdown:
                     return
+                for lane_idx, logits1, ck1, cv1, T in self._pending:
+                    self.state = attach_lane(self.state, jnp.int32(lane_idx),
+                                             logits1, ck1, cv1, jnp.int32(T))
+                    lane = self.lanes[lane_idx]
+                    if lane is not None:
+                        lane.started = True
+                self._pending.clear()
                 sampler = BatchSamplerParams.make(
                     self._temps, self._top_ks, self._top_ps, self._pens)
                 state = self.state
+                snapshot = [i for i, l in enumerate(self.lanes)
+                            if l is not None and l.started]
 
             out, n_new, state = llm_generate_chunk_batched(
                 self.cfg, self.engine.weights, self.engine.eog_ids,
@@ -153,7 +166,8 @@ class ContinuousBatcher:
             with self._cv:
                 self.state = state
                 freed = False
-                for i, lane in enumerate(self.lanes):
+                for i in snapshot:
+                    lane = self.lanes[i]
                     if lane is None:
                         continue
                     n = int(n_np[i])
