@@ -109,6 +109,34 @@ def main() -> int:
         # codes buffer (same cost as real codes)
         return run_codec()
 
+    if mode == "fidelity":
+        # mel-L1 between the TPU decode and a CPU float32 decode of the same
+        # graph (GGML-reference stand-in; BASELINE target < 1e-2)
+        from miotts_tpu.runtime.metrics import mel_l1
+
+        tk = jnp.asarray(codes[:1])
+        ln = jnp.asarray([n_gen], jnp.int32)
+        cd = cond[:1]
+        a_tpu, ns = synth(cw, tk, ln, cd)
+        a_tpu = np.asarray(a_tpu[0][: int(ns[0])])
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            cw_cpu = jax.tree.map(lambda x: jax.device_put(np.asarray(x), cpu), cw)
+            a_cpu, ns2 = jax.jit(functools.partial(codec_synthesize, ccfg))(
+                cw_cpu, jax.device_put(np.asarray(tk), cpu),
+                jax.device_put(np.asarray(ln), cpu),
+                jax.device_put(np.asarray(cd), cpu))
+        a_cpu = np.asarray(a_cpu[0][: int(ns2[0])])
+        l1 = mel_l1(a_tpu, a_cpu, sr)
+        log(f"bench: mel-L1(TPU, CPU-f32) = {l1:.2e} over {a_cpu.size / sr:.1f}s")
+        print(json.dumps({
+            "metric": "mel_l1_vs_cpu_f32",
+            "value": round(l1, 6),
+            "unit": "normalized log-mel L1",
+            "vs_baseline": round(0.01 / max(l1, 1e-9), 3),  # target < 1e-2
+        }))
+        return 0
+
     if mode == "ttfa":
         # time-to-first-audio through the streaming pipeline (single stream)
         from miotts_tpu.models.llm import LLMEngine

@@ -63,6 +63,9 @@ class ServingEngine:
                 self.llm,
                 n_lanes=max(1, cfg.n_parallel),
                 max_ctx=cfg.n_ctx + cfg.n_predict + 64,
+                # larger chunks amortize per-dispatch latency; SSE token
+                # granularity stays sub-second (32 tokens = 1.3 s of audio)
+                chunk=32,
                 seed=cfg.seed,
             )
         self.ref_cache = ReferenceCache()
