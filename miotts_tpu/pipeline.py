@@ -129,10 +129,14 @@ class MioTTSPipeline:
         lengths = jnp.asarray([n], jnp.int32)
         cond = jnp.asarray(embedding)[None] if embedding is not None else None
 
+        from .runtime.tracing import maybe_start_profiler, trace_phase
+
+        maybe_start_profiler()
         t0 = time.perf_counter()
-        audio, n_samples = self._synth_fn(self.weights, jnp.asarray(tokens), lengths, cond,
-                                          interp_anchor_tokens=interp_anchor,
-                                          peak_normalize=peak_normalize)
+        with trace_phase("miocodec_synthesize"):
+            audio, n_samples = self._synth_fn(self.weights, jnp.asarray(tokens), lengths, cond,
+                                              interp_anchor_tokens=interp_anchor,
+                                              peak_normalize=peak_normalize)
         audio = np.asarray(audio[0])
         n_valid = int(n_samples[0])
         decode_ms = (time.perf_counter() - t0) * 1e3
