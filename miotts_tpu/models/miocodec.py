@@ -539,7 +539,8 @@ def codec_synthesize(
     with jax.default_matmul_precision("float32"):
         if cfg.model_type == 0:
             audio = spec_to_audio(spec, frame_len, cfg.n_fft, cfg.hop_length)
-            n_samples = frame_len * cfg.hop_length
+            n_pad = (cfg.n_fft - cfg.hop_length) // 2
+            n_samples = (frame_len - 1) * cfg.hop_length + cfg.n_fft - 2 * n_pad
         else:
             if not cfg.has_vocoder:
                 raise NotImplementedError("mel-mode model has no bundled MioVocoder tensors")

@@ -44,16 +44,16 @@ def istft_overlap_add(
     n_fft: int,
     hop: int,
 ) -> jnp.ndarray:
-    """frames_time: [B, L, n_fft] real frames; returns audio [B, L*hop]
-    (valid for the first frame_lengths[b]*hop samples).
+    """frames_time: [B, L, n_fft] real frames; returns audio
+    [B, (L-1)*hop + n_fft - 2*n_pad] (valid through the same formula with
+    the true frame count).
 
-    Requires hop | n_fft (1920/480=4 for the 24 kHz model). The OLA is done
-    by splitting each windowed frame into r = n_fft/hop hop-chunks and
-    summing r diagonally-shifted streams — no scatter, fully vectorized."""
+    The OLA splits each windowed frame into r = ceil(n_fft/hop) hop-chunks
+    (zero-padding the frame to r*hop when hop does not divide n_fft) and
+    sums r diagonally-shifted streams — no scatter, fully vectorized."""
     B, L, nf = frames_time.shape
     assert nf == n_fft
-    assert n_fft % hop == 0, "istft_overlap_add requires hop | n_fft"
-    r = n_fft // hop
+    r = -(-n_fft // hop)  # ceil
     n_pad = (n_fft - hop) // 2
 
     hann = jnp.asarray(_hann_periodic(n_fft))
@@ -64,8 +64,11 @@ def istft_overlap_add(
     env_frames = (hann * hann)[None, None, :] * maskf  # [B, L, n_fft]
 
     H = L + r - 1  # total length in hops
+    frame_pad = r * hop - n_fft
 
     def ola(x):  # x: [B, L, n_fft] -> [B, H*hop]
+        if frame_pad:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, frame_pad)))
         xr = x.reshape(B, L, r, hop)
         acc = jnp.zeros((B, H, hop), jnp.float32)
         for s in range(r):
@@ -76,8 +79,9 @@ def istft_overlap_add(
     env_ola = ola(env_frames)
     audio = jnp.where(env_ola > 1e-12, audio_ola / jnp.maximum(env_ola, 1e-12), audio_ola)
 
-    # crop n_pad per side: length (H*hop - 2*n_pad) = L*hop
-    return jax_dynamic_crop(audio, n_pad, L * hop)
+    # crop n_pad per side (mio-tts-lib.cpp:742-753)
+    out_size = (L - 1) * hop + n_fft - 2 * n_pad
+    return jax_dynamic_crop(audio, n_pad, out_size)
 
 
 def jax_dynamic_crop(x: jnp.ndarray, start: int, size: int) -> jnp.ndarray:

@@ -177,3 +177,19 @@ def test_global_encoder_runs_and_is_finite(tiny_model):
     emb2 = jax.jit(encode_global_embedding, static_argnums=0)(
         cfg, w, ssl_pad, jnp.asarray([T], jnp.int32))
     np.testing.assert_allclose(np.array(emb), np.array(emb2), rtol=1e-4, atol=1e-5)
+
+
+def test_istft_nondivisible_hop_matches_oracle():
+    """OLA with hop that does not divide n_fft (44.1 kHz model family)."""
+    import oracle_miocodec as oracle
+    from miotts_tpu.ops.istft import spec_to_audio
+
+    rng = np.random.RandomState(3)
+    n_fft, hop, L = 48, 20, 7
+    spec = (rng.randn(L, n_fft + 2) * 0.3).astype(np.float32)
+    ref = oracle.istft(spec.astype(np.float64), n_fft, hop)
+    got = spec_to_audio(jnp.asarray(spec)[None], jnp.asarray([L], jnp.int32),
+                        n_fft, hop)
+    got = np.array(got[0])
+    assert got.size == ref.size
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
