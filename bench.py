@@ -59,9 +59,10 @@ def main() -> int:
         log("bench: generating synthetic flagship codec gguf...")
         write_synthetic_miocodec_gguf(codec_path, ccfg_probe, seed=0)
     if not os.path.exists(llm_path):
-        log("bench: generating synthetic 0.1B-scale llm gguf...")
+        log("bench: generating synthetic 0.1B-scale llm gguf (152k vocab)...")
         write_synthetic_llm_gguf(llm_path, n_audio=12800, dim=768, n_layers=12,
-                                 n_heads=12, n_kv_heads=2, ffn=2048, seed=0)
+                                 n_heads=12, n_kv_heads=2, ffn=2048, seed=0,
+                                 n_filler_vocab=138_700)  # ~151.8k total
 
     ccfg, cw = load_miocodec(codec_path)
     cw = jax.tree.map(jnp.asarray, cw)

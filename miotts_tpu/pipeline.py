@@ -175,6 +175,28 @@ class MioTTSPipeline:
         )
         return np.asarray(emb[0], dtype=np.float32)
 
+    # -- workspace estimates (mio_tts_estimate_workspace_bytes parity) -------------
+
+    def estimate_workspace_bytes(self, n_codes: int) -> int:
+        """Rough device-memory footprint of one synthesis at this length
+        (mio-tts-lib.cpp:1347-1367 parity; informational — XLA plans buffers)."""
+        cfg = self.config
+        n = pick_bucket(max(1, n_codes), self.buckets)
+        frames = cfg.stft_frames(n)
+        acts = 4 * frames * (cfg.decoder_dim * 24 + cfg.decoder_ff * 3)
+        acts += 4 * n * (cfg.prenet_dim * 20 + cfg.prenet_ff * 3)
+        acts += 4 * frames * (cfg.n_fft + 2) * 3  # spec + iSTFT frames
+        return int(acts)
+
+    def estimate_reference_workspace_bytes(self, max_reference_seconds: float = 20.0) -> int:
+        if self.wavlm is None:
+            raise ValueError("WavLM model is not loaded")
+        frames = self.wavlm.estimate_ssl_frames(self.config.sample_rate,
+                                                max_reference_seconds)
+        e = self.wavlm.config.embed_dim
+        h = self.wavlm.config.n_heads
+        return int(4 * frames * e * 20 + 4 * frames * frames * h * 2)
+
     # -- embedding I/O ------------------------------------------------------------
 
     @staticmethod

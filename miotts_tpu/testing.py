@@ -211,8 +211,10 @@ def write_synthetic_miocodec_gguf(path: str, cfg: MioCodecConfig, seed: int = 0,
 # Synthetic LLM GGUF (qwen2-convention) for tests/benchmarks
 # ---------------------------------------------------------------------------
 
-def synthetic_vocab(n_audio: int = 64) -> tuple[list[str], list[int]]:
-    """Byte-level vocab + chat specials + <|s_N|> audio tokens."""
+def synthetic_vocab(n_audio: int = 64, n_filler: int = 0) -> tuple[list[str], list[int]]:
+    """Byte-level vocab + chat specials + <|s_N|> audio tokens (+ optional
+    filler tokens to reach a realistic vocab size, e.g. ~152k for the
+    production MioTTS LLM)."""
     byte_chars = list(_bytes_to_unicode().values())
     tokens = byte_chars[:]
     types = [TOKEN_TYPE_NORMAL] * len(tokens)
@@ -222,6 +224,9 @@ def synthetic_vocab(n_audio: int = 64) -> tuple[list[str], list[int]]:
     for i in range(n_audio):
         tokens.append(f"<|s_{i}|>")
         types.append(TOKEN_TYPE_CONTROL)
+    for i in range(n_filler):
+        tokens.append(f"<filler_{i}>")
+        types.append(TOKEN_TYPE_NORMAL)
     return tokens, types
 
 
@@ -235,9 +240,10 @@ def write_synthetic_llm_gguf(
     ffn: int = 64,
     seed: int = 0,
     arch: str = "qwen2",
+    n_filler_vocab: int = 0,
 ) -> None:
     rng = np.random.RandomState(seed)
-    tokens, types = synthetic_vocab(n_audio)
+    tokens, types = synthetic_vocab(n_audio, n_filler_vocab)
     vocab = len(tokens)
     head_dim = dim // n_heads
 
