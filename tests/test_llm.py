@@ -184,3 +184,32 @@ def test_sampler_distribution_matches_softmax():
     counts = np.bincount(np.array(toks).ravel(), minlength=3) / 4000
     expect = np.exp([0, 1, 2]) / np.exp([0, 1, 2]).sum()
     np.testing.assert_allclose(counts, expect, atol=0.03)
+
+
+def test_bpe_merges_priority():
+    """BPE must apply lowest-rank merges first (GPT-2 semantics)."""
+    from miotts_tpu.runtime.tokenizer import BPETokenizer, TOKEN_TYPE_NORMAL
+
+    tokens = ["h", "e", "l", "o", "he", "ll", "llo", "hello", "hel"]
+    merges = ["h e", "l l", "ll o", "he llo"]  # ranks 0..3
+    tok = BPETokenizer(tokens, merges, [TOKEN_TYPE_NORMAL] * len(tokens))
+    ids = tok.encode("hello", parse_special=False)
+    assert [tok.tokens[i] for i in ids] == ["hello"]
+    # without the final merge, best available segmentation applies
+    tok2 = BPETokenizer(tokens, merges[:3], [TOKEN_TYPE_NORMAL] * len(tokens))
+    ids2 = tok2.encode("hello", parse_special=False)
+    assert [tok2.tokens[i] for i in ids2] == ["he", "llo"]
+
+
+def test_bpe_byte_fallback_and_specials_mix():
+    from miotts_tpu.runtime.tokenizer import BPETokenizer, TOKEN_TYPE_CONTROL, TOKEN_TYPE_NORMAL
+    from miotts_tpu.testing import synthetic_vocab
+
+    tokens, types = synthetic_vocab(n_audio=4)
+    tok = BPETokenizer(tokens, [], types)
+    text = "ab<|s_2|>c"
+    ids = tok.encode(text, parse_special=True)
+    assert tok.decode(ids, special=True) == text
+    # special must map to one control token
+    sid = tok.token_to_id["<|s_2|>"]
+    assert ids.count(sid) == 1
