@@ -110,6 +110,79 @@ def main() -> int:
         # codes buffer (same cost as real codes)
         return run_codec()
 
+    if mode == "llm1b":
+        # stretch config (BASELINE.json config 5): ~1.4B-param TTS LLM
+        # (Orpheus/CosyVoice scale), bf16 on one chip (tp-sharded multi-chip
+        # path exercised separately by dryrun_multichip)
+        from miotts_tpu.models.llm import LLMConfig, init_kv_cache, llm_generate
+
+        cfg1b = LLMConfig(
+            arch="qwen2", n_layers=16, dim=2048, n_heads=16, n_kv_heads=8,
+            head_dim=128, ffn_dim=8192, vocab_size=152_000, rms_eps=1e-6,
+            rope_base=1_000_000.0, rope_neox=True, context_length=4096,
+        )
+        log("bench: materializing ~1.4B-param synthetic weights on device...")
+        key = jax.random.PRNGKey(0)
+
+        def rnd(key, *shape, scale=None):
+            if scale is None:
+                scale = 1.0 / np.sqrt(shape[-1])
+            return (jax.random.normal(key, shape, jnp.bfloat16) * scale)
+
+        ks = jax.random.split(key, 16)
+        L, D, H, KV, HD, FF, V = (cfg1b.n_layers, cfg1b.dim, cfg1b.n_heads,
+                                  cfg1b.n_kv_heads, cfg1b.head_dim,
+                                  cfg1b.ffn_dim, cfg1b.vocab_size)
+        w1b = {
+            "token_embd": rnd(ks[0], V, D, scale=0.02),
+            "attn_norm": jnp.ones((L, D), jnp.float32),
+            "wq": rnd(ks[1], L, D, H * HD), "wk": rnd(ks[2], L, D, KV * HD),
+            "wv": rnd(ks[3], L, D, KV * HD), "wo": rnd(ks[4], L, H * HD, D),
+            "ffn_norm": jnp.ones((L, D), jnp.float32),
+            "w_gate": rnd(ks[5], L, D, FF), "w_up": rnd(ks[6], L, D, FF),
+            "w_down": rnd(ks[7], L, FF, D),
+            "bq": None, "bk": None, "bv": None, "q_norm": None, "k_norm": None,
+            "output_norm": jnp.ones((D,), jnp.float32),
+            "output": rnd(ks[8], D, V, scale=0.02),
+        }
+        n_params = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(w1b))
+        log(f"bench: {n_params / 1e9:.2f}B params")
+        from miotts_tpu.models.sampling import SamplerParams as SP
+
+        prompt = rng.randint(0, 1000, (lanes, 32)).astype(np.int32)
+        plen = jnp.asarray([24] * lanes, jnp.int32)
+        eog = jnp.asarray([-1], jnp.int32)  # never stop early
+        S = 32 + n_gen + 32
+
+        def run1b():
+            ck, cv = init_kv_cache(cfg1b, lanes, S)
+            out, ngen = llm_generate(cfg1b, w1b, jnp.asarray(prompt), plen, eog,
+                                     jax.random.PRNGKey(0), n_gen,
+                                     SP(temp=0.8), ck, cv)
+            return np.asarray(out)
+
+        log("bench: compiling 1B generate...")
+        t0 = time.perf_counter()
+        run1b()
+        log(f"bench: first call {time.perf_counter() - t0:.1f}s")
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            run1b()
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        audio_sec = lanes * n_gen * spt / sr
+        xrt = audio_sec / dt
+        log(f"bench: 1B llm {dt * 1e3:.1f} ms for {audio_sec:.1f}s of audio "
+            f"({lanes * n_gen / dt:.0f} tok/s)")
+        print(json.dumps({
+            "metric": "llm1b_xrt_per_chip",
+            "value": round(xrt, 2),
+            "unit": "audio-sec/sec",
+            "vs_baseline": round(xrt / 50.0, 3),
+        }))
+        return 0
+
     if mode == "fidelity":
         # mel-L1 between the TPU decode and a CPU float32 decode of the same
         # graph (GGML-reference stand-in; BASELINE target < 1e-2)
