@@ -86,6 +86,12 @@ def main(argv: list[str] | None = None) -> int:
     if not args.model_vocoder:
         return _err("-mv/--model-vocoder is required")
 
+    # -fa on => prefer the Pallas banded-attention kernel (flash-attn analog)
+    if args.flash_attn in ("on", "1", "true", "enabled"):
+        os.environ.setdefault("MIOTTS_ATTN_IMPL", "pallas")
+    elif args.flash_attn in ("off", "0", "false", "disabled"):
+        os.environ.setdefault("MIOTTS_ATTN_IMPL", "dense")
+
     prompt = args.prompt
     if args.prompt_file:
         try:

@@ -103,6 +103,16 @@ def banded_attention_blocked(
 _DENSE_MAX_T = 256
 
 
+def _pallas_banded(q, k, v, lengths, window):
+    from .pallas.banded_attention import banded_attention_pallas
+
+    B, T, H, D = q.shape
+    fold = lambda x: jnp.transpose(x, (0, 2, 1, 3)).reshape(B * H, T, D)
+    lens = jnp.repeat(lengths.astype(jnp.int32), H)
+    out = banded_attention_pallas(fold(q), fold(k), fold(v), lens, window)
+    return jnp.transpose(out.reshape(B, H, T, D), (0, 2, 1, 3))
+
+
 def banded_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -112,9 +122,21 @@ def banded_attention(
 ) -> jnp.ndarray:
     """q/k/v: [B, T, H, D] (post-RoPE). Returns [B, T, H, D].
 
-    Dispatches: dense for short sequences, windowed-blocked beyond
-    (O(T*window) instead of O(T^2)). Scores/softmax in f32."""
+    Dispatch (overridable with MIOTTS_ATTN_IMPL=dense|blocked|pallas; the
+    CLI/server map `-fa on` to pallas): dense for short sequences,
+    windowed-blocked beyond (O(T*window) instead of O(T^2)).
+    Scores/softmax in f32."""
+    import os
+
+    impl = os.environ.get("MIOTTS_ATTN_IMPL", "auto")
     T = q.shape[1]
+    half = max(0, window // 2)
+    if impl == "dense":
+        return banded_attention_dense(q, k, v, lengths, window)
+    if impl == "blocked":
+        return banded_attention_blocked(q, k, v, lengths, window)
+    if impl == "pallas" and half <= 128 and T > _DENSE_MAX_T:
+        return _pallas_banded(q, k, v, lengths, window)
     if T <= _DENSE_MAX_T or T <= window:
         return banded_attention_dense(q, k, v, lengths, window)
     return banded_attention_blocked(q, k, v, lengths, window)

@@ -64,3 +64,14 @@ def test_pallas_kernel_equals_dense():
     for b, L in enumerate([512, 400, 300, 129]):
         np.testing.assert_allclose(np.array(out[b, :L]), np.array(dense[b, :L]),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_impl_env_dispatch(monkeypatch):
+    rng = np.random.RandomState(3)
+    q, k, v = _rand_qkv(rng, 1, 384, 2, 64)
+    lengths = jnp.asarray([384], jnp.int32)
+    ref = banded_attention_dense(q, k, v, lengths, 65)
+    for impl in ("dense", "blocked"):
+        monkeypatch.setenv("MIOTTS_ATTN_IMPL", impl)
+        got = banded_attention(q, k, v, lengths, 65)
+        np.testing.assert_allclose(np.array(got), np.array(ref), rtol=2e-5, atol=2e-6)
