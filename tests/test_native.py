@@ -100,3 +100,20 @@ def test_dequantize_dispatch_uses_native_for_large(lib_available):
     finally:
         del os.environ["MIOTTS_NO_NATIVE"]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_reference_bundled_wav():
+    """Parse the reference repo's bundled real-world WAV resource."""
+    import os
+    from miotts_tpu.runtime.audio_io import load_audio
+
+    path = "/root/reference/resources/ja_female.wav"
+    if not os.path.exists(path):
+        pytest.skip("reference resources not mounted")
+    x, rate = load_audio(path)
+    assert rate > 0 and x.size > 1000
+    assert np.isfinite(x).all()
+    assert np.abs(x).max() <= 1.0
+    # resample to 16k for the WavLM path
+    y, r2 = load_audio(path, target_rate=16000, max_seconds=2.0)
+    assert r2 == 16000 and y.size == 32000
