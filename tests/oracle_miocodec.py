@@ -309,3 +309,50 @@ def istft(spec, n_fft, hop):
     nz = env_ola > 1e-12
     audio[nz] /= env_ola[nz]
     return audio[n_pad:n_out - n_pad]
+
+
+def gelu_tanh(x):
+    return 0.5 * x * (1.0 + np.tanh(np.sqrt(2 / np.pi) * (x + 0.044715 * x ** 3)))
+
+
+def encode_global_embedding(raw, n_layers, ssl):
+    """Oracle for the ConvNeXt global encoder + attentive-stats pooling
+    (miocodec-decoder.cpp:824-941). ssl: [T, in_channels] -> [out]."""
+    x = conv1d_same(ssl, raw["global_encoder.backbone.embed.weight"],
+                    raw["global_encoder.backbone.embed.bias"])
+    x = layer_norm(x, raw["global_encoder.backbone.norm.weight"],
+                   raw["global_encoder.backbone.norm.bias"], 1e-6)
+    for i in range(n_layers):
+        p = f"global_encoder.backbone.blk.{i}"
+        res = x
+        # depthwise conv
+        w = raw[f"{p}.dwconv.weight"]  # [C, 1, k]
+        C, _, K = w.shape
+        pad = K // 2
+        T = x.shape[0]
+        xp = np.zeros((T + 2 * pad, C))
+        xp[pad:pad + T] = x
+        y = np.zeros((T, C))
+        for t in range(T):
+            y[t] = np.einsum("kc,ck->c", xp[t:t + K], w[:, 0, :])
+        y = y + raw[f"{p}.dwconv.bias"]
+        y = layer_norm(y, raw[f"{p}.norm.weight"], raw[f"{p}.norm.bias"], 1e-6)
+        y = gelu_tanh(y @ raw[f"{p}.pw1.weight"].T + raw[f"{p}.pw1.bias"])
+        y = y @ raw[f"{p}.pw2.weight"].T + raw[f"{p}.pw2.bias"]
+        y = y * raw[f"{p}.gamma"]
+        x = res + y
+    x = layer_norm(x, raw["global_encoder.backbone.final_norm.weight"],
+                   raw["global_encoder.backbone.final_norm.bias"], 1e-6)
+    a = np.tanh(x @ raw["global_encoder.pool.attn0.weight"][:, :, 0].T
+                + raw["global_encoder.pool.attn0.bias"])
+    a = (a @ raw["global_encoder.pool.attn2.weight"][:, :, 0].T
+         + raw["global_encoder.pool.attn2.bias"])
+    e = np.exp(a - a.max(axis=0, keepdims=True))
+    alpha = e / e.sum(axis=0, keepdims=True)  # softmax over T per channel
+    mean = (alpha * x).sum(axis=0)
+    m2 = (alpha * x * x).sum(axis=0)
+    var = np.clip(m2 - mean * mean, 1e-4, 1e4)
+    stat = np.concatenate([mean, np.sqrt(var)])
+    out = stat @ raw["global_encoder.pool.proj.weight"].T + raw["global_encoder.pool.proj.bias"]
+    return layer_norm(out, raw["global_encoder.pool.norm.weight"],
+                      raw["global_encoder.pool.norm.bias"], 1e-5)

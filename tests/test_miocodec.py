@@ -193,3 +193,14 @@ def test_istft_nondivisible_hop_matches_oracle():
     got = np.array(got[0])
     assert got.size == ref.size
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_global_encoder_matches_oracle(tiny_model):
+    cfg, w, raw = tiny_model
+    rng = np.random.RandomState(8)
+    T = 17
+    ssl = (rng.randn(T, cfg.global_encoder_input_channels) * 0.5).astype(np.float32)
+    ref = oracle.encode_global_embedding(raw, cfg.global_encoder_layers, ssl)
+    got = jax.jit(encode_global_embedding, static_argnums=0)(
+        cfg, w, jnp.asarray(ssl)[None], jnp.asarray([T], jnp.int32))
+    np.testing.assert_allclose(np.array(got[0]), ref, rtol=2e-3, atol=2e-4)
