@@ -70,12 +70,23 @@ def _err(msg: str) -> int:
     return 1
 
 
+def _apply_platform_env() -> None:
+    """MIOTTS_PLATFORM=cpu|tpu forces the JAX platform even where site hooks
+    hard-set jax_platforms (some sandboxes override the JAX_PLATFORMS env)."""
+    plat = os.environ.get("MIOTTS_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
     if args.show_help:
         parser.print_usage(sys.stderr)
         return 0
+    _apply_platform_env()
 
     # env fallbacks (tts-mio-cli.cpp:872-899)
     args.llm_api_url = args.llm_api_url or os.environ.get("MIO_TTS_LLM_API_URL", "")

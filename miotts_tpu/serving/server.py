@@ -623,6 +623,9 @@ def build_arg_parser():
 
 
 def main(argv=None) -> int:
+    from ..cli import _apply_platform_env
+
+    _apply_platform_env()
     args = build_arg_parser().parse_args(argv)
     cfg = ServerConfig(
         model_vocoder=args.model_vocoder, model=args.model,
