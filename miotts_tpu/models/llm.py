@@ -134,30 +134,9 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (xf * scale * weight).astype(x.dtype)
 
 
-def _rope_tables(positions: jnp.ndarray, head_dim: int, base: float):
-    half = head_dim // 2
-    inv_freq = jnp.power(jnp.float32(base), jnp.arange(half, dtype=jnp.float32) * (-2.0 / head_dim))
-    ang = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., half]
-    return jnp.cos(ang), jnp.sin(ang)
-
-
-def apply_rope_llm(x: jnp.ndarray, positions: jnp.ndarray, base: float, neox: bool) -> jnp.ndarray:
-    """x: [B, T, H, D]; positions: [B, T]. NEOX (half-split) or NORM
-    (adjacent-pair) rotation."""
-    B, T, H, D = x.shape
-    cos, sin = _rope_tables(positions, D, base)  # [B, T, half]
-    cos = cos[:, :, None, :]
-    sin = sin[:, :, None, :]
-    xf = x.astype(jnp.float32)
-    if neox:
-        x0, x1 = xf[..., : D // 2], xf[..., D // 2:]
-        y = jnp.concatenate([x0 * cos - x1 * sin, x0 * sin + x1 * cos], axis=-1)
-    else:
-        xp = xf.reshape(B, T, H, D // 2, 2)
-        y0 = xp[..., 0] * cos - xp[..., 1] * sin
-        y1 = xp[..., 0] * sin + xp[..., 1] * cos
-        y = jnp.stack([y0, y1], axis=-1).reshape(B, T, H, D)
-    return y.astype(x.dtype)
+from ..ops.rope import apply_rope as apply_rope_llm  # noqa: E402 — shared
+# RoPE implementation (adjacent-pair NORM + half-split NEOX variants live in
+# ops/rope.py; signature apply_rope(x, positions, theta_base, neox))
 
 
 def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
@@ -445,7 +424,10 @@ def llm_generate_chunk_batched(
 
     def body(c):
         i, st, out, n_new = c
-        key, sub = jax.random.split(st.key)
+        # st.key is per-lane [B, 2]: each request owns a PRNG stream so its
+        # `seed` is reproducible regardless of lane neighbors
+        ks = jax.vmap(jax.random.split)(st.key)  # [B, 2, 2]
+        key, sub = ks[:, 0], ks[:, 1]
         sstate = SamplerState(ring=st.ring, idx=st.ring_idx)
         tok = sample_token_batched(st.logits, sampler, sstate, sub)
         sstate = update_sampler_state(sstate, tok)
@@ -464,9 +446,10 @@ def llm_generate_chunk_batched(
 
 
 @jax.jit
-def attach_lane(state: GenState, lane, logits1, ck1, cv1, pos1) -> GenState:
+def attach_lane(state: GenState, lane, logits1, ck1, cv1, pos1, seed) -> GenState:
     """Install a freshly prefilled request into lane ``lane`` of a batched
-    GenState (continuous batching: requests join at chunk boundaries)."""
+    GenState (continuous batching: requests join at chunk boundaries).
+    The lane's PRNG stream restarts from the request's seed."""
     return GenState(
         logits=state.logits.at[lane].set(logits1[0]),
         cache_k=state.cache_k.at[:, lane].set(ck1[:, 0]),
@@ -475,7 +458,7 @@ def attach_lane(state: GenState, lane, logits1, ck1, cv1, pos1) -> GenState:
         ring=state.ring.at[lane].set(-1),
         ring_idx=state.ring_idx,
         done=state.done.at[lane].set(False),
-        key=state.key,
+        key=state.key.at[lane].set(jax.random.PRNGKey(seed)),
     )
 
 
@@ -494,7 +477,7 @@ def init_batched_state(cfg: LLMConfig, n_lanes: int, max_ctx: int,
         pos=jnp.zeros((n_lanes,), jnp.int32),
         ring=s0.ring, ring_idx=s0.idx,
         done=jnp.ones((n_lanes,), bool),
-        key=jax.random.PRNGKey(seed),
+        key=jax.random.split(jax.random.PRNGKey(seed), n_lanes),  # [B, 2]
     )
 
 
@@ -591,20 +574,23 @@ class LLMEngine:
                           jnp.asarray([T], jnp.int32), cache_k, cache_v,
                           jax.random.PRNGKey(sampler.seed))
         generated: list[int] = []
+        eog_np = np.asarray(self.eog_ids)
         while len(generated) < n_predict:
-            n_steps = min(chunk, n_predict - len(generated))
+            # always run a full chunk (one compiled graph) and truncate
+            # host-side — a variable final n_steps would recompile the whole
+            # decode loop per remainder size
             out, n_new, state = llm_generate_chunk(
-                self.config, self.weights, self.eog_ids, n_steps, sampler, state)
+                self.config, self.weights, self.eog_ids, chunk, sampler, state)
             n = int(np.asarray(n_new[0]))
-            toks_np = np.asarray(out[0][:n])
+            toks_np = np.asarray(out[0][:n])[: n_predict - len(generated)]
             stop = False
             for t in toks_np:
                 t = int(t)
-                is_eog = bool(np.isin(t, np.asarray(self.eog_ids)))
+                is_eog = bool(np.isin(t, eog_np))
                 generated.append(t)
                 if on_token is not None and not on_token(t, len(generated) - 1, is_eog):
                     stop = True
                     break
-            if stop or n < n_steps or bool(np.asarray(state.done[0])):
+            if stop or n < chunk or bool(np.asarray(state.done[0])):
                 break
         return generated

@@ -74,11 +74,18 @@ def sample_token(
     if params.repeat_penalty != 1.0:
         logits = apply_repeat_penalty(logits, state, params.repeat_penalty)
 
-    k = params.top_k if params.top_k > 0 else min(V, 2048)
-    k = min(k, V)
-    vals, idx = jax.lax.top_k(logits, k)  # [B, k] descending
+    top_p_on = 0.0 < params.top_p < 1.0
+    if params.top_k > 0:
+        k = min(params.top_k, V)
+        vals, idx = jax.lax.top_k(logits, k)  # [B, k] descending
+    elif top_p_on:
+        # top_k disabled but top_p needs sorted candidates: full sort
+        # (reference semantics: top_k <= 0 applies no truncation)
+        vals, idx = jax.lax.top_k(logits, V)
+    else:
+        vals, idx = logits, None
 
-    if 0.0 < params.top_p < 1.0:
+    if top_p_on:
         probs = jax.nn.softmax(vals, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
         keep = (cum - probs) < params.top_p  # include the crossing token
@@ -89,6 +96,8 @@ def sample_token(
         choice = jnp.argmax(vals, axis=-1)
     else:
         choice = jax.random.categorical(key, vals / params.temp, axis=-1)
+    if idx is None:
+        return choice.astype(jnp.int32)
     return jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0].astype(jnp.int32)
 
 
@@ -120,7 +129,15 @@ def sample_token_batched(
     state: SamplerState,
     key: jax.Array,
 ) -> jnp.ndarray:
-    """Same chain as sample_token but every knob is a per-lane array."""
+    """Same chain as sample_token but every knob is a per-lane array and
+    ``key`` may be per-lane ([B, 2] — one PRNG stream per request, so a
+    request's `seed` is reproducible regardless of its lane neighbors).
+
+    Documented deviation: lanes with top_k <= 0 or top_k > MAX_TOP_K sample
+    from the MAX_TOP_K highest logits rather than the full vocabulary (the
+    reference applies no truncation there); the excluded tail mass is
+    negligible at practical temperatures and keeps the batched chain one
+    static graph."""
     B, V = logits.shape
     # penalties (no-op lanes have penalty == 1.0)
     pen = params.repeat_penalty[:, None]
@@ -147,6 +164,10 @@ def sample_token_batched(
 
     greedy = jnp.argmax(vals, axis=-1)
     temp = jnp.maximum(params.temp, 1e-6)[:, None]
-    sampled = jax.random.categorical(key, vals / temp, axis=-1)
+    if key.ndim == 2:  # per-lane keys
+        sampled = jax.vmap(lambda kk, v: jax.random.categorical(kk, v))(
+            key, vals / temp)
+    else:
+        sampled = jax.random.categorical(key, vals / temp, axis=-1)
     choice = jnp.where(params.temp <= 0.0, greedy, sampled)
     return jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0].astype(jnp.int32)

@@ -21,8 +21,13 @@ def rope_angles(positions: jnp.ndarray, head_dim: int, theta_base: float) -> tup
     return jnp.cos(ang), jnp.sin(ang)
 
 
-def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, theta_base: float = 10000.0) -> jnp.ndarray:
-    """x: [B, T, H, D] (D even), positions: [T] or [B, T]. Adjacent-pair rotation."""
+def apply_rope(x: jnp.ndarray, positions: jnp.ndarray,
+               theta_base: float = 10000.0, neox: bool = False) -> jnp.ndarray:
+    """x: [B, T, H, D] (D even), positions: [T] or [B, T].
+
+    neox=False: GGML mode-0 adjacent-pair rotation (pairs (x[2i], x[2i+1]));
+    neox=True: half-split rotation (pairs (x[i], x[i+D/2]) — llama.cpp NEOX,
+    used by the Qwen-family LLM)."""
     B, T, H, D = x.shape
     cos, sin = rope_angles(positions, D, theta_base)  # [T, D/2] or [B, T, D/2]
     if cos.ndim == 2:
@@ -31,10 +36,13 @@ def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, theta_base: float = 10000
     else:
         cos = cos[:, :, None, :]
         sin = sin[:, :, None, :]
-    xf = x.astype(jnp.float32).reshape(B, T, H, D // 2, 2)
-    x0 = xf[..., 0]
-    x1 = xf[..., 1]
-    y0 = x0 * cos - x1 * sin
-    y1 = x0 * sin + x1 * cos
-    y = jnp.stack([y0, y1], axis=-1).reshape(B, T, H, D)
+    xf = x.astype(jnp.float32)
+    if neox:
+        x0, x1 = xf[..., : D // 2], xf[..., D // 2:]
+        y = jnp.concatenate([x0 * cos - x1 * sin, x0 * sin + x1 * cos], axis=-1)
+    else:
+        xp = xf.reshape(B, T, H, D // 2, 2)
+        y0 = xp[..., 0] * cos - xp[..., 1] * sin
+        y1 = xp[..., 0] * sin + xp[..., 1] * cos
+        y = jnp.stack([y0, y1], axis=-1).reshape(B, T, H, D)
     return y.astype(x.dtype)

@@ -68,9 +68,15 @@ def _request(url: str, payload: dict, headers: dict, timeout: int) -> list[int]:
     req = urllib.request.Request(
         url, data=json.dumps(payload).encode("utf-8"),
         headers={"Content-Type": "application/json", **headers}, method="POST")
-    with urllib.request.urlopen(req, timeout=timeout) as resp:
-        body = resp.read().decode("utf-8", errors="replace")
-        status = resp.status
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            body = resp.read().decode("utf-8", errors="replace")
+            status = resp.status
+    except urllib.error.HTTPError as e:  # urlopen raises on >= 400
+        detail = e.read().decode("utf-8", errors="replace")[:240]
+        raise ValueError(f"LLM API HTTP {e.code}: {detail}") from e
+    except urllib.error.URLError as e:
+        raise ValueError(f"LLM API request failed: {e.reason}") from e
     if not (200 <= status < 300):
         raise ValueError(f"LLM API HTTP {status}: {body[:240]}")
     try:

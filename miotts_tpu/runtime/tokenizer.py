@@ -21,11 +21,15 @@ TOKEN_TYPE_USER_DEFINED = 4
 TOKEN_TYPE_UNUSED = 5
 TOKEN_TYPE_BYTE = 6
 
-# GPT-2 pretokenizer regex (the qwen2 variant used by llama.cpp)
+# GPT-2 pretokenizer regex (the qwen2 variant used by llama.cpp).
+# Python re has no \p{L}/\p{N}; the Unicode-aware equivalents are
+# [^\W\d_] (any letter) and \d (any decimal digit) — CJK/accented/Cyrillic
+# text must survive pretokenization (Japanese is this model's primary
+# language).
 _PRETOKENIZE_RE = re.compile(
     r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|"
-    r"[^\r\n\w]?[a-zA-Z]+|\d{1,3}|"
-    r" ?[^\s\w]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+",
+    r"(?:[^\w\r\n]|_)?[^\W\d_]+|\d{1,3}|"
+    r" ?(?:[^\s\w]|_)+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+",
     re.UNICODE,
 )
 
@@ -153,7 +157,33 @@ class BPETokenizer:
         return data.decode("utf-8", errors="replace")
 
     def decode(self, ids: list[int], special: bool = False) -> str:
-        return "".join(self.token_piece(i, special=special) for i in ids)
+        """Detokenize. Byte-level pieces are accumulated and UTF-8 decoded
+        together (a multibyte character spans several byte tokens)."""
+        parts: list[str] = []
+        buf = bytearray()
+
+        def flush():
+            if buf:
+                parts.append(bytes(buf).decode("utf-8", errors="replace"))
+                buf.clear()
+
+        for i in ids:
+            tt = self.token_types[i]
+            t = self.tokens[i]
+            if tt in (TOKEN_TYPE_CONTROL, TOKEN_TYPE_USER_DEFINED, TOKEN_TYPE_UNKNOWN):
+                flush()
+                if special:
+                    parts.append(t)
+            elif tt == TOKEN_TYPE_BYTE:
+                try:
+                    buf.append(int(t[3:5], 16))
+                except Exception:
+                    flush()
+                    parts.append(t)
+            else:
+                buf.extend(_UNI_TO_BYTE.get(ch, ord("?")) for ch in t)
+        flush()
+        return "".join(parts)
 
     def is_eog(self, token_id: int) -> bool:
         if self.eos_id is not None and token_id == self.eos_id:

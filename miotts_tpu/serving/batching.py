@@ -90,10 +90,10 @@ class ContinuousBatcher:
         prompt = CHAT_TEMPLATE.format(text=text)
         ids = self.engine.tokenizer.encode(prompt, parse_special=True)
         T = len(ids)
-        max_prompt = self.max_ctx - 8
-        if T > max_prompt:
-            ids = ids[:max_prompt]
-            T = max_prompt
+        if T > self.max_ctx - 8:
+            raise ValueError(
+                f"prompt is too long for the configured context "
+                f"({T} tokens > {self.max_ctx - 8}); raise --ctx-size")
         bucket = next((b for b in _PROMPT_BUCKETS if T <= b),
                       ((T + 127) // 128) * 128)
         bucket = min(bucket, self.max_ctx)
@@ -117,7 +117,7 @@ class ContinuousBatcher:
             self._top_ks[lane_idx] = min(sampler.top_k, MAX_TOP_K) if sampler.top_k > 0 else 0
             self._top_ps[lane_idx] = sampler.top_p
             self._pens[lane_idx] = sampler.repeat_penalty
-            self._pending.append((lane_idx, logits1, ck1, cv1, T))
+            self._pending.append((lane_idx, logits1, ck1, cv1, T, sampler.seed))
             self._cv.notify_all()
         return handle
 
@@ -143,9 +143,10 @@ class ContinuousBatcher:
                     self._cv.wait()
                 if self._shutdown:
                     return
-                for lane_idx, logits1, ck1, cv1, T in self._pending:
+                for lane_idx, logits1, ck1, cv1, T, seed in self._pending:
                     self.state = attach_lane(self.state, jnp.int32(lane_idx),
-                                             logits1, ck1, cv1, jnp.int32(T))
+                                             logits1, ck1, cv1, jnp.int32(T),
+                                             jnp.uint32(seed))
                     lane = self.lanes[lane_idx]
                     if lane is not None:
                         lane.started = True

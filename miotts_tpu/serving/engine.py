@@ -121,8 +121,11 @@ class ServingEngine:
                                     repeat_penalty=rp.repeat_penalty, seed=rp.seed)
             # continuous batching: attach to a lane; tokens stream back as
             # the shared chunk loop advances all active requests together
-            handle = self.batcher.submit(rp.text, sampler=sampler,
-                                         n_predict=rp.n_predict)
+            try:
+                handle = self.batcher.submit(rp.text, sampler=sampler,
+                                             n_predict=rp.n_predict)
+            except ValueError as e:
+                raise RequestError(str(e))
             eog_set = set(int(t) for t in np.asarray(self.llm.eog_ids))
             tokens: list[int] = []
             for tok in handle.tokens():

@@ -75,7 +75,12 @@ def _parse_multipart(content_type: str, body: bytes):
     fields: dict[str, str] = {}
     files: dict[str, tuple[str, bytes]] = {}
     for part in body.split(b"--" + boundary):
-        part = part.strip(b"\r\n")
+        # remove exactly the framing CRLFs — binary payloads may end in
+        # legitimate \r/\n bytes
+        if part.startswith(b"\r\n"):
+            part = part[2:]
+        if part.endswith(b"\r\n"):
+            part = part[:-2]
         if not part or part == b"--":
             continue
         if b"\r\n\r\n" not in part:
@@ -187,6 +192,16 @@ class MioTTSServer:
                     self.send_header("Content-Length", str(len(data)))
                     self.end_headers()
                     self.wfile.write(data)
+                elif path in ("/mio-ui.css", "/mio-ui.js", "/favicon.ico"):
+                    # reference serves these assets (tts-mio-server.cpp:3160-3172);
+                    # our UI is inline, so serve empty bodies of the right type
+                    ctype = ("text/css" if path.endswith(".css")
+                             else "application/javascript" if path.endswith(".js")
+                             else "image/x-icon")
+                    self.send_response(200)
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
                 else:
                     self._send_error_json("not found", 404)
 

@@ -74,3 +74,27 @@ def test_budget_exact_cut(batcher):
     eng, b = batcher
     toks = b.submit("budget", SamplerParams(temp=0.7, seed=2), n_predict=5).collect()
     assert len(toks) <= 5
+
+
+def test_per_lane_seed_reproducibility(batcher):
+    """Same seed => identical tokens regardless of lane neighbors; different
+    seed => (almost surely) different tokens."""
+    eng, b = batcher
+    sp42 = SamplerParams(temp=0.9, seed=42)
+    a = b.submit("seed test", sp42, n_predict=12).collect()
+    # resubmit alongside noise traffic on other lanes
+    noise = [b.submit(f"noise {i}", SamplerParams(temp=1.0, seed=100 + i),
+                      n_predict=12) for i in range(2)]
+    c = b.submit("seed test", sp42, n_predict=12).collect()
+    for h in noise:
+        h.collect()
+    assert a == c
+    d = b.submit("seed test", SamplerParams(temp=0.9, seed=43), n_predict=12).collect()
+    assert d != a
+
+
+def test_prompt_too_long_rejected(batcher):
+    eng, b = batcher
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="prompt is too long"):
+        b.submit("x" * 4000, SamplerParams(), n_predict=4)

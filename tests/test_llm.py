@@ -213,3 +213,27 @@ def test_bpe_byte_fallback_and_specials_mix():
     # special must map to one control token
     sid = tok.token_to_id["<|s_2|>"]
     assert ids.count(sid) == 1
+
+
+def test_unicode_prompt_tokenizes(tiny_llm):
+    """Japanese text must survive pretokenization (primary model language)."""
+    _, cfg, w, tok, raw = tiny_llm
+    ids = tok.encode("こんにちは、世界。", parse_special=False)
+    assert len(ids) > 0
+    assert tok.decode(ids) == "こんにちは、世界。"
+
+
+def test_sampler_topk_disabled_full_vocab():
+    """top_k<=0 must not truncate (reference: no top-k filter is added)."""
+    V = 5000
+    rng = np.random.RandomState(0)
+    base = rng.randn(V).astype(np.float32) * 0.01
+    base[4321] = 50.0  # far outside any top-256 pool if truncation ignored it
+    logits = jnp.asarray(base)[None]
+    state = init_sampler_state(1)
+    t = sample_token(logits, SamplerParams(temp=1.0, top_k=0, top_p=0.9),
+                     state, jax.random.PRNGKey(0))
+    assert int(t[0]) == 4321
+    t = sample_token(logits, SamplerParams(temp=1.0, top_k=0, top_p=1.0),
+                     state, jax.random.PRNGKey(0))
+    assert int(t[0]) == 4321

@@ -235,3 +235,19 @@ def test_parallel_requests(server):
         results = list(ex.map(one, range(6)))
     assert all(j["ok"] for j in results)
     assert {j["slot"] for j in results} <= {0, 1}
+
+
+def test_multipart_binary_payload_with_crlf_tail():
+    """Uploaded binary parts ending in \\r/\\n bytes must not be corrupted
+    (the framing CRLF is exactly one trailing sequence)."""
+    from miotts_tpu.serving.server import _parse_multipart
+
+    payload = bytes(range(256)) + b"\n\r\n"  # data legitimately ends 0x0A 0x0D 0x0A
+    boundary = "XYZ"
+    body = (f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="audio"; filename="a.bin"\r\n'
+            "Content-Type: application/octet-stream\r\n\r\n").encode()
+    body += payload + f"\r\n--{boundary}--\r\n".encode()
+    fields, files = _parse_multipart(
+        f'multipart/form-data; boundary={boundary}', body)
+    assert files["audio"][1] == payload
