@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, NamedTuple
 
 import jax
@@ -52,7 +53,8 @@ class LLMConfig:
     tie_embeddings: bool = False
 
 
-def load_llm_gguf(path: str, dtype=jnp.bfloat16) -> tuple[LLMConfig, Pytree, BPETokenizer]:
+def load_llm_gguf(path: str, dtype=jnp.bfloat16,
+                  quantize: bool | None = None) -> tuple[LLMConfig, Pytree, BPETokenizer]:
     r = GGUFReader(path)
     arch = r.get_str("general.architecture")
     if arch is None:
@@ -91,32 +93,64 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16) -> tuple[LLMConfig, Pytree, BPE
             arr = np.ascontiguousarray(arr.T)
         return arr
 
-    def stack(fmt, transpose=False, optional=False):
+    if quantize is None:
+        quantize = os.environ.get("MIOTTS_LLM_QUANT", "") in ("q8", "q8_0", "1")
+
+    def tq(name):
+        """Transposed Q8_0 leaf {"q": int8 [K, N], "s": f32 [K//32, N]}:
+        weights stay quantized in HBM and dequantize inside the matmul tile
+        (ops/pallas/quant_matmul.py). N is padded to a lane multiple; callers
+        slice logits back to the true vocab."""
+        from ..ops.pallas.quant_matmul import quantize_q8_cols
+
+        wkn = t(name, transpose=True)  # [K, N] f32 (dequantized source)
+        K, N = wkn.shape
+        Np = ((N + 127) // 128) * 128
+        if Np != N:
+            wkn = np.pad(wkn, ((0, 0), (0, Np - N)))
+        q, s = quantize_q8_cols(wkn)
+        return {"q": q, "s": s}
+
+    def stack(fmt, transpose=False, optional=False, quant=False):
         if optional and not r.has_tensor(fmt.format(i=0)):
             return None
+        if quant and quantize:
+            leaves = [tq(fmt.format(i=i)) for i in range(n_layers)]
+            return {"q": np.stack([l["q"] for l in leaves]),
+                    "s": np.stack([l["s"] for l in leaves])}
         return np.stack([t(fmt.format(i=i), transpose) for i in range(n_layers)])
 
     w = {
         "token_embd": t("token_embd.weight"),  # [V, D]
         "attn_norm": stack("blk.{i}.attn_norm.weight"),
-        "wq": stack("blk.{i}.attn_q.weight", transpose=True),
-        "wk": stack("blk.{i}.attn_k.weight", transpose=True),
-        "wv": stack("blk.{i}.attn_v.weight", transpose=True),
-        "wo": stack("blk.{i}.attn_output.weight", transpose=True),
+        "wq": stack("blk.{i}.attn_q.weight", transpose=True, quant=True),
+        "wk": stack("blk.{i}.attn_k.weight", transpose=True, quant=True),
+        "wv": stack("blk.{i}.attn_v.weight", transpose=True, quant=True),
+        "wo": stack("blk.{i}.attn_output.weight", transpose=True, quant=True),
         "ffn_norm": stack("blk.{i}.ffn_norm.weight"),
-        "w_gate": stack("blk.{i}.ffn_gate.weight", transpose=True),
-        "w_up": stack("blk.{i}.ffn_up.weight", transpose=True),
-        "w_down": stack("blk.{i}.ffn_down.weight", transpose=True),
+        "w_gate": stack("blk.{i}.ffn_gate.weight", transpose=True, quant=True),
+        "w_up": stack("blk.{i}.ffn_up.weight", transpose=True, quant=True),
+        "w_down": stack("blk.{i}.ffn_down.weight", transpose=True, quant=True),
         "bq": stack("blk.{i}.attn_q.bias", optional=True),
         "bk": stack("blk.{i}.attn_k.bias", optional=True),
         "bv": stack("blk.{i}.attn_v.bias", optional=True),
         "q_norm": stack("blk.{i}.attn_q_norm.weight", optional=True),
         "k_norm": stack("blk.{i}.attn_k_norm.weight", optional=True),
         "output_norm": t("output_norm.weight"),
-        "output": None if tie else t("output.weight", transpose=True),  # [D, V]
+        "output": (None if tie
+                   else tq("output.weight") if quantize
+                   else t("output.weight", transpose=True)),  # [D, V]
     }
     r.close()
-    w = {k: (jnp.asarray(v, dtype=dtype) if v is not None else None) for k, v in w.items()}
+
+    def to_device(v):
+        if v is None:
+            return None
+        if isinstance(v, dict):
+            return {"q": jnp.asarray(v["q"]), "s": jnp.asarray(v["s"])}
+        return jnp.asarray(v, dtype=dtype)
+
+    w = {k: to_device(v) for k, v in w.items()}
     # keep norms in f32
     for k in ("attn_norm", "ffn_norm", "output_norm", "q_norm", "k_norm"):
         if w[k] is not None:
@@ -134,6 +168,7 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (xf * scale * weight).astype(x.dtype)
 
 
+from ..ops.pallas.quant_matmul import maybe_quant_matmul as _mm  # noqa: E402
 from ..ops.rope import apply_rope as apply_rope_llm  # noqa: E402 — shared
 # RoPE implementation (adjacent-pair NORM + half-split NEOX variants live in
 # ops/rope.py; signature apply_rope(x, positions, theta_base, neox))
@@ -144,10 +179,17 @@ def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
+def _layer_slice(leaf, li):
+    if isinstance(leaf, dict):
+        return {"q": leaf["q"][li], "s": leaf["s"][li]}
+    return leaf[li]
+
+
 def _layer_qkv(cfg: LLMConfig, blk, xn):
-    q = xn @ blk["wq"]
-    k = xn @ blk["wk"]
-    v = xn @ blk["wv"]
+    # quantized leaves are lane-padded along N: slice before the bias add
+    q = _mm(xn, blk["wq"])[..., : cfg.n_heads * cfg.head_dim]
+    k = _mm(xn, blk["wk"])[..., : cfg.n_kv_heads * cfg.head_dim]
+    v = _mm(xn, blk["wv"])[..., : cfg.n_kv_heads * cfg.head_dim]
     if blk["bq"] is not None:
         q = q + blk["bq"]
         k = k + blk["bk"]
@@ -190,7 +232,7 @@ def llm_prefill(
     new_k_layers = []
     new_v_layers = []
     for li in range(cfg.n_layers):
-        blk = {k: (w[k][li] if w[k] is not None else None)
+        blk = {k: (_layer_slice(w[k], li) if w[k] is not None else None)
                for k in ("attn_norm", "wq", "wk", "wv", "wo", "ffn_norm",
                          "w_gate", "w_up", "w_down", "bq", "bk", "bv",
                          "q_norm", "k_norm")}
@@ -209,10 +251,12 @@ def llm_prefill(
         scores = jnp.where(mask, scores, -jnp.inf)
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         att = jnp.einsum("bhqk,bkhd->bqhd", probs, vr).reshape(B, T, -1)
-        x = x + att @ blk["wo"]
+        x = x + _mm(att, blk["wo"])[..., : cfg.dim]
 
         fn = rms_norm(x, blk["ffn_norm"], cfg.rms_eps)
-        x = x + (jax.nn.silu(fn @ blk["w_gate"]) * (fn @ blk["w_up"])) @ blk["w_down"]
+        gate = _mm(fn, blk["w_gate"])[..., : cfg.ffn_dim]
+        up = _mm(fn, blk["w_up"])[..., : cfg.ffn_dim]
+        x = x + _mm(jax.nn.silu(gate) * up, blk["w_down"])[..., : cfg.dim]
 
     # write prompt K/V into the cache at per-lane offsets
     new_k = jnp.stack(new_k_layers)  # [L, B, T, KVH, HD]
@@ -226,7 +270,7 @@ def llm_prefill(
 
     xn = rms_norm(x, w["output_norm"], cfg.rms_eps)
     out_w = w["output"] if w["output"] is not None else w["token_embd"].T
-    logits = (xn @ out_w).astype(jnp.float32)  # [B, T, V]
+    logits = _mm(xn, out_w).astype(jnp.float32)[..., : cfg.vocab_size]  # [B, T, V]
     last = jnp.take_along_axis(
         logits, jnp.maximum(lengths - 1, 0)[:, None, None].astype(jnp.int32), axis=1
     )[:, 0]
@@ -254,7 +298,7 @@ def llm_decode_step(
     kmask = (jnp.arange(S, dtype=jnp.int32)[None, :] <= pos[:, None])  # [B, S]
 
     for li in range(cfg.n_layers):
-        blk = {k: (w[k][li] if w[k] is not None else None)
+        blk = {k: (_layer_slice(w[k], li) if w[k] is not None else None)
                for k in ("attn_norm", "wq", "wk", "wv", "wo", "ffn_norm",
                          "w_gate", "w_up", "w_down", "bq", "bk", "bv",
                          "q_norm", "k_norm")}
@@ -275,14 +319,16 @@ def llm_decode_step(
         scores = jnp.where(kmask[:, None, None, :], scores, -jnp.inf)
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         att = jnp.einsum("bngs,bsnd->bngd", probs, cv).reshape(B, 1, -1)
-        x = x + att @ blk["wo"]
+        x = x + _mm(att, blk["wo"])[..., : cfg.dim]
 
         fn = rms_norm(x, blk["ffn_norm"], cfg.rms_eps)
-        x = x + (jax.nn.silu(fn @ blk["w_gate"]) * (fn @ blk["w_up"])) @ blk["w_down"]
+        gate = _mm(fn, blk["w_gate"])[..., : cfg.ffn_dim]
+        up = _mm(fn, blk["w_up"])[..., : cfg.ffn_dim]
+        x = x + _mm(jax.nn.silu(gate) * up, blk["w_down"])[..., : cfg.dim]
 
     xn = rms_norm(x, w["output_norm"], cfg.rms_eps)
     out_w = w["output"] if w["output"] is not None else w["token_embd"].T
-    logits = (xn[:, 0] @ out_w).astype(jnp.float32)
+    logits = _mm(xn[:, 0], out_w).astype(jnp.float32)[..., : cfg.vocab_size]
     return logits, cache_k, cache_v
 
 

@@ -1,0 +1,100 @@
+"""Quantized (Q8_0-in-HBM) LLM path tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from miotts_tpu.models.llm import (
+    SamplerParams, init_kv_cache, llm_generate, llm_prefill, load_llm_gguf,
+)
+from miotts_tpu.ops.pallas.quant_matmul import (
+    dequant_dense, maybe_quant_matmul, q8_matmul, quantize_q8_cols,
+)
+from miotts_tpu.testing import write_synthetic_llm_gguf
+
+
+def test_quantize_roundtrip_error_bound():
+    rng = np.random.RandomState(0)
+    w = (rng.randn(256, 384) * 0.1).astype(np.float32)
+    q, s = quantize_q8_cols(w)
+    deq = q.astype(np.float32) * np.repeat(s, 32, axis=0)
+    blocks = np.abs(w).reshape(-1, 32, 384).max(axis=1)
+    bound = np.repeat(blocks / 127.0, 32, axis=0) * 0.51 + 1e-7
+    assert (np.abs(deq - w) <= bound).all()
+
+
+def test_q8_matmul_interpret_matches_dense():
+    rng = np.random.RandomState(1)
+    K, N, T = 256, 384, 8
+    w = (rng.randn(K, N) * 0.1).astype(np.float32)
+    q, s = quantize_q8_cols(w)
+    x = (rng.randn(T, K) * 0.5).astype(np.float32)
+    dense = x @ (q.astype(np.float32) * np.repeat(s, 32, axis=0))
+    got = np.asarray(q8_matmul(jnp.asarray(x), jnp.asarray(q), jnp.asarray(s),
+                               block_k=256, block_n=128, interpret=True))
+    # bf16 tile dot: ~1e-2 relative
+    np.testing.assert_allclose(got, dense, rtol=2e-2, atol=2e-2)
+
+
+def test_maybe_quant_matmul_cpu_fallback():
+    rng = np.random.RandomState(2)
+    w = (rng.randn(64, 96) * 0.1).astype(np.float32)
+    q, s = quantize_q8_cols(w)
+    leaf = {"q": jnp.asarray(q), "s": jnp.asarray(s)}
+    x = jnp.asarray((rng.randn(3, 64)).astype(np.float32))
+    got = maybe_quant_matmul(x, leaf)
+    expect = np.asarray(x) @ np.asarray(dequant_dense(leaf))
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-5, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def quant_llm(tmp_path_factory):
+    path = tmp_path_factory.mktemp("qllm") / "llm.gguf"
+    # dims chosen so quant leaves exercise lane padding (qkv out 32 -> 128)
+    write_synthetic_llm_gguf(str(path), n_audio=64, dim=32, n_layers=2,
+                             n_heads=4, n_kv_heads=2, ffn=64, seed=0)
+    cfg_d, w_d, tok = load_llm_gguf(str(path), dtype=jnp.float32, quantize=False)
+    cfg_q, w_q, _ = load_llm_gguf(str(path), dtype=jnp.float32, quantize=True)
+    assert cfg_d == cfg_q
+    return cfg_d, w_d, w_q, tok
+
+
+def test_quant_prefill_close_to_dense(quant_llm):
+    """Quantized path vs a dense path rebuilt from the SAME dequantized
+    weights: only bf16 matmul rounding should differ."""
+    cfg, w_d, w_q, tok = quant_llm
+    # rebuild dense weights from the quantized leaves -> same numerics source
+    w_mixed = dict(w_q)
+    for k in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "output"):
+        if isinstance(w_q[k], dict):
+            if w_q[k]["q"].ndim == 3:  # stacked layers
+                dq = jax.vmap(lambda q, s: q.astype(jnp.float32)
+                              * jnp.repeat(s, 32, axis=0))(w_q[k]["q"], w_q[k]["s"])
+            else:
+                dq = dequant_dense(w_q[k])
+            w_mixed[k] = dq
+
+    tokens = np.array([[5, 200, 17, 92, 260, 3]], np.int32)
+    lengths = jnp.asarray([6], jnp.int32)
+    ck, cv = init_kv_cache(cfg, 1, 16, dtype=jnp.float32)
+    ref, _, _ = jax.jit(llm_prefill, static_argnums=0)(
+        cfg, w_mixed, jnp.asarray(tokens), lengths, ck, cv)
+    got, _, _ = jax.jit(llm_prefill, static_argnums=0)(
+        cfg, w_q, jnp.asarray(tokens), lengths, ck, cv)
+    # CPU fallback path dequantizes identically -> near-exact
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_quant_generation_runs(quant_llm):
+    cfg, w_d, w_q, tok = quant_llm
+    tokens = np.array([[5, 200, 17, 92]], np.int32)
+    ck, cv = init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+    eog = jnp.asarray([-1], jnp.int32)
+    out, n = llm_generate(cfg, w_q, jnp.asarray(tokens),
+                          jnp.asarray([4], jnp.int32), eog,
+                          jax.random.PRNGKey(0), 8, SamplerParams(temp=0.8),
+                          ck, cv)
+    assert int(n[0]) == 8
+    assert (np.asarray(out) >= 0).all()
