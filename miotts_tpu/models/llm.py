@@ -94,7 +94,12 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
         return arr
 
     if quantize is None:
-        quantize = os.environ.get("MIOTTS_LLM_QUANT", "") in ("q8", "q8_0", "1")
+        quantize = os.environ.get("MIOTTS_LLM_QUANT", "")
+    # granularity: False/"" = dense bf16; "output" = quantize only the
+    # [D, V] logits matmul (the one large enough to beat the per-kernel
+    # launch overhead at 0.1B scale); "all"/"q8" = every matmul weight
+    quant_all = quantize in (True, "all", "q8", "q8_0", "1")
+    quant_output = quant_all or quantize == "output"
 
     def tq(name):
         """Transposed Q8_0 leaf {"q": int8 [K, N], "s": f32 [K//32, N]}:
@@ -114,7 +119,7 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
     def stack(fmt, transpose=False, optional=False, quant=False):
         if optional and not r.has_tensor(fmt.format(i=0)):
             return None
-        if quant and quantize:
+        if quant and quant_all:
             leaves = [tq(fmt.format(i=i)) for i in range(n_layers)]
             return {"q": np.stack([l["q"] for l in leaves]),
                     "s": np.stack([l["s"] for l in leaves])}
@@ -138,7 +143,7 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
         "k_norm": stack("blk.{i}.attn_k_norm.weight", optional=True),
         "output_norm": t("output_norm.weight"),
         "output": (None if tie
-                   else tq("output.weight") if quantize
+                   else tq("output.weight") if quant_output
                    else t("output.weight", transpose=True)),  # [D, V]
     }
     r.close()
