@@ -117,3 +117,21 @@ def test_load_reference_bundled_wav():
     # resample to 16k for the WavLM path
     y, r2 = load_audio(path, target_rate=16000, max_seconds=2.0)
     assert r2 == 16000 and y.size == 32000
+
+
+def test_log_mel_metric_sanity():
+    from miotts_tpu.runtime.metrics import log_mel, mel_l1
+
+    rng = np.random.RandomState(7)
+    sr = 24000
+    t = np.arange(sr) / sr
+    a = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    m = log_mel(a, sr)
+    assert m.ndim == 2 and m.shape[1] == 80
+    assert np.isfinite(m).all()
+    # identical signals -> 0; distinct tones -> clearly nonzero
+    assert mel_l1(a, a, sr) == 0.0
+    b = (0.5 * np.sin(2 * np.pi * 880 * t)).astype(np.float32)
+    assert mel_l1(a, b, sr) > 0.01
+    # tiny noise -> tiny distance
+    assert mel_l1(a + 1e-4 * rng.randn(sr).astype(np.float32), a, sr) < 0.05
