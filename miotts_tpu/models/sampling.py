@@ -26,6 +26,12 @@ import jax.numpy as jnp
 PENALTY_LAST_N = 64
 
 
+def _approx_topk_default() -> bool:
+    import os
+
+    return os.environ.get("MIOTTS_APPROX_TOPK", "") in ("1", "true", "on")
+
+
 @dataclasses.dataclass(frozen=True)
 class SamplerParams:
     temp: float = 0.8
@@ -33,6 +39,10 @@ class SamplerParams:
     top_p: float = 1.0
     repeat_penalty: float = 1.0
     seed: int = 0
+    # TPU-native approximate top-k (jax.lax.approx_max_k, recall ~0.95):
+    # ~18% faster generation at 152k vocab; tiny sampling deviation.
+    # Default from MIOTTS_APPROX_TOPK env.
+    approx_top_k: bool = dataclasses.field(default_factory=_approx_topk_default)
 
 
 class SamplerState(NamedTuple):
@@ -77,7 +87,10 @@ def sample_token(
     top_p_on = 0.0 < params.top_p < 1.0
     if params.top_k > 0:
         k = min(params.top_k, V)
-        vals, idx = jax.lax.top_k(logits, k)  # [B, k] descending
+        if params.approx_top_k:
+            vals, idx = jax.lax.approx_max_k(logits, k, recall_target=0.95)
+        else:
+            vals, idx = jax.lax.top_k(logits, k)  # [B, k] descending
     elif top_p_on:
         # top_k disabled but top_p needs sorted candidates: full sort
         # (reference semantics: top_k <= 0 applies no truncation)
@@ -148,7 +161,10 @@ def sample_token_batched(
     logits = jnp.where(presence & (pen != 1.0), penalized, logits)
 
     K = min(MAX_TOP_K, V)
-    vals, idx = jax.lax.top_k(logits, K)  # [B, K] descending
+    if _approx_topk_default():
+        vals, idx = jax.lax.approx_max_k(logits, K, recall_target=0.95)
+    else:
+        vals, idx = jax.lax.top_k(logits, K)  # [B, K] descending
     rank = jnp.arange(K, dtype=jnp.int32)[None, :]
     # per-lane top_k: keep rank < top_k (0 => disabled => keep all)
     k_eff = jnp.where(params.top_k > 0, jnp.minimum(params.top_k, K), K)

@@ -51,7 +51,9 @@ def log_mel(audio: np.ndarray, sr: int, n_fft: int = 1024, hop: int = 256,
     spec = np.abs(np.fft.rfft(frames * win, axis=-1)) ** 2
     fb = mel_filterbank(sr, n_fft, n_mels)
     mel = spec @ fb.T
-    return np.log(np.maximum(mel, 1e-10)).astype(np.float32)
+    # 1e-5 floor: keeps near-silent bins from dominating the log-domain
+    # distance (a 1e-4 noise floor must read as a small difference)
+    return np.log(np.maximum(mel, 1e-5)).astype(np.float32)
 
 
 def mel_l1(a: np.ndarray, b: np.ndarray, sr: int) -> float:
