@@ -430,12 +430,21 @@ def codec_decode_spec(
     fixed token count so streaming prefix re-decodes are time-axis consistent
     (None = exact reference semantics: ratio from true lengths).
 
-    Matmuls run at float32 precision: the reference accumulates attention in
-    f32 (GGML_PREC_F32, miocodec-decoder.cpp:1252) and the fidelity target is
-    mel-L1 < 1e-2, which TPU default-bf16 matmuls would not meet."""
-    with jax.default_matmul_precision("float32"):
+    Matmuls run at float32 precision by default: the reference accumulates
+    attention in f32 (GGML_PREC_F32, miocodec-decoder.cpp:1252) and the
+    fidelity target is mel-L1 < 1e-2, which TPU default-bf16 matmuls would
+    not meet. MIOTTS_CODEC_MATMUL=bfloat16|tensorfloat32|float32 overrides
+    (bf16 is ~2x matmul throughput; measure fidelity with
+    MIOTTS_BENCH_MODE=fidelity before shipping it)."""
+    with jax.default_matmul_precision(_codec_matmul_precision()):
         return _codec_decode_spec_impl(cfg, w, tokens, token_lengths, cond,
                                        interp_anchor_tokens)
+
+
+def _codec_matmul_precision() -> str:
+    import os
+
+    return os.environ.get("MIOTTS_CODEC_MATMUL", "float32")
 
 
 def _codec_decode_spec_impl(cfg, w, tokens, token_lengths, cond,
@@ -536,7 +545,7 @@ def codec_synthesize(
     vocoder (mio-tts-lib.cpp:1277-1286)."""
     spec, frame_len = codec_decode_spec(cfg, w, tokens, token_lengths, cond,
                                         interp_anchor_tokens)
-    with jax.default_matmul_precision("float32"):
+    with jax.default_matmul_precision(_codec_matmul_precision()):
         if cfg.model_type == 0:
             audio = spec_to_audio(spec, frame_len, cfg.n_fft, cfg.hop_length)
             n_pad = (cfg.n_fft - cfg.hop_length) // 2

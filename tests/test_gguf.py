@@ -73,3 +73,49 @@ def test_f16_bf16_dequant():
     bf = ((x.view(np.uint32) + 0x8000) >> 16).astype(np.uint16)  # round-to-nearest
     rawbf = np.frombuffer(bf.tobytes(), dtype=np.uint8)
     np.testing.assert_allclose(dequantize(rawbf, GGMLType.BF16, 4), x, rtol=1e-2)
+
+
+def test_q4_k_dequant_crafted_block():
+    """Hand-constructed Q4_K super-block: d=1, dmin=0, 6-bit scales
+    [1,1,1,1,0,0,0,0], mins 0 -> outputs 0..127 are the raw nibbles
+    (lo 32 then hi 32 per 64-group), outputs 128..255 are 0."""
+    rng = np.random.RandomState(0)
+    qs = rng.randint(0, 256, 128, dtype=np.uint8)
+    block = bytearray()
+    block += np.float16(1.0).tobytes()   # d
+    block += np.float16(0.0).tobytes()   # dmin
+    scales = bytearray(12)
+    scales[0:4] = bytes([1, 1, 1, 1])    # sc[0..3] = 1 (and q[j]>>6 == 0)
+    block += bytes(scales)               # mins and sc[4..7] zero
+    block += qs.tobytes()
+    raw = np.frombuffer(bytes(block), np.uint8)
+    out = dequantize(raw, GGMLType.Q4_K, 256)
+    expect = np.zeros(256, np.float32)
+    for j in range(2):  # groups with sc=1
+        b = qs[j * 32:(j + 1) * 32]
+        expect[j * 64:j * 64 + 32] = (b & 0x0F).astype(np.float32)
+        expect[j * 64 + 32:j * 64 + 64] = (b >> 4).astype(np.float32)
+    np.testing.assert_allclose(out, expect)
+
+
+def test_q5_k_dequant_crafted_block():
+    """Q5_K with qh bits set for the first group adds +16 to its values."""
+    rng = np.random.RandomState(1)
+    qs = rng.randint(0, 256, 128, dtype=np.uint8)
+    block = bytearray()
+    block += np.float16(1.0).tobytes()
+    block += np.float16(0.0).tobytes()
+    scales = bytearray(12)
+    scales[0] = 1  # only sc[0] = 1 -> only outputs 0..31 nonzero
+    block += bytes(scales)
+    qh = np.zeros(32, np.uint8)
+    qh[:16] = 1  # u1=1 bit set for first 16 positions of group 0
+    block += qh.tobytes()
+    block += qs.tobytes()
+    raw = np.frombuffer(bytes(block), np.uint8)
+    out = dequantize(raw, GGMLType.Q5_K, 256)
+    expect = np.zeros(256, np.float32)
+    lo = (qs[:32] & 0x0F).astype(np.float32)
+    lo[:16] += 16.0
+    expect[:32] = lo
+    np.testing.assert_allclose(out, expect)
