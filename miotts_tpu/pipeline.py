@@ -99,14 +99,13 @@ class MioTTSPipeline:
 
     # -- synthesis -------------------------------------------------------------
 
-    def synthesize(
+    def validate_request(
         self,
         codes: list[int] | np.ndarray,
-        embedding: np.ndarray | None = None,
-        interp_anchor: int | None = None,
-        peak_normalize: bool = True,
-    ) -> SynthesisResult:
-        """codes -> waveform (mio_tts_synthesize, mio-tts-lib.cpp:1182-1323)."""
+        embedding: np.ndarray | None,
+    ) -> tuple[np.ndarray, np.ndarray | None]:
+        """Shared request validation (mio_tts_synthesize preconditions,
+        mio-tts-lib.cpp:1198-1234). Returns normalized (codes, embedding)."""
         codes = np.asarray(codes, dtype=np.int32).reshape(-1)
         if codes.size == 0:
             raise ValueError("codes are empty")
@@ -121,6 +120,17 @@ class MioTTSPipeline:
             embedding = np.asarray(embedding, dtype=np.float32).reshape(-1)
             if embedding.size != self.config.decoder_adanorm_dim:
                 raise ValueError("embedding dimension mismatch")
+        return codes, embedding
+
+    def synthesize(
+        self,
+        codes: list[int] | np.ndarray,
+        embedding: np.ndarray | None = None,
+        interp_anchor: int | None = None,
+        peak_normalize: bool = True,
+    ) -> SynthesisResult:
+        """codes -> waveform (mio_tts_synthesize, mio-tts-lib.cpp:1182-1323)."""
+        codes, embedding = self.validate_request(codes, embedding)
 
         n = int(codes.size)
         bucket = pick_bucket(n, self.buckets)

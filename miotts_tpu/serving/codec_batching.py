@@ -1,0 +1,113 @@
+"""Codec micro-batcher: group concurrent synthesis calls into one batched
+device call.
+
+The reference serializes synthesis per worker slot behind the model's
+runtime_mutex (mio-tts-lib.cpp:1207); here concurrent requests landing
+within a small gather window are padded to a common length bucket and run
+as one ``codec_synthesize`` batch — MXU efficiency scales with lanes
+(measured: 8 lanes cost ~the same wall time as 1).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+
+import numpy as np
+
+from ..pipeline import MioTTSPipeline, SynthesisResult, pick_bucket
+
+
+class CodecMicroBatcher:
+    def __init__(self, pipeline: MioTTSPipeline, max_batch: int = 8,
+                 gather_window_s: float = 0.003):
+        self.pipeline = pipeline
+        self.max_batch = max_batch
+        self.gather_window_s = gather_window_s
+        self._q: "queue.Queue[tuple | None]" = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def synthesize(self, codes: list[int], embedding: np.ndarray | None) -> SynthesisResult:
+        """Blocking call; batches with concurrent callers. Raises like
+        MioTTSPipeline.synthesize on invalid inputs."""
+        codes_arr, embedding = self.pipeline.validate_request(codes, embedding)
+        fut: Future = Future()
+        self._q.put((codes_arr.tolist(), embedding, fut))
+        return fut.result()
+
+    def shutdown(self) -> None:
+        self._q.put(None)
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------------
+
+    def _gather(self) -> list[tuple] | None:
+        first = self._q.get()
+        if first is None:
+            return None
+        batch = [first]
+        # collect whatever arrives within the window (bounded wait)
+        import time
+
+        deadline = time.monotonic() + self.gather_window_s
+        while len(batch) < self.max_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                item = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if item is None:
+                self._q.put(None)  # re-post shutdown for the main loop
+                break
+            batch.append(item)
+        return batch
+
+    def _run(self) -> None:
+        import jax.numpy as jnp
+        import jax
+
+        cfg = self.pipeline.config
+        while True:
+            batch = self._gather()
+            if batch is None:
+                return
+            try:
+                lengths = [len(c) for c, _, _ in batch]
+                bucket = pick_bucket(max(lengths), self.pipeline.buckets)
+                B = len(batch)
+                tokens = np.zeros((B, bucket), np.int32)
+                for i, (codes, _, _) in enumerate(batch):
+                    tokens[i, : len(codes)] = codes
+                if cfg.dynamic_global:
+                    cond = np.stack([
+                        np.asarray(e, np.float32).reshape(-1) for _, e, _ in batch])
+                    cond_j = jnp.asarray(cond)
+                else:
+                    cond_j = None
+                import time as _t
+
+                t0 = _t.perf_counter()
+                audio, n_samples = self.pipeline._synth_fn(
+                    self.pipeline.weights, jnp.asarray(tokens),
+                    jnp.asarray(lengths, jnp.int32), cond_j,
+                    interp_anchor_tokens=None, peak_normalize=True)
+                audio_np = np.asarray(audio)
+                n_np = np.asarray(n_samples)
+                decode_ms = (_t.perf_counter() - t0) * 1e3
+                for i, (codes, _, fut) in enumerate(batch):
+                    n_valid = int(n_np[i])
+                    fut.set_result(SynthesisResult(
+                        audio=audio_np[i, :n_valid],
+                        sample_rate=cfg.sample_rate,
+                        decode_ms=decode_ms,
+                        n_codes=len(codes),
+                        n_frames=n_valid // cfg.hop_length,
+                    ))
+            except Exception as e:  # deliver the failure to every waiter
+                for _, _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)

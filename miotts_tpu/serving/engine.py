@@ -68,6 +68,10 @@ class ServingEngine:
                 chunk=32,
                 seed=cfg.seed,
             )
+        from .codec_batching import CodecMicroBatcher
+
+        self.codec_batcher = CodecMicroBatcher(
+            self.pipeline, max_batch=max(1, cfg.n_parallel))
         self.ref_cache = ReferenceCache()
         self.slots = SlotPool(max(1, cfg.n_parallel))
         n_ref = cfg.n_parallel_reference_generation or cfg.n_parallel
@@ -220,7 +224,8 @@ class ServingEngine:
 
         t0 = now_ms()
         try:
-            result = self.pipeline.synthesize(codes, embedding)
+            # micro-batched: concurrent requests share one device call
+            result = self.codec_batcher.synthesize(codes, embedding)
         except ValueError as e:
             raise RequestError(f"mio_tts_synthesize failed: {e}")
         out["synth_ms"] = now_ms() - t0
