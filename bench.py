@@ -43,6 +43,12 @@ def main() -> int:
         full_codec_config, write_synthetic_llm_gguf, write_synthetic_miocodec_gguf,
     )
 
+    from miotts_tpu.runtime.compile_cache import enable_compile_cache
+
+    cache_dir = enable_compile_cache()
+    if cache_dir:
+        log(f"bench: compile cache at {cache_dir}")
+
     lanes = int(os.environ.get("MIOTTS_BENCH_LANES", "8"))
     n_gen = int(os.environ.get("MIOTTS_BENCH_TOKENS", "250"))
     mode = os.environ.get("MIOTTS_BENCH_MODE", "pipeline")

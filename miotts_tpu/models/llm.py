@@ -548,6 +548,9 @@ class LLMEngine:
     mio_tts_vocab_map (mio-tts-lib.cpp:181-223, 913-998)."""
 
     def __init__(self, path: str, dtype=jnp.bfloat16):
+        from ..runtime.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
         self.config, self.weights, self.tokenizer = load_llm_gguf(path, dtype=dtype)
         # token -> audio-code map from <|s_N|> vocab pieces
         import re

@@ -282,6 +282,9 @@ class WavLMExtractor:
     the reference's non-finite fallback ladder."""
 
     def __init__(self, path: str):
+        from ..runtime.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
         self.config, weights = load_wavlm(path)
         self.weights = jax.tree.map(jnp.asarray, weights)
         import functools

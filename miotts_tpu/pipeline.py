@@ -59,6 +59,9 @@ class MioTTSPipeline:
         wavlm_path: str | Path | None = None,
         buckets: tuple[int, ...] = DEFAULT_BUCKETS,
     ):
+        from .runtime.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
         self.codec_path = str(codec_path)
         self.config, weights = load_miocodec(self.codec_path)
         self.weights = jax.tree.map(jnp.asarray, weights)

@@ -78,13 +78,21 @@ class CodecMicroBatcher:
             try:
                 lengths = [len(c) for c, _, _ in batch]
                 bucket = pick_bucket(max(lengths), self.pipeline.buckets)
-                B = len(batch)
+                # fixed lane count: one compiled executable per LENGTH bucket
+                # (a varying batch dim would recompile per concurrency level;
+                # idle lanes are near-free on the MXU)
+                B = self.max_batch
                 tokens = np.zeros((B, bucket), np.int32)
+                lane_len = [1] * B
                 for i, (codes, _, _) in enumerate(batch):
                     tokens[i, : len(codes)] = codes
+                    lane_len[i] = len(codes)
+                lengths = lane_len
                 if cfg.dynamic_global:
-                    cond = np.stack([
-                        np.asarray(e, np.float32).reshape(-1) for _, e, _ in batch])
+                    dc = cfg.decoder_adanorm_dim
+                    cond = np.zeros((B, dc), np.float32)
+                    for i, (_, e, _) in enumerate(batch):
+                        cond[i] = np.asarray(e, np.float32).reshape(-1)
                     cond_j = jnp.asarray(cond)
                 else:
                     cond_j = None
