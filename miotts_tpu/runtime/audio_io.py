@@ -122,7 +122,11 @@ def load_audio(path: str | Path, target_rate: int | None = None,
     else:
         try:
             import torchaudio  # type: ignore
-
+        except ImportError:
+            raise ValueError(
+                f"unsupported audio format in {path}: only WAV is decoded "
+                "natively (install torchaudio for other containers)") from None
+        try:
             wav, rate = torchaudio.load(str(path))
             x = wav.mean(dim=0).numpy().astype(np.float32)
         except Exception as e:  # pragma: no cover - depends on image contents

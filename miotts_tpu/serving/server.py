@@ -40,25 +40,7 @@ from ..runtime.audio_io import encode_wav16
 from .engine import ServingEngine, now_ms
 from .state import RequestError, ServerConfig, is_valid_reference_key, parse_request_json
 
-_UI_HTML = """<!doctype html>
-<html><head><meta charset="utf-8"><title>MioTTS-TPU</title></head>
-<body><h1>MioTTS-TPU server</h1>
-<p>POST /mio/tts — synthesize; POST /mio/tts/stream — stream;
-POST /mio/generate_reference — voice clone; GET /mio/references — list.</p>
-<form id="f"><input id="text" placeholder="text" size="48">
-<input id="key" placeholder="reference_key" size="16">
-<button>speak</button></form><audio id="a" controls></audio>
-<script>
-document.getElementById('f').onsubmit = async (e) => {
-  e.preventDefault();
-  const r = await fetch('/mio/tts/stream', {method:'POST',
-    body: JSON.stringify({text: document.getElementById('text').value,
-                          reference_key: document.getElementById('key').value})});
-  const b = await r.blob();
-  document.getElementById('a').src = URL.createObjectURL(b);
-  document.getElementById('a').play();
-};
-</script></body></html>"""
+from .webui import INDEX_HTML as _UI_HTML, UI_CSS as _UI_CSS, UI_JS as _UI_JS
 
 
 def _error_json(message: str, code: int = 400) -> bytes:
@@ -193,15 +175,19 @@ class MioTTSServer:
                     self.end_headers()
                     self.wfile.write(data)
                 elif path in ("/mio-ui.css", "/mio-ui.js", "/favicon.ico"):
-                    # reference serves these assets (tts-mio-server.cpp:3160-3172);
-                    # our UI is inline, so serve empty bodies of the right type
-                    ctype = ("text/css" if path.endswith(".css")
-                             else "application/javascript" if path.endswith(".js")
-                             else "image/x-icon")
+                    # UI assets (reference route parity, tts-mio-server.cpp:3160-3172)
+                    ctype, data = {
+                        "/mio-ui.css": ("text/css; charset=utf-8", _UI_CSS.encode()),
+                        "/mio-ui.js": ("application/javascript; charset=utf-8",
+                                       _UI_JS.encode()),
+                        "/favicon.ico": ("image/x-icon", b""),
+                    }[path]
                     self.send_response(200)
                     self.send_header("Content-Type", ctype)
-                    self.send_header("Content-Length", "0")
+                    self.send_header("Cache-Control", "no-store")
+                    self.send_header("Content-Length", str(len(data)))
                     self.end_headers()
+                    self.wfile.write(data)
                 else:
                     self._send_error_json("not found", 404)
 

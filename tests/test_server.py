@@ -251,3 +251,27 @@ def test_multipart_binary_payload_with_crlf_tail():
     fields, files = _parse_multipart(
         f'multipart/form-data; boundary={boundary}', body)
     assert files["audio"][1] == payload
+
+
+def test_web_ui_assets(server):
+    """UI page + assets served with correct types (tts-mio-server.cpp:3156-3172
+    route parity; content is our own thin-client app, serving/webui.py)."""
+    srv, *_ = server
+    with urllib.request.urlopen(_url(srv, "/"), timeout=30) as r:
+        assert r.headers["Content-Type"].startswith("text/html")
+        page = r.read().decode()
+    # the page must reference both assets and expose the main controls
+    assert "/mio-ui.css" in page and "/mio-ui.js" in page
+    for elem in ("btn-generate", "btn-gen-ref", "btn-add-ref", "ref-select",
+                 "btn-rec-start", "p-n-predict"):
+        assert elem in page, elem
+    with urllib.request.urlopen(_url(srv, "/mio-ui.css"), timeout=30) as r:
+        assert r.headers["Content-Type"].startswith("text/css")
+        assert len(r.read()) > 100
+    with urllib.request.urlopen(_url(srv, "/mio-ui.js"), timeout=30) as r:
+        assert r.headers["Content-Type"].startswith("application/javascript")
+        body = r.read().decode()
+    # the JS drives the real endpoints
+    for route in ("/mio/tts/stream", "/mio/generate_reference",
+                  "/mio/add_reference", "/mio/delete_reference", "/mio/references"):
+        assert route in body, route
