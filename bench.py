@@ -174,6 +174,23 @@ def main() -> int:
         }
         n_params = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(w1b))
         log(f"bench: {n_params / 1e9:.2f}B params")
+
+        if os.environ.get("MIOTTS_LLM_QUANT", "") in ("int8", "w8a8"):
+            # W8A8: per-output-channel int8 weights, native MXU int8 dots
+            # (ops/pallas/quant_matmul.py int8_matmul)
+            log("bench: quantizing matmul weights to per-channel int8...")
+
+            def quant_leaf(w):
+                wf = w.astype(jnp.float32)
+                amax = jnp.max(jnp.abs(wf), axis=-2)
+                s = amax / 127.0
+                sd = jnp.where(s == 0, 1.0, s)[..., None, :]
+                q = jnp.clip(jnp.round(wf / sd), -127, 127).astype(jnp.int8)
+                return {"q8": q, "s8": s}
+
+            for k in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+                      "output"):
+                w1b[k] = jax.jit(quant_leaf)(w1b[k])
         from miotts_tpu.models.sampling import SamplerParams as SP
 
         prompt = rng.randint(0, 1000, (lanes, 32)).astype(np.int32)

@@ -97,22 +97,36 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
         quantize = os.environ.get("MIOTTS_LLM_QUANT", "")
     # granularity: False/"" = dense bf16; "output" = quantize only the
     # [D, V] logits matmul (the one large enough to beat the per-kernel
-    # launch overhead at 0.1B scale); "all"/"q8" = every matmul weight
-    quant_all = quantize in (True, "all", "q8", "q8_0", "1")
+    # launch overhead at 0.1B scale); "all"/"q8" = every matmul weight as
+    # Q8_0 blocks (Pallas dequant kernel); "int8" = every matmul weight as
+    # per-channel int8 with dynamic int8 activations (native MXU int8 dots:
+    # 2x bf16 throughput + half the weight HBM bytes of the decode step)
+    quant_int8 = quantize in ("int8", "w8a8")
+    quant_all = quant_int8 or quantize in (True, "all", "q8", "q8_0", "1")
     quant_output = quant_all or quantize == "output"
+    if quantize and not (quant_all or quant_output) and quantize is not False:
+        import sys
+
+        print(f"warning: unknown MIOTTS_LLM_QUANT value {quantize!r} "
+              "(expected 'int8', 'all', 'q8' or 'output'); running dense",
+              file=sys.stderr)
 
     def tq(name):
-        """Transposed Q8_0 leaf {"q": int8 [K, N], "s": f32 [K//32, N]}:
-        weights stay quantized in HBM and dequantize inside the matmul tile
-        (ops/pallas/quant_matmul.py). N is padded to a lane multiple; callers
-        slice logits back to the true vocab."""
-        from ..ops.pallas.quant_matmul import quantize_q8_cols
+        """Transposed quantized leaf, kept quantized in HBM. Q8_0 mode:
+        {"q": int8 [K, N], "s": f32 [K//32, N]} dequantized inside the Pallas
+        matmul tile; int8 mode: {"q8": int8 [K, N], "s8": f32 [N]} consumed
+        by native MXU int8 dots (ops/pallas/quant_matmul.py). N is padded to
+        a lane multiple; callers slice outputs back to the true width."""
+        from ..ops.pallas.quant_matmul import quantize_int8_percol, quantize_q8_cols
 
         wkn = t(name, transpose=True)  # [K, N] f32 (dequantized source)
         K, N = wkn.shape
         Np = ((N + 127) // 128) * 128
         if Np != N:
             wkn = np.pad(wkn, ((0, 0), (0, Np - N)))
+        if quant_int8:
+            q8, s8 = quantize_int8_percol(wkn)
+            return {"q8": q8, "s8": s8}
         q, s = quantize_q8_cols(wkn)
         return {"q": q, "s": s}
 
@@ -121,8 +135,7 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
             return None
         if quant and quant_all:
             leaves = [tq(fmt.format(i=i)) for i in range(n_layers)]
-            return {"q": np.stack([l["q"] for l in leaves]),
-                    "s": np.stack([l["s"] for l in leaves])}
+            return {k: np.stack([l[k] for l in leaves]) for k in leaves[0]}
         return np.stack([t(fmt.format(i=i), transpose) for i in range(n_layers)])
 
     w = {
@@ -152,7 +165,7 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
         if v is None:
             return None
         if isinstance(v, dict):
-            return {"q": jnp.asarray(v["q"]), "s": jnp.asarray(v["s"])}
+            return {k: jnp.asarray(a) for k, a in v.items()}
         return jnp.asarray(v, dtype=dtype)
 
     w = {k: to_device(v) for k, v in w.items()}
@@ -186,7 +199,7 @@ def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
 
 def _layer_slice(leaf, li):
     if isinstance(leaf, dict):
-        return {"q": leaf["q"][li], "s": leaf["s"][li]}
+        return {k: v[li] for k, v in leaf.items()}
     return leaf[li]
 
 

@@ -110,12 +110,49 @@ def dequant_dense(w: dict) -> jnp.ndarray:
     return w["q"].astype(jnp.float32) * jnp.repeat(w["s"], QBLOCK, axis=0)
 
 
+# ---------------------------------------------------------------------------
+# W8A8: per-output-channel int8 weights x dynamically quantized activations.
+# The scale is constant along the contraction dim, so it factors out of the
+# dot and the MXU runs a native int8 x int8 -> int32 matmul: 2x the bf16
+# throughput on v5e (394 vs 197 TOPS) and half the weight HBM traffic —
+# the decode step is weight-bandwidth-bound, so this is the speed-of-light
+# path. Accuracy trade: per-column weight scale (vs Q8_0's per-32-block) and
+# ~7-bit activations; opt in via MIOTTS_LLM_QUANT=int8.
+# ---------------------------------------------------------------------------
+
+def quantize_int8_percol(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Quantize a [K, N] float weight per output column.
+    Returns (q8 int8 [K, N], s8 f32 [N]) with w ~= q8 * s8[None, :]."""
+    amax = np.abs(w).max(axis=0)
+    s = (amax / 127.0).astype(np.float32)
+    q = np.round(w / np.where(s == 0, 1, s)[None, :])
+    return np.clip(q, -127, 127).astype(np.int8), s
+
+
+def int8_matmul(x: jnp.ndarray, q8: jnp.ndarray, s8: jnp.ndarray) -> jnp.ndarray:
+    """x [..., K] @ (q8 [K, N] * s8 [N]) with dynamic per-row activation
+    quantization; returns f32 [..., N]. Pure XLA — the int8 dot lowers to
+    native MXU int8 on TPU and plain integer dots elsewhere."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x2), axis=-1, keepdims=True)
+    sx = jnp.where(amax > 0, amax / 127.0, 1.0)
+    x8 = jnp.round(x2 / sx).astype(jnp.int8)
+    y = jax.lax.dot_general(x8, q8, dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * sx * s8[None, :]
+    return y.reshape(*lead, -1)
+
+
 def maybe_quant_matmul(x, w):
-    """Dispatch helper: w is either a dense [K, N] array or a quantized leaf
-    dict {"q": int8 [K, N], "s": f32 [K//32, N]} (kept quantized in HBM).
-    x: [..., K] -> [..., N]. On non-TPU backends the leaf is dequantized in
-    XLA (the Pallas kernel is TPU-only)."""
+    """Dispatch helper: w is a dense [K, N] array or a quantized leaf dict —
+    {"q": int8 [K, N], "s": f32 [K//32, N]} for Q8_0 blocks (Pallas dequant
+    kernel, TPU-only), or {"q8": int8 [K, N], "s8": f32 [N]} for W8A8
+    per-channel int8 (native MXU int8 dot, any backend).
+    x: [..., K] -> [..., N]."""
     if isinstance(w, dict):
+        if "q8" in w:
+            return int8_matmul(x, w["q8"], w["s8"]).astype(x.dtype)
         if jax.default_backend() != "tpu":
             return (x @ dequant_dense(w).astype(x.dtype)).astype(x.dtype)
         lead = x.shape[:-1]
