@@ -58,12 +58,38 @@ def llm_weight_shardings(mesh: Mesh, weights: Any) -> Any:
         "output_norm": P(None),
         "output": P(None, None),           # [D, V]
     }
+    def leaf_specs(k, v):
+        spec = specs[k]
+        if not isinstance(v, dict):
+            return NamedSharding(mesh, spec)
+        # quantized leaves (models/llm.py tq): the int8 payload shards like
+        # the dense weight; scales follow the sharded axis they vary along.
+        # W8A8 {"q8": [..., K, N], "s8": [..., N]}: per-N scale -> shard only
+        # when N (the last weight axis) is column-parallel.
+        # Q8_0 {"q": [..., K, N], "s": [..., K//32, N]}: scale blocks run
+        # down K -> same spec as the weight.
+        out = {}
+        for name, arr in v.items():
+            if name in ("q", "q8"):
+                out[name] = NamedSharding(mesh, spec)
+            elif name == "s":
+                out[name] = NamedSharding(mesh, spec)
+            elif name == "s8":
+                # drop the K axis from the spec: P(l, k, n) -> P(l, n)
+                parts = list(spec)
+                n_axis = parts[-1] if len(parts) >= 1 else None
+                lead = parts[:-2]
+                out[name] = NamedSharding(mesh, P(*lead, n_axis))
+            else:  # pragma: no cover - future leaf kinds stay replicated
+                out[name] = NamedSharding(mesh, P())
+        return out
+
     out = {}
     for k, v in weights.items():
         if v is None:
             out[k] = None
         else:
-            out[k] = NamedSharding(mesh, specs[k])
+            out[k] = leaf_specs(k, v)
     return out
 
 
@@ -79,10 +105,15 @@ def llm_data_shardings(mesh: Mesh) -> dict:
 
 def shard_llm_weights(mesh: Mesh, weights: Any) -> Any:
     shardings = llm_weight_shardings(mesh, weights)
-    return {
-        k: (jax.device_put(v, shardings[k]) if v is not None else None)
-        for k, v in weights.items()
-    }
+
+    def put(v, s):
+        if v is None:
+            return None
+        if isinstance(v, dict):
+            return {name: jax.device_put(arr, s[name]) for name, arr in v.items()}
+        return jax.device_put(v, s)
+
+    return {k: put(v, shardings[k]) for k, v in weights.items()}
 
 
 def codec_data_sharding(mesh: Mesh):
