@@ -78,6 +78,12 @@ class ServingEngine:
         self.ref_slots = SlotPool(max(1, n_ref))
         self.inflight = 0
         self.ref_gen_inflight = 0
+        self.requests_total = 0
+        self.errors_total = 0
+        self.codes_total = 0
+        self.audio_seconds_total = 0.0
+        self.llm_ms_total = 0.0
+        self.synth_ms_total = 0.0
         self._counter_lock = threading.Lock()
         self.reference_init_done = True  # jit warms lazily; no separate pool
 
@@ -86,9 +92,51 @@ class ServingEngine:
 
     # -- counters ---------------------------------------------------------------
 
-    def _count(self, attr: str, delta: int) -> None:
+    def _count(self, attr: str, delta) -> None:
         with self._counter_lock:
             setattr(self, attr, getattr(self, attr) + delta)
+
+    def record_request(self, out: dict, error: bool = False) -> None:
+        """Accumulate served-request totals for /metrics."""
+        with self._counter_lock:
+            self.requests_total += 1
+            if error:
+                self.errors_total += 1
+            self.codes_total += int(out.get("codes", 0) or 0)
+            self.audio_seconds_total += float(out.get("duration_sec", 0.0) or 0.0)
+            self.llm_ms_total += float(out.get("llm_ms", 0.0) or 0.0)
+            self.synth_ms_total += float(out.get("synth_ms", 0.0) or 0.0)
+
+    def metrics_text(self) -> str:
+        """Prometheus text exposition of the serving counters (capability the
+        reference lacks; its only observability is stderr log lines)."""
+        gauges = [
+            ("miotts_inflight", self.inflight, "requests currently running"),
+            ("miotts_reference_generation_inflight", self.ref_gen_inflight,
+             "reference generations currently running"),
+            ("miotts_reference_cache_size", len(self.ref_cache),
+             "cached speaker references"),
+            ("miotts_slots", self.cfg.n_parallel, "configured worker slots"),
+        ]
+        counters = [
+            ("miotts_requests_total", self.requests_total, "served requests"),
+            ("miotts_errors_total", self.errors_total, "failed requests"),
+            ("miotts_codes_total", self.codes_total, "audio codes generated"),
+            ("miotts_audio_seconds_total", self.audio_seconds_total,
+             "seconds of audio synthesized"),
+            ("miotts_llm_ms_total", self.llm_ms_total,
+             "milliseconds spent in LLM generation"),
+            ("miotts_synth_ms_total", self.synth_ms_total,
+             "milliseconds spent in codec synthesis"),
+        ]
+        lines = []
+        for name, val, help_ in gauges:
+            lines += [f"# HELP {name} {help_}", f"# TYPE {name} gauge",
+                      f"{name} {val}"]
+        for name, val, help_ in counters:
+            lines += [f"# HELP {name} {help_}", f"# TYPE {name} counter",
+                      f"{name} {val}"]
+        return "\n".join(lines) + "\n"
 
     # -- reference preload (tts-mio-server.cpp:2608-2629) ------------------------
 

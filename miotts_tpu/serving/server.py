@@ -162,6 +162,14 @@ class MioTTSServer:
                         "external_llm_mode": cfg.llm_api_mode,
                         "llm_shared_context": cfg.llm_shared_context,
                     })
+                elif path == "/metrics":
+                    data = eng.metrics_text().encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4; charset=utf-8")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
                 elif path in ("/mio/references", "/v1/audio/references"):
                     refs = [{"key": k, "embedding_dim": d}
                             for k, d in eng.ref_cache.items()]
@@ -229,13 +237,16 @@ class MioTTSServer:
                 slot = eng.slots.acquire()
                 eng._count("inflight", 1)
                 out: dict = {}
+                ok = False
                 try:
                     eng.run_tts_request_to_file(rp, out)
+                    ok = True
                 except RequestError:
                     raise
                 finally:
                     eng.slots.release(slot)
                     eng._count("inflight", -1)
+                    eng.record_request(out, error=not ok)
                 out["slot"] = slot
                 total = now_ms() - t_begin
                 print(f"generate: path={self.path} slot={slot} ok=true "
@@ -261,11 +272,14 @@ class MioTTSServer:
                 slot = eng.slots.acquire()
                 eng._count("inflight", 1)
                 out: dict = {}
+                ok = False
                 try:
                     res = eng.run_tts_request(rp, out)
+                    ok = True
                 finally:
                     eng.slots.release(slot)
                     eng._count("inflight", -1)
+                    eng.record_request(out, error=not ok)
                 if res is None:
                     self._send_json(out)
                     return
@@ -380,6 +394,10 @@ class MioTTSServer:
                         "synth_ms": synth_ms, "total_ms": total_ms,
                         "wav_size": len(wav)}))
                     sse("audio_data", base64.b64encode(wav).decode())
+                    eng.record_request({
+                        "codes": len(codes), "llm_ms": llm_ms,
+                        "synth_ms": synth_ms,
+                        "duration_sec": result.audio.size / result.sample_rate})
                     print(f"generate: path={self.path} slot={slot} ok=true "
                           f"wait_ms={t_llm - t_wait:.2f} llm_ms={llm_ms:.2f} "
                           f"synth_ms={synth_ms:.2f} total_ms={total_ms:.2f} "

@@ -275,3 +275,23 @@ def test_web_ui_assets(server):
     for route in ("/mio/tts/stream", "/mio/generate_reference",
                   "/mio/add_reference", "/mio/delete_reference", "/mio/references"):
         assert route in body, route
+
+
+def test_metrics_endpoint(server):
+    """GET /metrics: Prometheus text exposition of serving counters
+    (observability the reference lacks)."""
+    srv, *_ = server
+    # serve one request so totals are non-zero
+    with _post_json(srv, "/mio/tts/stream",
+                    {"codes": [1, 2, 3, 4], "reference_key": "preset"}) as r:
+        r.read()
+    with urllib.request.urlopen(_url(srv, "/metrics"), timeout=30) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        body = r.read().decode()
+    assert "# TYPE miotts_requests_total counter" in body
+    lines = dict(l.split(" ", 1) for l in body.splitlines()
+                 if l and not l.startswith("#"))
+    assert float(lines["miotts_requests_total"]) >= 1
+    assert float(lines["miotts_audio_seconds_total"]) > 0
+    assert float(lines["miotts_reference_cache_size"]) >= 1
+    assert float(lines["miotts_inflight"]) == 0
