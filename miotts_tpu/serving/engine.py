@@ -12,6 +12,7 @@ processing.
 from __future__ import annotations
 
 import os
+import sys
 import threading
 import time
 import uuid
@@ -89,6 +90,27 @@ class ServingEngine:
 
         if cfg.reference_file_json:
             self._preload_references(cfg.reference_file_json)
+        if cfg.warmup:
+            self.warmup()
+
+    def warmup(self) -> None:
+        """Compile the serving-critical executables before the first request
+        (TPU addition — with the persistent compilation cache this is a
+        one-time cost per deployment; warm restarts replay from cache)."""
+        t0 = time.perf_counter()
+        emb = (np.zeros(self.pipeline.config.decoder_adanorm_dim, np.float32)
+               if self.pipeline.config.dynamic_global else None)
+        # smallest codec bucket through the micro-batcher (the serving path)
+        self.codec_batcher.synthesize([0, 1, 2, 3], emb)
+        if self.batcher is not None:
+            from ..models.llm import SamplerParams
+
+            handle = self.batcher.submit("warmup", sampler=SamplerParams(),
+                                         n_predict=2)
+            for _ in handle.tokens():
+                pass
+        print(f"warmup: serving executables compiled in "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     # -- counters ---------------------------------------------------------------
 

@@ -638,6 +638,9 @@ def build_arg_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tts-max-reference-seconds", dest="max_reference_seconds",
                    type=float, default=20.0)
+    # TPU addition (no reference counterpart): compile the serving-critical
+    # executables at startup instead of on the first request
+    p.add_argument("--warmup", default="off", choices=["on", "off"])
     return p
 
 
@@ -663,6 +666,7 @@ def main(argv=None) -> int:
         llm_api_url=args.llm_api_url, llm_api_key=args.llm_api_key,
         llm_api_model=args.llm_api_model, llm_api_headers=args.llm_api_headers,
         llm_api_timeout=args.llm_api_timeout, llm_api_mode=args.llm_api_mode,
+        warmup=args.warmup == "on",
     )
     MioTTSServer(cfg).serve_forever()
     return 0

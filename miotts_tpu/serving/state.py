@@ -50,6 +50,7 @@ class ServerConfig:
     llm_api_timeout: int = 120
     llm_api_mode: str = "openai-chat"
     reference_file_json: str = ""
+    warmup: bool = False  # compile serving executables at startup (TPU addition)
 
     @property
     def llm_api_enabled(self) -> bool:
