@@ -36,10 +36,19 @@ class SlotPool:
         self._free = list(range(n))
         self._cv = threading.Condition()
 
-    def acquire(self) -> int:
+    def acquire(self, timeout: float | None = None) -> int:
+        """Blocks for a free slot; with a timeout, raises RequestError 503
+        when the pool stays exhausted (overload shedding — the reference
+        blocks forever on its slot condvar)."""
+        deadline = None if timeout is None else time.perf_counter() + timeout
         with self._cv:
             while not self._free:
-                self._cv.wait()
+                remaining = (None if deadline is None
+                             else deadline - time.perf_counter())
+                if remaining is not None and remaining <= 0:
+                    raise RequestError(
+                        "server is overloaded: no free synthesis slot", 503)
+                self._cv.wait(remaining)
             return self._free.pop(0)
 
     def release(self, idx: int) -> None:

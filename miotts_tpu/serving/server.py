@@ -132,6 +132,10 @@ class MioTTSServer:
 
             def _read_body(self) -> bytes:
                 n = int(self.headers.get("Content-Length", "0") or 0)
+                if n > server.cfg.max_body_bytes:
+                    raise RequestError(
+                        f"request body too large ({n} bytes > "
+                        f"{server.cfg.max_body_bytes})", 413)
                 return self.rfile.read(n) if n else b""
 
             def _json_body(self) -> dict:
@@ -234,7 +238,7 @@ class MioTTSServer:
                 body = self._json_body()
                 rp = parse_request_json(body, server.cfg)
                 eng = server.engine
-                slot = eng.slots.acquire()
+                slot = eng.slots.acquire(timeout=server.cfg.slot_timeout or None)
                 eng._count("inflight", 1)
                 out: dict = {}
                 ok = False
@@ -269,7 +273,7 @@ class MioTTSServer:
                     self._sse_stream(rp, t_begin)
                     return
 
-                slot = eng.slots.acquire()
+                slot = eng.slots.acquire(timeout=server.cfg.slot_timeout or None)
                 eng._count("inflight", 1)
                 out: dict = {}
                 ok = False
@@ -331,7 +335,7 @@ class MioTTSServer:
                         pass
 
                 t_wait = now_ms()
-                slot = eng.slots.acquire()
+                slot = eng.slots.acquire(timeout=server.cfg.slot_timeout or None)
                 eng._count("inflight", 1)
                 try:
                     emb = eng.ref_cache.get(rp.reference_key)
@@ -454,7 +458,7 @@ class MioTTSServer:
                     if not reference_audio:
                         raise RequestError(
                             "reference_audio or multipart file 'audio' is required")
-                    slot = eng.ref_slots.acquire()
+                    slot = eng.ref_slots.acquire(timeout=server.cfg.slot_timeout or None)
                     eng._count("ref_gen_inflight", 1)
                     try:
                         emb = eng.generate_reference(reference_audio, reference_key,
@@ -641,6 +645,9 @@ def build_arg_parser():
     # TPU addition (no reference counterpart): compile the serving-critical
     # executables at startup instead of on the first request
     p.add_argument("--warmup", default="off", choices=["on", "off"])
+    # TPU addition: shed load with 503 after this many seconds waiting for a
+    # free slot (0 = queue forever, the reference behavior)
+    p.add_argument("--slot-timeout", dest="slot_timeout", type=float, default=0.0)
     return p
 
 
@@ -667,6 +674,7 @@ def main(argv=None) -> int:
         llm_api_model=args.llm_api_model, llm_api_headers=args.llm_api_headers,
         llm_api_timeout=args.llm_api_timeout, llm_api_mode=args.llm_api_mode,
         warmup=args.warmup == "on",
+        slot_timeout=args.slot_timeout,
     )
     MioTTSServer(cfg).serve_forever()
     return 0

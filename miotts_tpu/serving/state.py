@@ -51,6 +51,8 @@ class ServerConfig:
     llm_api_mode: str = "openai-chat"
     reference_file_json: str = ""
     warmup: bool = False  # compile serving executables at startup (TPU addition)
+    slot_timeout: float = 0.0  # >0: shed load with 503 instead of queueing forever
+    max_body_bytes: int = 256 * 1024 * 1024  # 413 above this (uploads are ~MBs)
 
     @property
     def llm_api_enabled(self) -> bool:

@@ -295,3 +295,32 @@ def test_metrics_endpoint(server):
     assert float(lines["miotts_audio_seconds_total"]) > 0
     assert float(lines["miotts_reference_cache_size"]) >= 1
     assert float(lines["miotts_inflight"]) == 0
+
+
+def test_body_size_cap_413(server):
+    srv, *_ = server
+    req = urllib.request.Request(
+        _url(srv, "/mio/tts"), data=b"{}",
+        headers={"Content-Type": "application/json",
+                 "Content-Length": str(300 * 1024 * 1024)})
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False, "expected 413"
+    except urllib.error.HTTPError as e:
+        assert e.code == 413
+        j = json.loads(e.read())
+        assert "too large" in j["error"]["message"]
+
+
+def test_slot_pool_timeout_503():
+    from miotts_tpu.serving.engine import SlotPool
+    from miotts_tpu.serving.state import RequestError
+
+    pool = SlotPool(2)
+    a, b = pool.acquire(), pool.acquire()
+    with pytest.raises(RequestError) as ei:
+        pool.acquire(timeout=0.05)
+    assert ei.value.code == 503
+    pool.release(a)
+    assert pool.acquire(timeout=1.0) == a  # frees propagate
+    pool.release(b)
