@@ -93,9 +93,31 @@ class MioTTSServer:
         self.port = self.httpd.server_address[1]
 
     def serve_forever(self):
+        import signal
+
+        def _term(signum, frame):
+            print("mio: SIGTERM received, shutting down", file=sys.stderr)
+            # shutdown() must not run on the serve_forever thread
+            threading.Thread(target=self.shutdown, daemon=True).start()
+
+        try:
+            signal.signal(signal.SIGTERM, _term)
+        except ValueError:  # not the main thread (embedded use)
+            pass
         print(f"mio: server listening on http://{self.cfg.host}:{self.port}",
               file=sys.stderr)
         self.httpd.serve_forever()
+        # drain: handler threads are daemons, so keep the process alive until
+        # in-flight requests finish (bounded — a stuck client can't wedge us)
+        deadline = time.monotonic() + 30.0
+        while ((self.engine.inflight > 0 or self.engine.ref_gen_inflight > 0)
+               and time.monotonic() < deadline):
+            time.sleep(0.1)
+        # inflight drops before the response body finishes streaming; give
+        # handler threads a moment to flush their sockets
+        time.sleep(1.0)
+        print(f"mio: drained (inflight={self.engine.inflight}), exiting",
+              file=sys.stderr)
 
     def start_background(self) -> threading.Thread:
         t = threading.Thread(target=self.httpd.serve_forever, daemon=True)

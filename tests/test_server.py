@@ -324,3 +324,34 @@ def test_slot_pool_timeout_503():
     pool.release(a)
     assert pool.acquire(timeout=1.0) == a  # frees propagate
     pool.release(b)
+
+
+def test_ui_js_structure_sane():
+    """No JS engine exists in this image, so guard the embedded UI script
+    against gross syntax damage: balanced brackets outside strings/comments
+    and terminated string literals."""
+    from miotts_tpu.serving.webui import UI_JS
+
+    pairs = {")": "(", "]": "[", "}": "{"}
+    stack = []
+    i, n = 0, len(UI_JS)
+    while i < n:
+        c = UI_JS[i]
+        if c in "'\"`":
+            q = c
+            i += 1
+            while i < n and UI_JS[i] != q:
+                if UI_JS[i] == "\\":
+                    i += 1
+                i += 1
+            assert i < n, f"unterminated {q} string"
+        elif c == "/" and i + 1 < n and UI_JS[i + 1] == "/":
+            while i < n and UI_JS[i] != "\n":
+                i += 1
+        elif c in "([{":
+            stack.append(c)
+        elif c in ")]}":
+            assert stack and stack[-1] == pairs[c], f"mismatched {c} at {i}"
+            stack.pop()
+        i += 1
+    assert not stack, f"unclosed {stack}"
