@@ -510,6 +510,25 @@ def llm_generate_chunk_batched(
 
 
 @jax.jit
+def _pack_chunk_result(out, n_new, done):
+    """Pack a chunk's host-visible results into one int32 array
+    [B, 2 + n_steps] = [n_new | done | tokens...]."""
+    return jnp.concatenate(
+        [n_new[:, None], done.astype(jnp.int32)[:, None], out], axis=1)
+
+
+def fetch_chunk_result(out, n_new, state):
+    """One blocking device->host transfer per chunk instead of three.
+
+    Each np.asarray fetch pays a full device round trip (tens of ms through
+    a TPU relay), and the streaming/batching loops need (tokens, n_new,
+    done) after every chunk — packing them device-side cuts ~2 RTTs per
+    chunk off time-to-first-audio. Returns (out_np, n_new_np, done_np)."""
+    packed = np.asarray(_pack_chunk_result(out, n_new, state.done))
+    return packed[:, 2:], packed[:, 0], packed[:, 1].astype(bool)
+
+
+@jax.jit
 def attach_lane(state: GenState, lane, logits1, ck1, cv1, pos1, seed) -> GenState:
     """Install a freshly prefilled request into lane ``lane`` of a batched
     GenState (continuous batching: requests join at chunk boundaries).
@@ -648,8 +667,9 @@ class LLMEngine:
             # decode loop per remainder size
             out, n_new, state = llm_generate_chunk(
                 self.config, self.weights, self.eog_ids, chunk, sampler, state)
-            n = int(np.asarray(n_new[0]))
-            toks_np = np.asarray(out[0][:n])[: n_predict - len(generated)]
+            out_np, n_np, done_np = fetch_chunk_result(out, n_new, state)
+            n = int(n_np[0])
+            toks_np = out_np[0][:n][: n_predict - len(generated)]
             stop = False
             for t in toks_np:
                 t = int(t)
@@ -658,6 +678,6 @@ class LLMEngine:
                 if on_token is not None and not on_token(t, len(generated) - 1, is_eog):
                     stop = True
                     break
-            if stop or n < chunk or bool(np.asarray(state.done[0])):
+            if stop or n < chunk or bool(done_np[0]):
                 break
         return generated

@@ -31,6 +31,13 @@ from .models.miocodec import (
 DEFAULT_BUCKETS = (32, 64, 96, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048)
 
 
+@jax.jit
+def _pack_audio(audio_row, n_samples):
+    """[T+1] f32: audio followed by the valid-sample count (single fetch)."""
+    return jnp.concatenate([audio_row.astype(jnp.float32),
+                            n_samples.astype(jnp.float32)[None]])
+
+
 def pick_bucket(n: int, buckets=DEFAULT_BUCKETS) -> int:
     for b in buckets:
         if n <= b:
@@ -150,8 +157,11 @@ class MioTTSPipeline:
             audio, n_samples = self._synth_fn(self.weights, jnp.asarray(tokens), lengths, cond,
                                               interp_anchor_tokens=interp_anchor,
                                               peak_normalize=peak_normalize)
-        audio = np.asarray(audio[0])
-        n_valid = int(n_samples[0])
+        # one packed device->host transfer (audio + sample count) — separate
+        # fetches pay two full round trips through the device link
+        packed = np.asarray(_pack_audio(audio[0], n_samples[0]))
+        audio = packed[:-1]
+        n_valid = int(packed[-1])
         decode_ms = (time.perf_counter() - t0) * 1e3
         return SynthesisResult(
             audio=audio[:n_valid],

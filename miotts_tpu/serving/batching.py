@@ -21,8 +21,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.llm import (
-    CHAT_TEMPLATE, LLMEngine, attach_lane, init_batched_state, init_kv_cache,
-    llm_generate_chunk_batched, llm_prefill, set_lane_done,
+    CHAT_TEMPLATE, LLMEngine, attach_lane, fetch_chunk_result,
+    init_batched_state, init_kv_cache, llm_generate_chunk_batched,
+    llm_prefill, set_lane_done,
 )
 from ..models.sampling import MAX_TOP_K, BatchSamplerParams, SamplerParams
 
@@ -160,9 +161,9 @@ class ContinuousBatcher:
             out, n_new, state = llm_generate_chunk_batched(
                 self.cfg, self.engine.weights, self.engine.eog_ids,
                 self.chunk, sampler, state)
-            out_np = np.asarray(out)
-            n_np = np.asarray(n_new)
-            done_np = np.asarray(state.done)
+            # single packed fetch: three separate np.asarray calls pay three
+            # device round trips per chunk
+            out_np, n_np, done_np = fetch_chunk_result(out, n_new, state)
 
             with self._cv:
                 self.state = state
