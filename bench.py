@@ -90,12 +90,19 @@ def main() -> int:
     cond = jnp.asarray(rng.randn(lanes, ccfg.decoder_adanorm_dim).astype(np.float32))
     codes_j = jnp.asarray(codes)
 
+    @jax.jit
+    def _pack2(a, b):
+        # one fetch instead of two: each np.asarray pays a device round trip
+        return jnp.concatenate([a.reshape(-1).astype(jnp.float32),
+                                b.reshape(-1).astype(jnp.float32)])
+
     def run_codec():
         audio, n = synth(cw, codes_j, clen, cond)
         # np.asarray forces a real device->host fetch: through the axon relay
         # block_until_ready() is not a reliable barrier, and a served request
         # must deliver the PCM bytes anyway
-        return np.asarray(audio), np.asarray(n)
+        packed = np.asarray(_pack2(audio, n))
+        return packed[: audio.size].reshape(audio.shape), packed[audio.size:]
 
     lcfg = lw = tok = None
     if mode in ("pipeline", "llm"):
@@ -112,7 +119,9 @@ def main() -> int:
             ck, cv = init_kv_cache(lcfg, lanes, S)
             out, ngen = llm_generate(lcfg, lw, prompt_j, plen, eog,
                                      jax.random.PRNGKey(0), n_gen, sampler, ck, cv)
-            return np.asarray(out), np.asarray(ngen)
+            packed = np.asarray(_pack2(out, ngen))
+            return packed[: out.size].reshape(out.shape).astype(np.int32), \
+                packed[out.size:].astype(np.int32)
 
     def run_pipeline():
         out, _ = run_llm()  # noqa: F821 — defined when mode needs it
