@@ -105,19 +105,27 @@ class ServingEngine:
     def warmup(self) -> None:
         """Compile the serving-critical executables before the first request
         (TPU addition — with the persistent compilation cache this is a
-        one-time cost per deployment; warm restarts replay from cache)."""
+        one-time cost per deployment; warm restarts replay from cache).
+
+        Covers the codec buckets and LLM prompt buckets typical requests
+        land in, not just the smallest — a cold larger bucket otherwise
+        costs the first matching request its full compile."""
         t0 = time.perf_counter()
         emb = (np.zeros(self.pipeline.config.decoder_adanorm_dim, np.float32)
                if self.pipeline.config.dynamic_global else None)
-        # smallest codec bucket through the micro-batcher (the serving path)
-        self.codec_batcher.synthesize([0, 1, 2, 3], emb)
+        # first three codec buckets through the micro-batcher (serving path):
+        # n_predict defaults (400/700) emit up to a few hundred codes
+        for n_codes in (4, 40, 100):
+            self.codec_batcher.synthesize(list(range(n_codes)), emb)
         if self.batcher is not None:
             from ..models.llm import SamplerParams
 
-            handle = self.batcher.submit("warmup", sampler=SamplerParams(),
-                                         n_predict=2)
-            for _ in handle.tokens():
-                pass
+            # two prompt buckets: short text and a filled first bucket
+            for text in ("warmup", "warmup " * 24):
+                handle = self.batcher.submit(text, sampler=SamplerParams(),
+                                             n_predict=2)
+                for _ in handle.tokens():
+                    pass
         print(f"warmup: serving executables compiled in "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
