@@ -253,6 +253,20 @@ class MioTTSServer:
                     traceback.print_exc()
                     self._send_error_json(f"internal error: {e}", 500)
 
+            def do_DELETE(self):
+                # README-advertised form the reference never implemented
+                # (README.md:188-194 vs tts-mio-server.cpp routes): we
+                # register both this and the POST delete_reference surface
+                path = self.path.split("?")[0]
+                m = re.match(r"^/(?:mio|v1/audio)/references/([^/]+)$", path)
+                if not m:
+                    self._send_error_json("not found", 404)
+                    return
+                try:
+                    self._delete_reference_by_key(m.group(1))
+                except RequestError as e:
+                    self._send_error_json(str(e), e.code)
+
             # -- handlers ------------------------------------------------------
 
             def _handle_tts(self):
@@ -583,8 +597,6 @@ class MioTTSServer:
                 })
 
             def _handle_delete_reference(self):
-                eng = server.engine
-                cfg = server.cfg
                 ctype = self.headers.get("Content-Type", "")
                 reference_key = ""
                 if ctype.startswith("multipart/form-data"):
@@ -593,6 +605,11 @@ class MioTTSServer:
                 else:
                     body = self._json_body()
                     reference_key = body.get("reference_key") or body.get("key", "") or ""
+                self._delete_reference_by_key(reference_key)
+
+            def _delete_reference_by_key(self, reference_key):
+                eng = server.engine
+                cfg = server.cfg
                 if not is_valid_reference_key(reference_key):
                     raise RequestError("reference_key (or key) is invalid")
                 removed = eng.ref_cache.remove(reference_key)

@@ -355,3 +355,24 @@ def test_ui_js_structure_sane():
             stack.pop()
         i += 1
     assert not stack, f"unclosed {stack}"
+
+
+def test_delete_reference_restful_alias(server, tmp_path):
+    """DELETE /mio/references/:key — the form the reference README advertises
+    but its code never registers (SURVEY §7 step 7); we serve both."""
+    srv, d, emb_path, _ = server
+    _post_json(srv, "/mio/add_reference",
+               {"reference_key": "rest_del", "path": str(emb_path)}).read()
+    req = urllib.request.Request(_url(srv, "/mio/references/rest_del"),
+                                 method="DELETE")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        j = json.loads(r.read())
+    assert j["ok"] and j["reference_key"] == "rest_del" and j["removed"]
+    # unknown key -> 404; unknown path shape -> 404
+    for path in ("/mio/references/rest_del", "/mio/unknown/shape"):
+        req = urllib.request.Request(_url(srv, path), method="DELETE")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
