@@ -31,6 +31,30 @@ def wav16_header(n_samples: int, sample_rate: int, num_channels: int = 1) -> byt
     )
 
 
+def wav16_streaming_header(sample_rate: int, num_channels: int = 1) -> bytes:
+    """WAV header for incremental delivery of a stream whose final length is
+    unknown when the response starts: RIFF/data sizes carry the 0xFFFFFFFF
+    streaming convention. The reference always synthesizes fully before
+    sending (tts-mio-server.cpp:3876-3886); chunked streaming delivery is a
+    TPU-framework addition (BASELINE config 4)."""
+    bits = 16
+    byte_rate = sample_rate * num_channels * (bits // 8)
+    block_align = num_channels * (bits // 8)
+    return struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 0xFFFFFFFF, b"WAVE",
+        b"fmt ", 16, 1, num_channels, sample_rate, byte_rate, block_align, bits,
+        b"data", 0xFFFFFFFF,
+    )
+
+
+def encode_pcm16(audio: np.ndarray) -> bytes:
+    """f32 [-1,1] -> little-endian 16-bit PCM bytes (same clamp/round as
+    encode_wav16, without the header — for streaming chunks)."""
+    x = np.clip(np.asarray(audio, dtype=np.float32), -1.0, 1.0)
+    return np.rint(x * 32767.0).astype("<i2").tobytes()
+
+
 def encode_wav16(audio: np.ndarray, sample_rate: int) -> bytes:
     from .native import encode_wav16_native
 

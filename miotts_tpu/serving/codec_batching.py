@@ -29,12 +29,17 @@ class CodecMicroBatcher:
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
-    def synthesize(self, codes: list[int], embedding: np.ndarray | None) -> SynthesisResult:
-        """Blocking call; batches with concurrent callers. Raises like
-        MioTTSPipeline.synthesize on invalid inputs."""
+    def synthesize(self, codes: list[int], embedding: np.ndarray | None,
+                   interp_anchor: int | None = None,
+                   peak_normalize: bool = True) -> SynthesisResult:
+        """Blocking call; batches with concurrent callers that share the same
+        (interp_anchor, peak_normalize) options — e.g. all streaming prefix
+        re-decodes batch together, as do all full synthesis calls. Raises
+        like MioTTSPipeline.synthesize on invalid inputs."""
         codes_arr, embedding = self.pipeline.validate_request(codes, embedding)
         fut: Future = Future()
-        self._q.put((codes_arr.tolist(), embedding, fut))
+        opts = (interp_anchor, peak_normalize)
+        self._q.put((codes_arr.tolist(), embedding, opts, fut))
         return fut.result()
 
     def shutdown(self) -> None:
@@ -67,55 +72,65 @@ class CodecMicroBatcher:
         return batch
 
     def _run(self) -> None:
-        import jax.numpy as jnp
-        import jax
-
-        cfg = self.pipeline.config
         while True:
             batch = self._gather()
             if batch is None:
                 return
-            try:
-                lengths = [len(c) for c, _, _ in batch]
-                bucket = pick_bucket(max(lengths), self.pipeline.buckets)
-                # fixed lane count: one compiled executable per LENGTH bucket
-                # (a varying batch dim would recompile per concurrency level;
-                # idle lanes are near-free on the MXU)
-                B = self.max_batch
-                tokens = np.zeros((B, bucket), np.int32)
-                lane_len = [1] * B
-                for i, (codes, _, _) in enumerate(batch):
-                    tokens[i, : len(codes)] = codes
-                    lane_len[i] = len(codes)
-                lengths = lane_len
-                if cfg.dynamic_global:
-                    dc = cfg.decoder_adanorm_dim
-                    cond = np.zeros((B, dc), np.float32)
-                    for i, (_, e, _) in enumerate(batch):
-                        cond[i] = np.asarray(e, np.float32).reshape(-1)
-                    cond_j = jnp.asarray(cond)
-                else:
-                    cond_j = None
-                import time as _t
+            # one device call per distinct option set (two in practice:
+            # full synthesis and streaming prefix re-decodes)
+            groups: dict[tuple, list[tuple]] = {}
+            for item in batch:
+                groups.setdefault(item[2], []).append(item)
+            for opts, items in groups.items():
+                self._run_group(opts, items)
 
-                t0 = _t.perf_counter()
-                audio, n_samples = self.pipeline._synth_fn(
-                    self.pipeline.weights, jnp.asarray(tokens),
-                    jnp.asarray(lengths, jnp.int32), cond_j,
-                    interp_anchor_tokens=None, peak_normalize=True)
-                audio_np = np.asarray(audio)
-                n_np = np.asarray(n_samples)
-                decode_ms = (_t.perf_counter() - t0) * 1e3
-                for i, (codes, _, fut) in enumerate(batch):
-                    n_valid = int(n_np[i])
-                    fut.set_result(SynthesisResult(
-                        audio=audio_np[i, :n_valid],
-                        sample_rate=cfg.sample_rate,
-                        decode_ms=decode_ms,
-                        n_codes=len(codes),
-                        n_frames=n_valid // cfg.hop_length,
-                    ))
-            except Exception as e:  # deliver the failure to every waiter
-                for _, _, fut in batch:
-                    if not fut.done():
-                        fut.set_exception(e)
+    def _run_group(self, opts: tuple, batch: list[tuple]) -> None:
+        import jax.numpy as jnp
+
+        cfg = self.pipeline.config
+        interp_anchor, peak_normalize = opts
+        try:
+            lengths = [len(c) for c, _, _, _ in batch]
+            bucket = pick_bucket(max(lengths), self.pipeline.buckets)
+            # fixed lane count: one compiled executable per LENGTH bucket
+            # (a varying batch dim would recompile per concurrency level;
+            # idle lanes are near-free on the MXU)
+            B = self.max_batch
+            tokens = np.zeros((B, bucket), np.int32)
+            lane_len = [1] * B
+            for i, (codes, _, _, _) in enumerate(batch):
+                tokens[i, : len(codes)] = codes
+                lane_len[i] = len(codes)
+            lengths = lane_len
+            if cfg.dynamic_global:
+                dc = cfg.decoder_adanorm_dim
+                cond = np.zeros((B, dc), np.float32)
+                for i, (_, e, _, _) in enumerate(batch):
+                    cond[i] = np.asarray(e, np.float32).reshape(-1)
+                cond_j = jnp.asarray(cond)
+            else:
+                cond_j = None
+            import time as _t
+
+            t0 = _t.perf_counter()
+            audio, n_samples = self.pipeline._synth_fn(
+                self.pipeline.weights, jnp.asarray(tokens),
+                jnp.asarray(lengths, jnp.int32), cond_j,
+                interp_anchor_tokens=interp_anchor,
+                peak_normalize=peak_normalize)
+            audio_np = np.asarray(audio)
+            n_np = np.asarray(n_samples)
+            decode_ms = (_t.perf_counter() - t0) * 1e3
+            for i, (codes, _, _, fut) in enumerate(batch):
+                n_valid = int(n_np[i])
+                fut.set_result(SynthesisResult(
+                    audio=audio_np[i, :n_valid],
+                    sample_rate=cfg.sample_rate,
+                    decode_ms=decode_ms,
+                    n_codes=len(codes),
+                    n_frames=n_valid // cfg.hop_length,
+                ))
+        except Exception as e:  # deliver the failure to every waiter
+            for _, _, _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(e)

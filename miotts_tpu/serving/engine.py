@@ -232,6 +232,134 @@ class ServingEngine:
         out["llm_ms"] = now_ms() - t0
         return codes
 
+    # -- embedding resolution (tts-mio-server.cpp:2258-2324 order) ----------------
+
+    def _resolve_embedding(self, rp: RequestParams) -> np.ndarray | None:
+        if rp.embedding_in:
+            try:
+                return self.pipeline.load_embedding(rp.embedding_in)
+            except Exception as e:
+                raise RequestError(f"mio_tts_embedding_load_gguf failed: {e}")
+        if rp.reference_key:
+            embedding = self.ref_cache.get(rp.reference_key)
+            if embedding is None or embedding.size == 0:
+                raise RequestError(f"reference_key not found: {rp.reference_key}")
+            return embedding
+        if rp.reference_audio:
+            raise RequestError("reference_audio is not supported in synthesis requests. "
+                               "use /mio/generate_reference then reference_key")
+        default_emb = rp.embedding_default_in or self.cfg.embedding_default_in
+        if default_emb and self.pipeline.is_dynamic_global:
+            try:
+                return self.pipeline.load_embedding(default_emb)
+            except Exception as e:
+                raise RequestError(f"mio_tts_embedding_load_gguf (default) failed: {e}")
+        return None
+
+    # -- streaming request flow (BASELINE config 4; no reference counterpart) -----
+
+    def run_streaming_request(self, rp: RequestParams, out: dict,
+                              on_token=None, on_audio=None,
+                              on_codes=None) -> tuple[np.ndarray, int]:
+        """Incremental synthesis: token generation (continuous-batcher lane)
+        interleaved with prefix re-decodes, so PCM leaves the server while
+        the LLM is still generating. ``on_audio(pcm: np.ndarray)`` fires per
+        stabilized chunk; ``on_token`` as in ``_generate_codes``;
+        ``on_codes(codes)`` fires once when code acquisition completes (the
+        SSE handler emits generation_complete there). Returns (full audio
+        f32, sample_rate); also fills ``out`` like ``run_tts_request`` does
+        for synthesis.
+        """
+        from ..streaming import StreamingSynthesizer
+
+        embedding = self._resolve_embedding(rp)
+        ss = StreamingSynthesizer(
+            self.pipeline, embedding,
+            synth_fn=self.codec_batcher.synthesize)
+        pieces: list[np.ndarray] = []
+        pending: list[int] = []
+        t_synth = 0.0
+
+        def emit_pending():
+            nonlocal t_synth
+            if not pending:
+                return
+            t0 = now_ms()
+            pcm = ss.feed(pending)
+            t_synth += now_ms() - t0
+            pending.clear()
+            if pcm.size:
+                pieces.append(pcm)
+                if on_audio is not None:
+                    on_audio(pcm)
+
+        token_chunk = 16
+        # first audio as early as the lookahead window allows (TTFA), then
+        # steady-state chunks of token_chunk codes
+        first_feed = ss.lookahead + 4
+
+        def tok_cb(tok, index, is_eog):
+            cont = True
+            if on_token is not None:
+                cont = on_token(tok, index, is_eog)
+            code = self.llm.token_to_code_or_none(tok) if self.llm else None
+            if code is not None:
+                pending.append(code)
+            if len(pending) >= token_chunk or (
+                    ss.emitted == 0
+                    and len(ss.codes) + len(pending) >= first_feed):
+                emit_pending()
+            return cont
+
+        # codes either stream through tok_cb (local LLM) or arrive whole
+        # (inline/codes_in/external API) — then the chunked feed below still
+        # emits PCM ahead of the final full decode
+        if rp.inline_codes:
+            codes = list(rp.inline_codes)
+            out["codes"] = len(codes)
+        elif rp.codes_in:
+            try:
+                codes = load_codes(rp.codes_in)
+            except (OSError, ValueError) as e:
+                raise RequestError(f"mio_tts_codes_load failed: {e}")
+            out["codes"] = len(codes)
+        elif rp.text:
+            codes = self._generate_codes(rp, out, on_token=tok_cb)
+            out["codes"] = len(codes)
+        else:
+            raise RequestError("either text/prompt, codes, or codes_in is required")
+
+        if on_codes is not None:
+            on_codes(codes)
+        if not ss.codes and not pending:
+            # non-streamed code source: feed in chunks for incremental output
+            for off in range(0, len(codes), token_chunk):
+                pending.extend(codes[off:off + token_chunk])
+                emit_pending()
+        else:
+            emit_pending()
+        t0 = now_ms()
+        tail = ss.finalize()
+        t_synth += now_ms() - t0
+        if tail.size:
+            pieces.append(tail)
+            if on_audio is not None:
+                on_audio(tail)
+
+        audio = (np.concatenate(pieces) if pieces
+                 else np.zeros(0, np.float32))
+        sr = self.pipeline.sample_rate
+        out["synth_ms"] = t_synth
+        out["ok"] = True
+        out["mode"] = "streaming_synthesis"
+        out["sample_rate"] = sr
+        out["n_audio"] = int(audio.size)
+        out["duration_sec"] = audio.size / sr
+        out["embedding_dim"] = int(embedding.size) if embedding is not None else 0
+        out["reference_key"] = rp.reference_key
+        out["key"] = rp.reference_key
+        return audio, sr
+
     # -- main request flow (run_tts_request parity) -------------------------------
 
     def run_tts_request(self, rp: RequestParams, out: dict,
@@ -265,26 +393,7 @@ class ServingEngine:
             except (OSError, ValueError) as e:
                 raise RequestError(f"mio_tts_codes_save failed: {e}")
 
-        embedding: np.ndarray | None = None
-        if rp.embedding_in:
-            try:
-                embedding = self.pipeline.load_embedding(rp.embedding_in)
-            except Exception as e:
-                raise RequestError(f"mio_tts_embedding_load_gguf failed: {e}")
-        elif rp.reference_key:
-            embedding = self.ref_cache.get(rp.reference_key)
-            if embedding is None or embedding.size == 0:
-                raise RequestError(f"reference_key not found: {rp.reference_key}")
-        elif rp.reference_audio:
-            raise RequestError("reference_audio is not supported in synthesis requests. "
-                               "use /mio/generate_reference then reference_key")
-        else:
-            default_emb = rp.embedding_default_in or self.cfg.embedding_default_in
-            if default_emb and self.pipeline.is_dynamic_global:
-                try:
-                    embedding = self.pipeline.load_embedding(default_emb)
-                except Exception as e:
-                    raise RequestError(f"mio_tts_embedding_load_gguf (default) failed: {e}")
+        embedding = self._resolve_embedding(rp)
 
         if rp.embedding_out:
             if embedding is None or embedding.size == 0:

@@ -308,6 +308,9 @@ class MioTTSServer:
                         raise RequestError("stream_tokens requires text input")
                     self._sse_stream(rp, t_begin)
                     return
+                if rp.stream_audio and not rp.codes_only and not rp.embedding_only:
+                    self._binary_audio_stream(rp, t_begin)
+                    return
 
                 slot = eng.slots.acquire(timeout=server.cfg.slot_timeout or None)
                 eng._count("inflight", 1)
@@ -381,18 +384,12 @@ class MioTTSServer:
                         finish()
                         return
 
-                    if eng.llm is None:
+                    if eng.llm is None and not server.cfg.llm_api_enabled:
                         sse("error", json.dumps(
                             {"error": "text generation requested but LLM model is not loaded"}))
                         finish()
                         return
 
-                    from ..models.llm import SamplerParams
-
-                    sampler = SamplerParams(temp=rp.temp, top_k=rp.top_k,
-                                            top_p=rp.top_p,
-                                            repeat_penalty=rp.repeat_penalty,
-                                            seed=rp.seed)
                     t_llm = now_ms()
 
                     def on_token(tok, index, is_eog):
@@ -404,49 +401,150 @@ class MioTTSServer:
                             ev["eog"] = True
                         return sse("token", json.dumps(ev))
 
-                    tokens = eng.llm.generate_audio_tokens_streaming(
-                        rp.text, on_token, n_predict=rp.n_predict,
-                        n_ctx=rp.n_ctx, sampler=sampler)
-                    llm_ms = now_ms() - t_llm
-                    codes = eng.llm.tokens_to_codes(tokens)
-                    if not codes:
-                        sse("error", json.dumps(
-                            {"error": "no Mio audio codes were found in token sequence"}))
-                        finish()
-                        return
-                    sse("generation_complete", json.dumps({
-                        "n_tokens": len(tokens), "n_codes": len(codes),
-                        "llm_ms": llm_ms}))
-
-                    t_synth = now_ms()
+                    out: dict = {}
                     try:
-                        result = eng.pipeline.synthesize(codes, emb)
-                    except ValueError as e:
+                        if rp.stream_audio:
+                            # incremental PCM: audio_chunk events interleave
+                            # with token events while generation runs
+                            chunk_state = {"seq": 0, "samples": 0}
+
+                            def on_audio(pcm):
+                                from ..runtime.audio_io import encode_pcm16
+
+                                chunk_state["seq"] += 1
+                                chunk_state["samples"] += int(pcm.size)
+                                sse("audio_chunk", json.dumps({
+                                    "seq": chunk_state["seq"] - 1,
+                                    "n_samples": int(pcm.size),
+                                    "pcm16": base64.b64encode(
+                                        encode_pcm16(pcm)).decode()}))
+
+                            def on_codes(codes):
+                                sse("generation_complete", json.dumps({
+                                    "n_tokens": out.get("n_tokens", len(codes)),
+                                    "n_codes": len(codes),
+                                    "llm_ms": out.get("llm_ms",
+                                                      now_ms() - t_llm)}))
+
+                            audio, sr = eng.run_streaming_request(
+                                rp, out, on_token=on_token, on_audio=on_audio,
+                                on_codes=on_codes)
+                            total_ms = now_ms() - t_begin
+                            sse("audio_meta", json.dumps({
+                                "sample_rate": sr,
+                                "n_audio": int(audio.size),
+                                "n_chunks": chunk_state["seq"],
+                                "streamed": True,
+                                "synth_ms": out.get("synth_ms", 0.0),
+                                "total_ms": total_ms}))
+                        else:
+                            # single generation path: the continuous batcher
+                            # (concurrent SSE streams share chunk steps, vs
+                            # the reference's llm_gen_mutex serialization,
+                            # tts-mio-server.cpp:3786-3807)
+                            codes = eng._generate_codes(rp, out, on_token=on_token)
+                            sse("generation_complete", json.dumps({
+                                "n_tokens": out.get("n_tokens", len(codes)),
+                                "n_codes": len(codes),
+                                "llm_ms": out["llm_ms"]}))
+
+                            t_synth = now_ms()
+                            result = eng.codec_batcher.synthesize(codes, emb)
+                            synth_ms = now_ms() - t_synth
+                            out["synth_ms"] = synth_ms
+                            out["codes"] = len(codes)
+                            out["duration_sec"] = (result.audio.size
+                                                   / result.sample_rate)
+                            wav = encode_wav16(result.audio, result.sample_rate)
+                            total_ms = now_ms() - t_begin
+                            sse("audio_meta", json.dumps({
+                                "sample_rate": result.sample_rate,
+                                "n_audio": int(result.audio.size),
+                                "synth_ms": synth_ms, "total_ms": total_ms,
+                                "wav_size": len(wav)}))
+                            sse("audio_data", base64.b64encode(wav).decode())
+                    except (RequestError, ValueError) as e:
                         sse("error", json.dumps({"error": str(e)}))
                         finish()
                         return
-                    synth_ms = now_ms() - t_synth
-                    wav = encode_wav16(result.audio, result.sample_rate)
-                    total_ms = now_ms() - t_begin
-                    sse("audio_meta", json.dumps({
-                        "sample_rate": result.sample_rate,
-                        "n_audio": int(result.audio.size),
-                        "synth_ms": synth_ms, "total_ms": total_ms,
-                        "wav_size": len(wav)}))
-                    sse("audio_data", base64.b64encode(wav).decode())
-                    eng.record_request({
-                        "codes": len(codes), "llm_ms": llm_ms,
-                        "synth_ms": synth_ms,
-                        "duration_sec": result.audio.size / result.sample_rate})
+                    eng.record_request(out)
                     print(f"generate: path={self.path} slot={slot} ok=true "
-                          f"wait_ms={t_llm - t_wait:.2f} llm_ms={llm_ms:.2f} "
-                          f"synth_ms={synth_ms:.2f} total_ms={total_ms:.2f} "
-                          f"n_predict={rp.n_predict} n_codes={len(codes)} "
-                          f"ref={rp.reference_key} mode=sse_stream", file=sys.stderr)
+                          f"wait_ms={t_llm - t_wait:.2f} "
+                          f"llm_ms={out.get('llm_ms', 0.0):.2f} "
+                          f"synth_ms={out.get('synth_ms', 0.0):.2f} "
+                          f"total_ms={now_ms() - t_begin:.2f} "
+                          f"n_predict={rp.n_predict} n_codes={out.get('codes', 0)} "
+                          f"ref={rp.reference_key} mode="
+                          f"{'sse_stream_audio' if rp.stream_audio else 'sse_stream'}",
+                          file=sys.stderr)
                     finish()
                 finally:
                     eng.slots.release(slot)
                     eng._count("inflight", -1)
+
+            def _binary_audio_stream(self, rp, t_begin):
+                """stream_audio without stream_tokens: chunked streaming WAV —
+                PCM bytes leave the socket while generation is still running
+                (the reference sends audio only after full synthesis,
+                tts-mio-server.cpp:3876-3886)."""
+                eng = server.engine
+                if not (rp.text or rp.inline_codes or rp.codes_in):
+                    raise RequestError("either text/prompt, codes, or codes_in is required")
+                # resolve before headers so failures are still normal JSON errors
+                eng._resolve_embedding(rp)
+                if rp.text and eng.llm is None and not server.cfg.llm_api_enabled:
+                    raise RequestError("text generation requested but LLM model is not loaded")
+
+                slot = eng.slots.acquire(timeout=server.cfg.slot_timeout or None)
+                eng._count("inflight", 1)
+                out: dict = {}
+                ok = False
+                try:
+                    from ..runtime.audio_io import encode_pcm16, wav16_streaming_header
+
+                    sr = eng.pipeline.sample_rate
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.send_header("X-Slot", str(slot))
+                    self.send_header("X-Sample-Rate", str(sr))
+                    self.send_header("X-Audio-Streaming", "1")
+                    if rp.reference_key:
+                        self.send_header("X-Reference-Key", rp.reference_key)
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+
+                    def write_chunk(data: bytes):
+                        self.wfile.write(f"{len(data):X}\r\n".encode()
+                                         + data + b"\r\n")
+                        self.wfile.flush()
+
+                    write_chunk(wav16_streaming_header(sr))
+
+                    def on_audio(pcm):
+                        write_chunk(encode_pcm16(pcm))
+
+                    try:
+                        audio, _sr = eng.run_streaming_request(
+                            rp, out, on_audio=on_audio)
+                        ok = True
+                    except (RequestError, ValueError) as e:
+                        # headers are gone; terminate the chunked body so the
+                        # client sees a truncated-but-well-formed stream
+                        print(f"generate: path={self.path} slot={slot} ok=false "
+                              f"error={e}", file=sys.stderr)
+                    self.wfile.write(b"0\r\n\r\n")
+                finally:
+                    eng.slots.release(slot)
+                    eng._count("inflight", -1)
+                    eng.record_request(out, error=not ok)
+                if ok:
+                    print(f"generate: path={self.path} slot={slot} ok=true "
+                          f"llm_ms={out.get('llm_ms', 0.0):.2f} "
+                          f"synth_ms={out.get('synth_ms', 0.0):.2f} "
+                          f"total_ms={now_ms() - t_begin:.2f} "
+                          f"n_predict={rp.n_predict} n_codes={out.get('codes', 0)} "
+                          f"ref={rp.reference_key or '-'} mode=binary_stream_audio",
+                          file=sys.stderr)
 
             def _handle_generate_reference(self):
                 eng = server.engine

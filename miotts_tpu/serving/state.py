@@ -82,6 +82,11 @@ class RequestParams:
     codes_only: bool = False
     embedding_only: bool = False
     stream_tokens: bool = False
+    # TPU addition (BASELINE config 4): deliver audio incrementally while
+    # generation runs — SSE ``audio_chunk`` events (with stream_tokens) or a
+    # chunked streaming WAV body (without). The reference always synthesizes
+    # fully before sending (tts-mio-server.cpp:3876-3886).
+    stream_audio: bool = False
     inline_codes: list[int] = dataclasses.field(default_factory=list)
 
 
@@ -128,7 +133,7 @@ def parse_request_json(body: dict, cfg: ServerConfig) -> RequestParams:
                        ("max_reference_seconds", "max_reference_seconds")]:
         if key in body and body[key] is not None:
             setattr(rp, field, float(body[key]))
-    for field in ("codes_only", "embedding_only", "stream_tokens"):
+    for field in ("codes_only", "embedding_only", "stream_tokens", "stream_audio"):
         if field in body and body[field] is not None:
             setattr(rp, field, bool(body[field]))
 

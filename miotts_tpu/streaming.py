@@ -35,6 +35,7 @@ class StreamingSynthesizer:
         lookahead_tokens: int = 8,
         crossfade_samples: int = 128,
         min_decode_tokens: int = 4,
+        synth_fn=None,
     ):
         self.pipeline = pipeline
         self.embedding = embedding
@@ -45,13 +46,16 @@ class StreamingSynthesizer:
         self.emitted = 0  # samples already returned
         self._prev_audio: np.ndarray | None = None
         self.sample_rate = pipeline.sample_rate
+        # pluggable decode (pipeline.synthesize signature): the server passes
+        # its CodecMicroBatcher so concurrent streams share device calls
+        self._synth = synth_fn or pipeline.synthesize
 
     INTERP_ANCHOR = 1024  # fixed resample ratio across prefix re-decodes
 
     def _decode_prefix(self) -> np.ndarray:
-        result = self.pipeline.synthesize(self.codes, self.embedding,
-                                          interp_anchor=self.INTERP_ANCHOR,
-                                          peak_normalize=False)
+        result = self._synth(self.codes, self.embedding,
+                             interp_anchor=self.INTERP_ANCHOR,
+                             peak_normalize=False)
         return result.audio
 
     def _emit(self, audio: np.ndarray, upto: int) -> np.ndarray:

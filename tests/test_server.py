@@ -376,3 +376,121 @@ def test_delete_reference_restful_alias(server, tmp_path):
             assert False, "expected 404"
         except urllib.error.HTTPError as e:
             assert e.code == 404
+
+
+def _parse_sse(body: str):
+    events, order = {}, []
+    for block in body.strip().split("\n\n"):
+        lines = block.split("\n")
+        ev = next((l[7:] for l in lines if l.startswith("event: ")), None)
+        data = next((l[6:] for l in lines if l.startswith("data: ")), None)
+        if ev:
+            events.setdefault(ev, []).append(data)
+            order.append(ev)
+    return events, order
+
+
+def test_tts_sse_stream_audio(server):
+    """stream_audio=true on the SSE path: incremental PCM arrives as
+    audio_chunk events BEFORE generation completes (BASELINE config 4 made
+    public — the reference only sends audio after full synthesis)."""
+    srv, *_ = server
+    # "x" is chosen so the synthetic LLM emits enough audio codes before its
+    # 32-token budget that the first chunk stabilizes mid-generation
+    with _post_json(srv, "/mio/tts/stream",
+                    {"text": "x", "reference_key": "preset",
+                     "stream_tokens": True, "stream_audio": True,
+                     "n_predict": 48}) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        body = r.read().decode()
+    events, order = _parse_sse(body)
+    assert "token" in events
+    assert "audio_chunk" in events, order
+    assert "generation_complete" in events
+    # audio streamed while tokens were still being produced
+    assert order.index("audio_chunk") < order.index("generation_complete")
+    meta = json.loads(events["audio_meta"][0])
+    assert meta["streamed"] is True and meta["sample_rate"] == 24000
+    # reassembled chunks == n_audio samples, seq is contiguous
+    total = 0
+    for i, raw in enumerate(events["audio_chunk"]):
+        c = json.loads(raw)
+        assert c["seq"] == i
+        pcm = base64.b64decode(c["pcm16"])
+        assert len(pcm) == 2 * c["n_samples"]
+        total += c["n_samples"]
+    assert total == meta["n_audio"] > 0
+    assert "audio_data" not in events  # chunks replace the monolithic blob
+
+
+def test_tts_binary_stream_audio(server):
+    """stream_audio=true without stream_tokens: chunked streaming WAV whose
+    header carries the unknown-length convention and whose PCM reassembles
+    to a playable mono stream."""
+    import struct
+
+    srv, *_ = server
+    with _post_json(srv, "/mio/tts/stream",
+                    {"text": "hello binary stream", "reference_key": "preset",
+                     "stream_audio": True, "n_predict": 24}) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        assert r.headers["X-Audio-Streaming"] == "1"
+        assert int(r.headers["X-Sample-Rate"]) == 24000
+        data = r.read()
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    riff_size, = struct.unpack_from("<I", data, 4)
+    data_size, = struct.unpack_from("<I", data, 40)
+    assert riff_size == 0xFFFFFFFF and data_size == 0xFFFFFFFF
+    assert (len(data) - 44) % 2 == 0 and len(data) > 44
+
+
+def test_tts_binary_stream_audio_inline_codes(server):
+    """Streaming delivery also works for pre-supplied codes (chunked feed)."""
+    srv, *_ = server
+    with _post_json(srv, "/mio/tts/stream",
+                    {"codes": list(range(40)), "reference_key": "preset",
+                     "stream_audio": True}) as r:
+        assert r.headers["X-Audio-Streaming"] == "1"
+        data = r.read()
+    assert data[:4] == b"RIFF" and len(data) > 44
+
+
+def test_streaming_request_audio_before_generation_done(server):
+    """Engine-level ordering proof: on_audio fires before code acquisition
+    finishes, i.e. PCM really leaves while the LLM is still generating."""
+    from miotts_tpu.serving.state import parse_request_json
+
+    srv, *_ = server
+    eng = srv.engine
+    rp = parse_request_json(
+        {"text": "interleave please", "reference_key": "preset",
+         "n_predict": 48}, srv.cfg)
+    seq = []
+    audio, sr = eng.run_streaming_request(
+        rp, {}, on_audio=lambda pcm: seq.append("audio"),
+        on_codes=lambda codes: seq.append("codes_done"))
+    assert "audio" in seq and "codes_done" in seq
+    assert seq.index("audio") < seq.index("codes_done"), seq
+    assert audio.size > 0 and sr == 24000
+
+
+def test_sse_concurrent_streams_share_batcher(server):
+    """Concurrent SSE requests run through the continuous batcher (shared
+    chunk steps) — all succeed and produce audio (vs the reference's
+    llm_gen_mutex serialization, tts-mio-server.cpp:3786-3807)."""
+    import concurrent.futures
+
+    srv, *_ = server
+
+    def one(i):
+        with _post_json(srv, "/mio/tts/stream",
+                        {"text": f"concurrent {i}", "reference_key": "preset",
+                         "stream_tokens": True, "n_predict": 16}) as r:
+            events, _ = _parse_sse(r.read().decode())
+        return events
+
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        results = list(ex.map(one, range(4)))
+    for events in results:
+        assert "generation_complete" in events, events.keys()
+        assert "audio_data" in events
