@@ -120,3 +120,85 @@ def codec_data_sharding(mesh: Mesh):
     """Codec decode shards over batch lanes only (model is small; weights
     replicated)."""
     return NamedSharding(mesh, P("dp", None))
+
+
+# ---------------------------------------------------------------------------
+# serving fan-out (--mio-backend-devices)
+# ---------------------------------------------------------------------------
+
+def parse_backend_devices(spec: str):
+    """Resolve the ``--mio-backend-devices`` flag to a device list.
+
+    The reference takes comma-separated GGML backend names and round-robins
+    worker slots over them (tts-mio-server.cpp:950-984, 2659-2746); the
+    TPU-native equivalent is a dp mesh over the named chips, with batch
+    lanes sharded across it. Accepted forms:
+      ""            -> None (single default device)
+      "all"         -> every visible device
+      "4"           -> first 4 devices
+      "0,2,3"       -> devices by index
+      "TPU:0,TPU:1" -> devices by platform:id name (case-insensitive)
+    """
+    spec = (spec or "").strip()
+    if not spec:
+        return None
+    devices = jax.devices()
+    if spec.lower() == "all":
+        return list(devices)
+    parts = [p.strip() for p in spec.split(",") if p.strip()]
+    if len(parts) == 1 and parts[0].isdigit():
+        n = int(parts[0])
+        if n < 1 or n > len(devices):
+            raise ValueError(
+                f"--mio-backend-devices requests {n} devices, "
+                f"{len(devices)} visible")
+        return list(devices[:n])
+    out = []
+    by_name = {f"{d.platform}:{d.id}".lower(): d for d in devices}
+    for p in parts:
+        if p.isdigit():
+            i = int(p)
+            if i >= len(devices):
+                raise ValueError(f"device index {i} out of range "
+                                 f"({len(devices)} visible)")
+            out.append(devices[i])
+        elif p.lower() in by_name:
+            out.append(by_name[p.lower()])
+        else:
+            raise ValueError(
+                f"unknown device {p!r}; visible: {sorted(by_name)}")
+    return out
+
+
+def replicate_tree(mesh: Mesh, tree: Any) -> Any:
+    """device_put every array leaf fully replicated over the mesh (weights
+    of models small enough to copy per chip: the codec and the 0.1B LLM)."""
+    s = NamedSharding(mesh, P())
+
+    def put(v):
+        if v is None:
+            return None
+        return jax.device_put(v, s)
+
+    return jax.tree.map(put, tree)
+
+
+def gen_state_shardings(mesh: Mesh) -> dict:
+    """Per-leaf shardings for a batched GenState (models/llm.py): lanes over
+    dp, KV heads over tp (tp=1 in dp-only serving meshes)."""
+    return {
+        "logits": NamedSharding(mesh, P("dp", None)),
+        "cache_k": NamedSharding(mesh, P(None, "dp", None, "tp", None)),
+        "cache_v": NamedSharding(mesh, P(None, "dp", None, "tp", None)),
+        "pos": NamedSharding(mesh, P("dp")),
+        "ring": NamedSharding(mesh, P("dp", None)),
+        "ring_idx": NamedSharding(mesh, P()),
+        "done": NamedSharding(mesh, P("dp")),
+        "key": NamedSharding(mesh, P("dp", None)),
+    }
+
+
+def shard_gen_state(mesh: Mesh, state):
+    sh = gen_state_shardings(mesh)
+    return type(state)(**{
+        k: jax.device_put(getattr(state, k), sh[k]) for k in state._fields})

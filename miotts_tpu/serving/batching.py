@@ -62,13 +62,29 @@ class GenerationHandle:
 
 class ContinuousBatcher:
     def __init__(self, engine: LLMEngine, n_lanes: int = 8,
-                 max_ctx: int = 1024, chunk: int = 16, seed: int = 0):
+                 max_ctx: int = 1024, chunk: int = 16, seed: int = 0,
+                 mesh=None):
         self.engine = engine
         self.cfg = engine.config
+        self.mesh = mesh
+        if mesh is not None:
+            # dp fan-out over --mio-backend-devices: lanes shard across the
+            # mesh (the reference round-robins slots over GGML backends,
+            # tts-mio-server.cpp:2659-2746); weights replicate per chip.
+            from ..parallel.mesh import replicate_tree
+
+            dp = mesh.shape["dp"]
+            n_lanes = ((n_lanes + dp - 1) // dp) * dp
+            engine.weights = replicate_tree(mesh, engine.weights)
+            engine.eog_ids = replicate_tree(mesh, engine.eog_ids)
         self.n_lanes = n_lanes
         self.max_ctx = max_ctx
         self.chunk = chunk
         self.state = init_batched_state(self.cfg, n_lanes, max_ctx, seed)
+        if mesh is not None:
+            from ..parallel.mesh import shard_gen_state
+
+            self.state = shard_gen_state(mesh, self.state)
         self.lanes: list[_Lane | None] = [None] * n_lanes
         # attaches are queued and applied only by the worker loop, so the
         # post-chunk state write-back can never clobber a concurrent attach

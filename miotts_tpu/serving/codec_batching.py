@@ -21,8 +21,20 @@ from ..pipeline import MioTTSPipeline, SynthesisResult, pick_bucket
 
 class CodecMicroBatcher:
     def __init__(self, pipeline: MioTTSPipeline, max_batch: int = 8,
-                 gather_window_s: float = 0.003):
+                 gather_window_s: float = 0.003, mesh=None):
         self.pipeline = pipeline
+        self.mesh = mesh
+        self._data_sharding = None
+        self._lane_sharding = None
+        if mesh is not None:
+            # dp fan-out: batch lanes shard over --mio-backend-devices;
+            # codec weights replicate per chip (see ServingEngine)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = mesh.shape["dp"]
+            max_batch = ((max_batch + dp - 1) // dp) * dp
+            self._data_sharding = NamedSharding(mesh, P("dp", None))
+            self._lane_sharding = NamedSharding(mesh, P("dp"))
         self.max_batch = max_batch
         self.gather_window_s = gather_window_s
         self._q: "queue.Queue[tuple | None]" = queue.Queue()
@@ -112,10 +124,18 @@ class CodecMicroBatcher:
                 cond_j = None
             import time as _t
 
+            tokens_j = jnp.asarray(tokens)
+            lengths_j = jnp.asarray(lengths, jnp.int32)
+            if self._data_sharding is not None:
+                import jax
+
+                tokens_j = jax.device_put(tokens_j, self._data_sharding)
+                lengths_j = jax.device_put(lengths_j, self._lane_sharding)
+                if cond_j is not None:
+                    cond_j = jax.device_put(cond_j, self._data_sharding)
             t0 = _t.perf_counter()
             audio, n_samples = self.pipeline._synth_fn(
-                self.pipeline.weights, jnp.asarray(tokens),
-                jnp.asarray(lengths, jnp.int32), cond_j,
+                self.pipeline.weights, tokens_j, lengths_j, cond_j,
                 interp_anchor_tokens=interp_anchor,
                 peak_normalize=peak_normalize)
             audio_np = np.asarray(audio)

@@ -62,6 +62,19 @@ class ServingEngine:
         self.cfg = cfg
         self.pipeline = MioTTSPipeline(cfg.model_vocoder,
                                        wavlm_path=cfg.wavlm_model or None)
+        # multi-chip fan-out: a dp mesh over --mio-backend-devices; batch
+        # lanes and codec micro-batches shard across it (XLA SPMD), the
+        # TPU-native form of the reference's slot-over-backends round-robin
+        # (tts-mio-server.cpp:2659-2746)
+        self.mesh = None
+        devices = None
+        if cfg.mio_backend_devices:
+            from ..parallel.mesh import make_mesh, parse_backend_devices, replicate_tree
+
+            devices = parse_backend_devices(cfg.mio_backend_devices)
+        if devices is not None and len(devices) > 1:
+            self.mesh = make_mesh(devices, tp=1)
+            self.pipeline.weights = replicate_tree(self.mesh, self.pipeline.weights)
         self.llm = None
         self.batcher = None
         if cfg.model:
@@ -77,11 +90,12 @@ class ServingEngine:
                 # granularity stays sub-second (32 tokens = 1.3 s of audio)
                 chunk=32,
                 seed=cfg.seed,
+                mesh=self.mesh,
             )
         from .codec_batching import CodecMicroBatcher
 
         self.codec_batcher = CodecMicroBatcher(
-            self.pipeline, max_batch=max(1, cfg.n_parallel))
+            self.pipeline, max_batch=max(1, cfg.n_parallel), mesh=self.mesh)
         self.ref_cache = ReferenceCache()
         self.slots = SlotPool(max(1, cfg.n_parallel))
         n_ref = cfg.n_parallel_reference_generation or cfg.n_parallel

@@ -187,6 +187,8 @@ class MioTTSServer:
                         "external_llm_enabled": cfg.llm_api_enabled,
                         "external_llm_mode": cfg.llm_api_mode,
                         "llm_shared_context": cfg.llm_shared_context,
+                        "backend_devices": (eng.mesh.devices.size
+                                            if eng.mesh is not None else 1),
                     })
                 elif path == "/metrics":
                     data = eng.metrics_text().encode()
@@ -810,6 +812,7 @@ def main(argv=None) -> int:
         llm_api_url=args.llm_api_url, llm_api_key=args.llm_api_key,
         llm_api_model=args.llm_api_model, llm_api_headers=args.llm_api_headers,
         llm_api_timeout=args.llm_api_timeout, llm_api_mode=args.llm_api_mode,
+        mio_backend_devices=args.mio_backend_devices,
         warmup=args.warmup == "on",
         slot_timeout=args.slot_timeout,
     )

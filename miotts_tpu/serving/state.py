@@ -50,6 +50,9 @@ class ServerConfig:
     llm_api_timeout: int = 120
     llm_api_mode: str = "openai-chat"
     reference_file_json: str = ""
+    # --mio-backend-devices: dp fan-out over chips ("all", "4", "0,2", or
+    # platform:id names); lanes/micro-batches shard over the resulting mesh
+    mio_backend_devices: str = ""
     warmup: bool = False  # compile serving executables at startup (TPU addition)
     slot_timeout: float = 0.0  # >0: shed load with 503 instead of queueing forever
     max_body_bytes: int = 256 * 1024 * 1024  # 413 above this (uploads are ~MBs)

@@ -1,0 +1,143 @@
+"""Multi-device serving fan-out on the virtual 8-device CPU mesh:
+--mio-backend-devices builds a dp mesh; batch lanes and codec micro-batches
+shard across it (the TPU-native form of the reference's slot-over-backends
+round-robin, tts-mio-server.cpp:2659-2746), and results match single-device.
+"""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from miotts_tpu.gguf.writer import save_embedding_gguf
+from miotts_tpu.parallel.mesh import parse_backend_devices
+from miotts_tpu.serving.engine import ServingEngine
+from miotts_tpu.serving.state import ServerConfig, parse_request_json
+from miotts_tpu.testing import (
+    tiny_codec_config, write_synthetic_llm_gguf, write_synthetic_miocodec_gguf,
+)
+
+
+def _mk_cfg(d, emb_path, backend_devices, n_parallel=4):
+    return ServerConfig(
+        model_vocoder=str(d / "codec.gguf"), model=str(d / "llm.gguf"),
+        output_dir=str(d / "out"),
+        n_parallel=n_parallel, n_predict=32, n_ctx=128,
+        mio_backend_devices=backend_devices,
+        reference_file_json=json.dumps({"key": "preset", "path": str(emb_path)}),
+    )
+
+
+@pytest.fixture(scope="module")
+def assets(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mdsrv")
+    cfg_codec = tiny_codec_config()
+    write_synthetic_miocodec_gguf(str(d / "codec.gguf"), cfg_codec, seed=0)
+    write_synthetic_llm_gguf(str(d / "llm.gguf"), n_audio=cfg_codec.vocab_size,
+                             seed=1)
+    rng = np.random.RandomState(0)
+    emb_path = d / "voice.emb.gguf"
+    save_embedding_gguf(emb_path,
+                        rng.randn(cfg_codec.decoder_adanorm_dim).astype(np.float32))
+    return d, emb_path, cfg_codec
+
+
+def test_parse_backend_devices():
+    devs = jax.devices()
+    assert parse_backend_devices("") is None
+    assert parse_backend_devices("all") == list(devs)
+    assert parse_backend_devices("4") == list(devs[:4])
+    assert parse_backend_devices("0,2") == [devs[0], devs[2]]
+    name = f"{devs[1].platform}:{devs[1].id}"
+    assert parse_backend_devices(name.upper()) == [devs[1]]
+    with pytest.raises(ValueError):
+        parse_backend_devices("99")
+    with pytest.raises(ValueError):
+        parse_backend_devices("bogus:device")
+
+
+@pytest.fixture(scope="module")
+def engines(assets):
+    d, emb_path, _ = assets
+    single = ServingEngine(_mk_cfg(d, emb_path, ""))
+    meshed = ServingEngine(_mk_cfg(d, emb_path, "all", n_parallel=8))
+    return single, meshed
+
+
+def test_state_sharded_across_devices(engines):
+    """Lanes really land on distinct devices: the batched KV cache and the
+    lane axis shard over the full dp mesh."""
+    _, meshed = engines
+    assert meshed.mesh is not None and meshed.mesh.devices.size == 8
+    cache = meshed.batcher.state.cache_k
+    used = {s.device for s in cache.addressable_shards}
+    assert used == set(jax.devices()), f"cache spans {len(used)} devices"
+    # lane axis (axis 1 of [L, B, S, H, D]) is the sharded one
+    spec = cache.sharding.spec
+    assert spec[1] == "dp"
+
+
+def test_generation_matches_single_device(engines):
+    """Identical request (same seed) through the dp-meshed engine and the
+    single-device engine yields identical codes — fan-out changes placement,
+    not results."""
+    single, meshed = engines
+    body = {"text": "match me", "reference_key": "preset",
+            "n_predict": 24, "temp": 0.0, "seed": 7}
+    out_s: dict = {}
+    out_m: dict = {}
+    codes_s = single._generate_codes(
+        parse_request_json(body, single.cfg), out_s)
+    codes_m = meshed._generate_codes(
+        parse_request_json(body, meshed.cfg), out_m)
+    assert codes_s == codes_m
+    assert out_s["n_tokens"] == out_m["n_tokens"] > 0
+
+
+def test_codec_batch_sharded_and_matches(engines):
+    """Codec micro-batch shards over dp and reproduces the single-device
+    waveform."""
+    single, meshed = engines
+    rng = np.random.RandomState(3)
+    codes = rng.randint(0, single.pipeline.config.vocab_size, 40).tolist()
+    emb = meshed.ref_cache.get("preset")
+    r_s = single.codec_batcher.synthesize(codes, emb)
+    r_m = meshed.codec_batcher.synthesize(codes, emb)
+    assert r_s.audio.size == r_m.audio.size > 0
+    np.testing.assert_allclose(r_m.audio, r_s.audio, rtol=1e-4, atol=1e-5)
+
+
+def test_full_request_flow_on_mesh(engines):
+    """run_tts_request end-to-end on the meshed engine, and state stays
+    dp-sharded after chunks ran (no silent fallback to replication)."""
+    _, meshed = engines
+    rp = parse_request_json({"text": "hello mesh", "reference_key": "preset",
+                             "n_predict": 16}, meshed.cfg)
+    out: dict = {}
+    res = meshed.run_tts_request(rp, out)
+    assert res is not None
+    audio, sr = res
+    assert out["ok"] and audio.size > 0 and sr == 24000
+    cache = meshed.batcher.state.cache_k
+    used = {s.device for s in cache.addressable_shards}
+    assert len(used) == 8, "post-chunk state lost its dp sharding"
+
+
+def test_concurrent_requests_spread_over_mesh(engines):
+    """Concurrent requests attach to different lanes (different shards)."""
+    import concurrent.futures
+
+    _, meshed = engines
+
+    def one(i):
+        rp = parse_request_json(
+            {"text": f"lane {i}", "reference_key": "preset", "n_predict": 12},
+            meshed.cfg)
+        out: dict = {}
+        audio, _sr = meshed.run_tts_request(rp, out)
+        return out["codes"], audio.size
+
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        results = list(ex.map(one, range(6)))
+    assert all(n_codes > 0 and n_audio > 0 for n_codes, n_audio in results)
