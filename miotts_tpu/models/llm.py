@@ -295,6 +295,11 @@ def llm_prefill(
     return last, cache_k, cache_v
 
 
+# jitted entry for host-side callers (the continuous batcher's submit-time
+# prefill); llm_generate/llm_start trace llm_prefill inside their own jits
+llm_prefill_jit = functools.partial(jax.jit, static_argnums=0)(llm_prefill)
+
+
 def llm_decode_step(
     cfg: LLMConfig,
     w: Pytree,

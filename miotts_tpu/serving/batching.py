@@ -23,7 +23,7 @@ import numpy as np
 from ..models.llm import (
     CHAT_TEMPLATE, LLMEngine, attach_lane, fetch_chunk_result,
     init_batched_state, init_kv_cache, llm_generate_chunk_batched,
-    llm_prefill, set_lane_done,
+    llm_prefill_jit, set_lane_done,
 )
 from ..models.sampling import MAX_TOP_K, BatchSamplerParams, SamplerParams
 
@@ -120,7 +120,7 @@ class ContinuousBatcher:
 
         # prefill outside the lock (own arrays; safe alongside the chunk loop)
         ck1, cv1 = init_kv_cache(self.cfg, 1, self.max_ctx)
-        logits1, ck1, cv1 = llm_prefill(
+        logits1, ck1, cv1 = llm_prefill_jit(
             self.cfg, self.engine.weights, jnp.asarray(toks),
             jnp.asarray([T], jnp.int32), ck1, cv1)
 

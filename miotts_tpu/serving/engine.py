@@ -124,24 +124,55 @@ class ServingEngine:
         Covers the codec buckets and LLM prompt buckets typical requests
         land in, not just the smallest — a cold larger bucket otherwise
         costs the first matching request its full compile."""
+        from ..pipeline import pick_bucket
+
         t0 = time.perf_counter()
         emb = (np.zeros(self.pipeline.config.decoder_adanorm_dim, np.float32)
                if self.pipeline.config.dynamic_global else None)
-        # first three codec buckets through the micro-batcher (serving path):
-        # n_predict defaults (400/700) emit up to a few hundred codes
-        for n_codes in (4, 40, 100):
-            self.codec_batcher.synthesize(list(range(n_codes)), emb)
+        # every codec bucket a default request can land in: a full-length
+        # generation emits up to n_predict codes, so the ladder must be warm
+        # through pick_bucket(n_predict) (default 700 -> bucket 768) — a cold
+        # larger bucket costs the first long request its full compile
+        top = pick_bucket(max(1, self.cfg.n_predict), self.pipeline.buckets)
+        warm_buckets = [b for b in self.pipeline.buckets if b <= top]
+        if top not in warm_buckets:
+            warm_buckets.append(top)
+        for bucket in warm_buckets:
+            self.codec_batcher.synthesize([1] * bucket, emb)
         if self.batcher is not None:
-            from ..models.llm import SamplerParams
+            from ..models.llm import CHAT_TEMPLATE, SamplerParams
+            from .batching import _PROMPT_BUCKETS
 
-            # two prompt buckets: short text and a filled first bucket
-            for text in ("warmup", "warmup " * 24):
-                handle = self.batcher.submit(text, sampler=SamplerParams(),
+            # every prompt bucket a request can reach within the context
+            # budget; the repeat count is tuned against the real tokenizer
+            # so each warmup prompt actually lands in its target bucket
+            def prompt_len(n_words: int) -> int:
+                return len(self.llm.tokenizer.encode(
+                    CHAT_TEMPLATE.format(text="warmup " * n_words),
+                    parse_special=True))
+
+            max_prompt = self.batcher.max_ctx - 8
+            prev = 0
+            for bucket in _PROMPT_BUCKETS:
+                if bucket > max_prompt:
+                    break
+                n = max(1, (bucket + prev) // 4)  # ~2 tokens per word
+                while prompt_len(n) > bucket and n > 1:
+                    n -= 1
+                while prompt_len(n) <= prev:
+                    n += 1
+                if not (prev < prompt_len(n) <= bucket):
+                    prev = bucket
+                    continue  # template overhead alone exceeds this bucket
+                handle = self.batcher.submit("warmup " * n,
+                                             sampler=SamplerParams(),
                                              n_predict=2)
                 for _ in handle.tokens():
                     pass
+                prev = bucket
         print(f"warmup: serving executables compiled in "
-              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+              f"{time.perf_counter() - t0:.1f}s "
+              f"(codec buckets {warm_buckets})", file=sys.stderr)
 
     # -- counters ---------------------------------------------------------------
 

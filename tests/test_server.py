@@ -455,16 +455,34 @@ def test_tts_binary_stream_audio_inline_codes(server):
     assert data[:4] == b"RIFF" and len(data) > 44
 
 
-def test_streaming_request_audio_before_generation_done(server):
+def test_streaming_request_audio_before_generation_done(tmp_path):
     """Engine-level ordering proof: on_audio fires before code acquisition
-    finishes, i.e. PCM really leaves while the LLM is still generating."""
-    from miotts_tpu.serving.state import parse_request_json
+    finishes, i.e. PCM really leaves while the LLM is still generating.
+    Uses its own engine with a generation budget long enough (3 decode
+    chunks, ~30 codes at the synthetic model's code density) that the first
+    stable audio chunk must land mid-generation regardless of the exact
+    sampled sequence."""
+    from miotts_tpu.serving.engine import ServingEngine
+    from miotts_tpu.serving.state import ServerConfig, parse_request_json
 
-    srv, *_ = server
-    eng = srv.engine
+    cfg_codec = tiny_codec_config()
+    write_synthetic_miocodec_gguf(str(tmp_path / "codec.gguf"), cfg_codec, seed=0)
+    write_synthetic_llm_gguf(str(tmp_path / "llm.gguf"),
+                             n_audio=cfg_codec.vocab_size, seed=1)
+    rng = np.random.RandomState(0)
+    emb_path = tmp_path / "v.emb.gguf"
+    save_embedding_gguf(emb_path,
+                        rng.randn(cfg_codec.decoder_adanorm_dim).astype(np.float32))
+    cfg = ServerConfig(
+        model_vocoder=str(tmp_path / "codec.gguf"),
+        model=str(tmp_path / "llm.gguf"), output_dir=str(tmp_path / "out"),
+        n_parallel=2, n_predict=96, n_ctx=256,
+        reference_file_json=json.dumps({"key": "p", "path": str(emb_path)}),
+    )
+    eng = ServingEngine(cfg)
     rp = parse_request_json(
-        {"text": "interleave please", "reference_key": "preset",
-         "n_predict": 48}, srv.cfg)
+        {"text": "interleave please", "reference_key": "p",
+         "n_predict": 96}, cfg)
     seq = []
     audio, sr = eng.run_streaming_request(
         rp, {}, on_audio=lambda pcm: seq.append("audio"),
@@ -494,3 +512,45 @@ def test_sse_concurrent_streams_share_batcher(server):
     for events in results:
         assert "generation_complete" in events, events.keys()
         assert "audio_data" in events
+
+
+def test_warmup_covers_default_buckets(tmp_path):
+    """After --warmup, a default-settings request (codes at the n_predict
+    bucket ceiling + a text request) triggers ZERO new compiles — the bucket
+    ladder and prompt buckets are all warm (VERDICT r1: a cold bucket 768
+    costs the first long request minutes through the TPU relay)."""
+    import miotts_tpu.models.llm as llm_mod
+    from miotts_tpu.serving.engine import ServingEngine
+    from miotts_tpu.serving.state import ServerConfig, parse_request_json
+
+    cfg_codec = tiny_codec_config()
+    write_synthetic_miocodec_gguf(str(tmp_path / "codec.gguf"), cfg_codec, seed=0)
+    write_synthetic_llm_gguf(str(tmp_path / "llm.gguf"),
+                             n_audio=cfg_codec.vocab_size, seed=1)
+    rng = np.random.RandomState(0)
+    emb_path = tmp_path / "v.emb.gguf"
+    save_embedding_gguf(emb_path,
+                        rng.randn(cfg_codec.decoder_adanorm_dim).astype(np.float32))
+    cfg = ServerConfig(
+        model_vocoder=str(tmp_path / "codec.gguf"),
+        model=str(tmp_path / "llm.gguf"), output_dir=str(tmp_path / "out"),
+        n_parallel=2, n_predict=64, n_ctx=128, warmup=True,
+        reference_file_json=json.dumps({"key": "p", "path": str(emb_path)}),
+    )
+    eng = ServingEngine(cfg)
+    sizes = lambda: (eng.pipeline._synth_fn._cache_size(),
+                     llm_mod.llm_prefill_jit._cache_size(),
+                     llm_mod.llm_generate_chunk_batched._cache_size())
+    warm = sizes()
+    # codes right at the n_predict bucket ceiling (the r1 cold spot)
+    out: dict = {}
+    rp = parse_request_json({"codes": list(range(60)), "reference_key": "p"}, cfg)
+    eng.run_tts_request(rp, out)
+    assert out["ok"]
+    # text request through prefill + chunked decode
+    rp = parse_request_json({"text": "hello warm buckets", "reference_key": "p",
+                             "n_predict": 32}, cfg)
+    out = {}
+    eng.run_tts_request(rp, out)
+    assert out["ok"]
+    assert sizes() == warm, f"cold executables compiled: {sizes()} != {warm}"
