@@ -7,12 +7,15 @@ Qwen-family config) -> MioCodec synthesis (768/512-dim transformers,
 n_fft 1920) -> on-TPU iSTFT. Weights are synthetic at production shapes (the
 reference repo ships no weights; see models_download.sh).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is relative to the repo target of >=50x real time per chip
-(BASELINE.md north star; the reference publishes no numbers).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}. The default
+mode ("all") additionally carries the other two BASELINE headline numbers in
+an "extra" object on the same line: streaming time-to-first-audio p50
+(target < 300 ms) and mel-L1 fidelity vs a CPU-f32 decode (target < 1e-2).
+vs_baseline for the headline is relative to the repo target of >=50x real
+time per chip (BASELINE.md north star; the reference publishes no numbers).
 
 Env knobs: MIOTTS_BENCH_LANES (default 8), MIOTTS_BENCH_TOKENS (default 250),
-MIOTTS_BENCH_MODE=pipeline|codec|llm.
+MIOTTS_BENCH_MODE=all|pipeline|codec|llm|llm1b|ttfa|fidelity.
 """
 
 from __future__ import annotations
@@ -51,7 +54,7 @@ def main() -> int:
 
     lanes = int(os.environ.get("MIOTTS_BENCH_LANES", "8"))
     n_gen = int(os.environ.get("MIOTTS_BENCH_TOKENS", "250"))
-    mode = os.environ.get("MIOTTS_BENCH_MODE", "pipeline")
+    mode = os.environ.get("MIOTTS_BENCH_MODE", "all")
     iters = int(os.environ.get("MIOTTS_BENCH_ITERS", "3"))
     # LLM numerics: bf16 by default. W8A8 int8 (MIOTTS_LLM_QUANT=int8) is a
     # measured 2.0x at 1.63B (weight-bandwidth-bound) but is noise-level at
@@ -105,7 +108,7 @@ def main() -> int:
         return packed[: audio.size].reshape(audio.shape), packed[audio.size:]
 
     lcfg = lw = tok = None
-    if mode in ("pipeline", "llm"):
+    if mode in ("pipeline", "llm", "all"):
         lcfg, lw, tok = load_llm_gguf(llm_path)
         prompt_len = 24
         prompt = rng.randint(0, 256, (lanes, 32)).astype(np.int32)
@@ -240,7 +243,7 @@ def main() -> int:
         }))
         return 0
 
-    if mode == "fidelity":
+    def bench_fidelity() -> dict:
         # mel-L1 between the TPU decode and a CPU float32 decode of the same
         # graph (GGML-reference stand-in; BASELINE target < 1e-2)
         from miotts_tpu.runtime.metrics import mel_l1
@@ -260,15 +263,14 @@ def main() -> int:
         a_cpu = np.asarray(a_cpu[0][: int(ns2[0])])
         l1 = mel_l1(a_tpu, a_cpu, sr)
         log(f"bench: mel-L1(TPU, CPU-f32) = {l1:.2e} over {a_cpu.size / sr:.1f}s")
-        print(json.dumps({
+        return {
             "metric": "mel_l1_vs_cpu_f32",
             "value": round(l1, 6),
             "unit": "normalized log-mel L1",
             "vs_baseline": round(0.01 / max(l1, 1e-9), 3),  # target < 1e-2
-        }))
-        return 0
+        }
 
-    if mode == "ttfa":
+    def bench_ttfa() -> dict:
         # time-to-first-audio through the streaming pipeline (single stream)
         from miotts_tpu.models.llm import LLMEngine
         from miotts_tpu.pipeline import MioTTSPipeline
@@ -298,15 +300,23 @@ def main() -> int:
         ttfas = sorted(once() for _ in range(max(3, iters)))
         p50 = ttfas[len(ttfas) // 2]
         log(f"bench: ttfa samples {['%.0fms' % (t * 1e3) for t in ttfas]}")
-        print(json.dumps({
+        return {
             "metric": "ttfa_p50",
             "value": round(p50 * 1e3, 1),
             "unit": "ms",
             "vs_baseline": round(300.0 / (p50 * 1e3), 3),  # target p50 < 300 ms
-        }))
+        }
+
+    if mode == "fidelity":
+        print(json.dumps(bench_fidelity()))
         return 0
 
-    run = {"codec": run_codec, "llm": run_llm, "pipeline": run_pipeline}[mode]
+    if mode == "ttfa":
+        print(json.dumps(bench_ttfa()))
+        return 0
+
+    run = {"codec": run_codec, "llm": run_llm, "pipeline": run_pipeline,
+           "all": run_pipeline}[mode]
 
     log("bench: compiling (first call)...")
     t0 = time.perf_counter()
@@ -326,11 +336,16 @@ def main() -> int:
         f"({lanes} lanes x {audio_sec_per_lane:.1f}s)")
 
     result = {
-        "metric": f"{mode}_xrt_per_chip",
+        "metric": ("pipeline_xrt_per_chip" if mode == "all"
+                   else f"{mode}_xrt_per_chip"),
         "value": round(xrt, 2),
         "unit": "audio-sec/sec",
         "vs_baseline": round(xrt / 50.0, 3),
     }
+    if mode == "all":
+        # all three BASELINE headline numbers on the one driver-visible line
+        result["extra"] = {"ttfa_p50": bench_ttfa(),
+                           "mel_l1_vs_cpu_f32": bench_fidelity()}
     print(json.dumps(result))
     return 0
 
