@@ -111,15 +111,15 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
               "(expected 'int8', 'all', 'q8' or 'output'); running dense",
               file=sys.stderr)
 
-    def tq(name):
-        """Transposed quantized leaf, kept quantized in HBM. Q8_0 mode:
-        {"q": int8 [K, N], "s": f32 [K//32, N]} dequantized inside the Pallas
-        matmul tile; int8 mode: {"q8": int8 [K, N], "s8": f32 [N]} consumed
-        by native MXU int8 dots (ops/pallas/quant_matmul.py). N is padded to
-        a lane multiple; callers slice outputs back to the true width."""
+    def quantize_kn(wkn):
+        """Quantize a transposed [K, N] weight, kept quantized in HBM. Q8_0
+        mode: {"q": int8 [K, N], "s": f32 [K//32, N]} dequantized inside the
+        Pallas matmul tile; int8 mode: {"q8": int8 [K, N], "s8": f32 [N]}
+        consumed by native MXU int8 dots (ops/pallas/quant_matmul.py). N is
+        padded to a lane multiple; callers slice outputs back to the true
+        width."""
         from ..ops.pallas.quant_matmul import quantize_int8_percol, quantize_q8_cols
 
-        wkn = t(name, transpose=True)  # [K, N] f32 (dequantized source)
         K, N = wkn.shape
         Np = ((N + 127) // 128) * 128
         if Np != N:
@@ -130,6 +130,9 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
         q, s = quantize_q8_cols(wkn)
         return {"q": q, "s": s}
 
+    def tq(name):
+        return quantize_kn(t(name, transpose=True))
+
     def stack(fmt, transpose=False, optional=False, quant=False):
         if optional and not r.has_tensor(fmt.format(i=0)):
             return None
@@ -138,20 +141,34 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
             return {k: np.stack([l[k] for l in leaves]) for k in leaves[0]}
         return np.stack([t(fmt.format(i=i), transpose) for i in range(n_layers)])
 
+    def stack_fused(fmts, quant=False):
+        """Column-concatenated matmul weights ([K, N1+N2+...] per layer):
+        one MXU dispatch per decode step instead of one per projection
+        (measured 6% on the 0.1B decode step; per-column math is identical
+        to the separate matmuls). Quantization is per output column, so it
+        composes unchanged; N-padding lands after the last segment, so the
+        consumers' static slices stay valid."""
+        per_layer = [
+            np.concatenate([t(f.format(i=i), transpose=True) for f in fmts],
+                           axis=1)
+            for i in range(n_layers)
+        ]
+        if quant and quant_all:
+            leaves = [quantize_kn(a) for a in per_layer]
+            return {k: np.stack([l[k] for l in leaves]) for k in leaves[0]}
+        return np.stack(per_layer)
+
+    # fused decode layout by default; MIOTTS_LLM_FUSE=0 restores separate
+    # per-projection leaves (e.g. to pin a megatron tp layout where each
+    # rank's shard must hold whole projections)
+    fuse = os.environ.get("MIOTTS_LLM_FUSE", "1") not in ("0", "off")
+
     w = {
         "token_embd": t("token_embd.weight"),  # [V, D]
         "attn_norm": stack("blk.{i}.attn_norm.weight"),
-        "wq": stack("blk.{i}.attn_q.weight", transpose=True, quant=True),
-        "wk": stack("blk.{i}.attn_k.weight", transpose=True, quant=True),
-        "wv": stack("blk.{i}.attn_v.weight", transpose=True, quant=True),
         "wo": stack("blk.{i}.attn_output.weight", transpose=True, quant=True),
         "ffn_norm": stack("blk.{i}.ffn_norm.weight"),
-        "w_gate": stack("blk.{i}.ffn_gate.weight", transpose=True, quant=True),
-        "w_up": stack("blk.{i}.ffn_up.weight", transpose=True, quant=True),
         "w_down": stack("blk.{i}.ffn_down.weight", transpose=True, quant=True),
-        "bq": stack("blk.{i}.attn_q.bias", optional=True),
-        "bk": stack("blk.{i}.attn_k.bias", optional=True),
-        "bv": stack("blk.{i}.attn_v.bias", optional=True),
         "q_norm": stack("blk.{i}.attn_q_norm.weight", optional=True),
         "k_norm": stack("blk.{i}.attn_k_norm.weight", optional=True),
         "output_norm": t("output_norm.weight"),
@@ -159,6 +176,26 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
                    else tq("output.weight") if quant_output
                    else t("output.weight", transpose=True)),  # [D, V]
     }
+    if fuse:
+        w["wqkv"] = stack_fused(["blk.{i}.attn_q.weight", "blk.{i}.attn_k.weight",
+                                 "blk.{i}.attn_v.weight"], quant=True)
+        w["w_gateup"] = stack_fused(["blk.{i}.ffn_gate.weight",
+                                     "blk.{i}.ffn_up.weight"], quant=True)
+        if has_qkv_bias:
+            w["bqkv"] = np.stack([
+                np.concatenate([t(f"blk.{i}.attn_{p}.bias") for p in "qkv"])
+                for i in range(n_layers)])
+        else:
+            w["bqkv"] = None
+    else:
+        w["wq"] = stack("blk.{i}.attn_q.weight", transpose=True, quant=True)
+        w["wk"] = stack("blk.{i}.attn_k.weight", transpose=True, quant=True)
+        w["wv"] = stack("blk.{i}.attn_v.weight", transpose=True, quant=True)
+        w["w_gate"] = stack("blk.{i}.ffn_gate.weight", transpose=True, quant=True)
+        w["w_up"] = stack("blk.{i}.ffn_up.weight", transpose=True, quant=True)
+        w["bq"] = stack("blk.{i}.attn_q.bias", optional=True)
+        w["bk"] = stack("blk.{i}.attn_k.bias", optional=True)
+        w["bv"] = stack("blk.{i}.attn_v.bias", optional=True)
     r.close()
 
     def to_device(v):
@@ -203,15 +240,37 @@ def _layer_slice(leaf, li):
     return leaf[li]
 
 
+_BLK_KEYS = ("attn_norm", "wq", "wk", "wv", "wqkv", "wo", "ffn_norm",
+             "w_gate", "w_up", "w_gateup", "w_down", "bq", "bk", "bv",
+             "bqkv", "q_norm", "k_norm")
+
+
+def _layer_blk(w: Pytree, li) -> dict:
+    return {k: (_layer_slice(w[k], li) if w.get(k) is not None else None)
+            for k in _BLK_KEYS}
+
+
 def _layer_qkv(cfg: LLMConfig, blk, xn):
     # quantized leaves are lane-padded along N: slice before the bias add
-    q = _mm(xn, blk["wq"])[..., : cfg.n_heads * cfg.head_dim]
-    k = _mm(xn, blk["wk"])[..., : cfg.n_kv_heads * cfg.head_dim]
-    v = _mm(xn, blk["wv"])[..., : cfg.n_kv_heads * cfg.head_dim]
-    if blk["bq"] is not None:
-        q = q + blk["bq"]
-        k = k + blk["bk"]
-        v = v + blk["bv"]
+    Hd = cfg.n_heads * cfg.head_dim
+    KVd = cfg.n_kv_heads * cfg.head_dim
+    if blk["wqkv"] is not None:
+        # fused projection: one MXU dispatch; segment slices are static
+        # (N-padding sits after the v segment)
+        qkv = _mm(xn, blk["wqkv"])[..., : Hd + 2 * KVd]
+        if blk["bqkv"] is not None:
+            qkv = qkv + blk["bqkv"]
+        q = qkv[..., :Hd]
+        k = qkv[..., Hd:Hd + KVd]
+        v = qkv[..., Hd + KVd:]
+    else:
+        q = _mm(xn, blk["wq"])[..., :Hd]
+        k = _mm(xn, blk["wk"])[..., :KVd]
+        v = _mm(xn, blk["wv"])[..., :KVd]
+        if blk["bq"] is not None:
+            q = q + blk["bq"]
+            k = k + blk["bk"]
+            v = v + blk["bv"]
     B, T = xn.shape[:2]
     q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
     k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
@@ -220,6 +279,18 @@ def _layer_qkv(cfg: LLMConfig, blk, xn):
         q = rms_norm(q, blk["q_norm"], cfg.rms_eps)
         k = rms_norm(k, blk["k_norm"], cfg.rms_eps)
     return q, k, v
+
+
+def _layer_ffn(cfg: LLMConfig, blk, x):
+    fn = rms_norm(x, blk["ffn_norm"], cfg.rms_eps)
+    if blk["w_gateup"] is not None:
+        gu = _mm(fn, blk["w_gateup"])  # fused: one dispatch for gate|up
+        gate = gu[..., : cfg.ffn_dim]
+        up = gu[..., cfg.ffn_dim: 2 * cfg.ffn_dim]
+    else:
+        gate = _mm(fn, blk["w_gate"])[..., : cfg.ffn_dim]
+        up = _mm(fn, blk["w_up"])[..., : cfg.ffn_dim]
+    return _mm(jax.nn.silu(gate) * up, blk["w_down"])[..., : cfg.dim]
 
 
 def llm_prefill(
@@ -250,10 +321,7 @@ def llm_prefill(
     new_k_layers = []
     new_v_layers = []
     for li in range(cfg.n_layers):
-        blk = {k: (_layer_slice(w[k], li) if w[k] is not None else None)
-               for k in ("attn_norm", "wq", "wk", "wv", "wo", "ffn_norm",
-                         "w_gate", "w_up", "w_down", "bq", "bk", "bv",
-                         "q_norm", "k_norm")}
+        blk = _layer_blk(w, li)
         xn = rms_norm(x, blk["attn_norm"], cfg.rms_eps)
         q, k, v = _layer_qkv(cfg, blk, xn)
         q = apply_rope_llm(q, positions, cfg.rope_base, cfg.rope_neox)
@@ -270,11 +338,7 @@ def llm_prefill(
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         att = jnp.einsum("bhqk,bkhd->bqhd", probs, vr).reshape(B, T, -1)
         x = x + _mm(att, blk["wo"])[..., : cfg.dim]
-
-        fn = rms_norm(x, blk["ffn_norm"], cfg.rms_eps)
-        gate = _mm(fn, blk["w_gate"])[..., : cfg.ffn_dim]
-        up = _mm(fn, blk["w_up"])[..., : cfg.ffn_dim]
-        x = x + _mm(jax.nn.silu(gate) * up, blk["w_down"])[..., : cfg.dim]
+        x = x + _layer_ffn(cfg, blk, x)
 
     # write prompt K/V into the cache at per-lane offsets
     new_k = jnp.stack(new_k_layers)  # [L, B, T, KVH, HD]
@@ -321,10 +385,7 @@ def llm_decode_step(
     kmask = (jnp.arange(S, dtype=jnp.int32)[None, :] <= pos[:, None])  # [B, S]
 
     for li in range(cfg.n_layers):
-        blk = {k: (_layer_slice(w[k], li) if w[k] is not None else None)
-               for k in ("attn_norm", "wq", "wk", "wv", "wo", "ffn_norm",
-                         "w_gate", "w_up", "w_down", "bq", "bk", "bv",
-                         "q_norm", "k_norm")}
+        blk = _layer_blk(w, li)
         xn = rms_norm(x, blk["attn_norm"], cfg.rms_eps)
         q, k, v = _layer_qkv(cfg, blk, xn)
         q = apply_rope_llm(q, positions, cfg.rope_base, cfg.rope_neox)
@@ -343,11 +404,7 @@ def llm_decode_step(
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         att = jnp.einsum("bngs,bsnd->bngd", probs, cv).reshape(B, 1, -1)
         x = x + _mm(att, blk["wo"])[..., : cfg.dim]
-
-        fn = rms_norm(x, blk["ffn_norm"], cfg.rms_eps)
-        gate = _mm(fn, blk["w_gate"])[..., : cfg.ffn_dim]
-        up = _mm(fn, blk["w_up"])[..., : cfg.ffn_dim]
-        x = x + _mm(jax.nn.silu(gate) * up, blk["w_down"])[..., : cfg.dim]
+        x = x + _layer_ffn(cfg, blk, x)
 
     xn = rms_norm(x, w["output_norm"], cfg.rms_eps)
     out_w = w["output"] if w["output"] is not None else w["token_embd"].T

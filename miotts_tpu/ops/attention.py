@@ -101,16 +101,37 @@ def banded_attention_blocked(
 
 # dispatch threshold: below this T the dense path is cheaper than gathers
 _DENSE_MAX_T = 256
+# the Pallas kernel wins from this T up on TPU (scripts/bench_attention.py,
+# v5e, B=8 H=12 D=64 window=65: 256 -> 9.9 ms vs 12.9 dense / 13.1 blocked;
+# 1024 -> 37.7 vs 76.4 blocked; 2048 -> 60.6 vs 164.2)
+_PALLAS_MIN_T = 192
 
 
 def _pallas_banded(q, k, v, lengths, window):
     from .pallas.banded_attention import banded_attention_pallas
 
     B, T, H, D = q.shape
+    # wider q-blocks amortize grid steps at short T; narrower ones cut the
+    # wasted band flops once T is large (measured crossover ~512)
+    block_q = 128 if T <= 384 else 64
     fold = lambda x: jnp.transpose(x, (0, 2, 1, 3)).reshape(B * H, T, D)
     lens = jnp.repeat(lengths.astype(jnp.int32), H)
-    out = banded_attention_pallas(fold(q), fold(k), fold(v), lens, window)
+    out = banded_attention_pallas(fold(q), fold(k), fold(v), lens, window,
+                                  block_q=block_q)
     return jnp.transpose(out.reshape(B, H, T, D), (0, 2, 1, 3))
+
+
+def _pallas_available() -> bool:
+    import jax
+
+    # a jax.default_device(cpu) context (e.g. the fidelity bench's CPU-f32
+    # reference decode) must not select the TPU-only kernel — the config'd
+    # default device wins over the process default backend
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        platform = getattr(dd, "platform", str(dd))
+        return str(platform).lower() == "tpu"
+    return jax.default_backend() == "tpu"
 
 
 def banded_attention(
@@ -122,9 +143,10 @@ def banded_attention(
 ) -> jnp.ndarray:
     """q/k/v: [B, T, H, D] (post-RoPE). Returns [B, T, H, D].
 
-    Dispatch (overridable with MIOTTS_ATTN_IMPL=dense|blocked|pallas; the
-    CLI/server map `-fa on` to pallas): dense for short sequences,
-    windowed-blocked beyond (O(T*window) instead of O(T^2)).
+    Dispatch (overridable with MIOTTS_ATTN_IMPL=dense|blocked|pallas): on
+    TPU the Pallas block-banded kernel from _PALLAS_MIN_T up (fastest at
+    every measured production length), dense below it, windowed-blocked as
+    the non-TPU long-sequence fallback (O(T*window) instead of O(T^2)).
     Scores/softmax in f32."""
     import os
 
@@ -135,7 +157,10 @@ def banded_attention(
         return banded_attention_dense(q, k, v, lengths, window)
     if impl == "blocked":
         return banded_attention_blocked(q, k, v, lengths, window)
-    if impl == "pallas" and half <= 128 and T > _DENSE_MAX_T:
+    pallas_ok = half <= 128 and T > max(window, _PALLAS_MIN_T)
+    if impl == "pallas" and pallas_ok:
+        return _pallas_banded(q, k, v, lengths, window)
+    if impl == "auto" and pallas_ok and _pallas_available():
         return _pallas_banded(q, k, v, lengths, window)
     if T <= _DENSE_MAX_T or T <= window:
         return banded_attention_dense(q, k, v, lengths, window)

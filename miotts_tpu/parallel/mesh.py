@@ -45,14 +45,20 @@ def llm_weight_shardings(mesh: Mesh, weights: Any) -> Any:
         "wq": P(None, None, "tp"),         # [L, D, H*hd] column-parallel
         "wk": P(None, None, "tp"),
         "wv": P(None, None, "tp"),
+        # fused [L, D, (H+2KV)*hd]: still column-parallel; the q/k/v segment
+        # slices after the matmul cross shard boundaries, which GSPMD
+        # reshards automatically (exact, collective-cost only)
+        "wqkv": P(None, None, "tp"),
         "wo": P(None, "tp", None),         # [L, H*hd, D] row-parallel
         "ffn_norm": P(None, None),
         "w_gate": P(None, None, "tp"),     # [L, D, FF]
         "w_up": P(None, None, "tp"),
+        "w_gateup": P(None, None, "tp"),   # fused [L, D, 2*FF]
         "w_down": P(None, "tp", None),     # [L, FF, D]
         "bq": P(None, "tp"),
         "bk": P(None, "tp"),
         "bv": P(None, "tp"),
+        "bqkv": P(None, "tp"),
         "q_norm": P(None, None),
         "k_norm": P(None, None),
         "output_norm": P(None),

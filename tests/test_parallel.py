@@ -110,9 +110,9 @@ def test_tp_sharded_int8_prefill_matches_single_device(llm_int8):
     with mesh:
         ws = shard_llm_weights(mesh, w)
         # int8 payload sharded over tp on the column-parallel leaves
-        assert ws["wq"]["q8"].sharding.spec == jax.sharding.PartitionSpec(
+        assert ws["wqkv"]["q8"].sharding.spec == jax.sharding.PartitionSpec(
             None, None, "tp")
-        assert ws["wq"]["s8"].sharding.spec == jax.sharding.PartitionSpec(
+        assert ws["wqkv"]["s8"].sharding.spec == jax.sharding.PartitionSpec(
             None, "tp")
         assert ws["wo"]["q8"].sharding.spec == jax.sharding.PartitionSpec(
             None, "tp", None)

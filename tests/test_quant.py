@@ -66,7 +66,7 @@ def test_quant_prefill_close_to_dense(quant_llm):
     cfg, w_d, w_q, tok = quant_llm
     # rebuild dense weights from the quantized leaves -> same numerics source
     w_mixed = dict(w_q)
-    for k in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "output"):
+    for k in ("wqkv", "wo", "w_gateup", "w_down", "output"):
         if isinstance(w_q[k], dict):
             if w_q[k]["q"].ndim == 3:  # stacked layers
                 dq = jax.vmap(lambda q, s: q.astype(jnp.float32)
