@@ -137,8 +137,17 @@ class ServingEngine:
         warm_buckets = [b for b in self.pipeline.buckets if b <= top]
         if top not in warm_buckets:
             warm_buckets.append(top)
+        from ..streaming import StreamingSynthesizer
+
         for bucket in warm_buckets:
             self.codec_batcher.synthesize([1] * bucket, emb)
+            # the streaming prefix re-decode variant compiles separately
+            # (interp_anchor/peak_normalize are static args) and a stream
+            # sweeps every bucket up to its final length — warm those too
+            self.codec_batcher.synthesize(
+                [1] * bucket, emb,
+                interp_anchor=StreamingSynthesizer.INTERP_ANCHOR,
+                peak_normalize=False)
         if self.batcher is not None:
             from ..models.llm import CHAT_TEMPLATE, SamplerParams
             from .batching import _PROMPT_BUCKETS

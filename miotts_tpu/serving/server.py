@@ -418,6 +418,7 @@ class MioTTSServer:
                                 sse("audio_chunk", json.dumps({
                                     "seq": chunk_state["seq"] - 1,
                                     "n_samples": int(pcm.size),
+                                    "sr": eng.pipeline.sample_rate,
                                     "pcm16": base64.b64encode(
                                         encode_pcm16(pcm)).decode()}))
 

@@ -58,6 +58,7 @@ INDEX_HTML = """<!doctype html>
     <div class="row">
       <label class="check"><input id="opt-stream" type="checkbox" checked> binary stream</label>
       <label class="check"><input id="opt-sse" type="checkbox"> SSE token stream</label>
+      <label class="check"><input id="opt-live" type="checkbox"> live audio</label>
     </div>
     <pre id="token-log" class="hidden"></pre>
     <div class="row">
@@ -176,7 +177,7 @@ UI_JS = r"""'use strict';
 const $ = (id) => document.getElementById(id);
 const SETTINGS = ['text', 'p-temp', 'p-top-k', 'p-top-p', 'p-repeat',
                   'p-n-predict', 'p-seed', 'gen-key', 'add-key'];
-const CHECKS = ['opt-stream', 'opt-sse'];
+const CHECKS = ['opt-stream', 'opt-sse', 'opt-live'];
 let abortCtl = null;
 
 // ---- settings persistence (localStorage, like the wasm demo app) ----------
@@ -325,6 +326,7 @@ async function generateSSE(signal, t0) {
   const body = requestBody();
   body.stream = true;
   body.stream_tokens = true;
+  body.stream_audio = $('opt-live').checked;  // incremental PCM playback
   const r = await fetch('/mio/tts/stream', {
     method: 'POST', headers: {'Content-Type': 'application/json'},
     body: JSON.stringify(body), signal});
@@ -332,6 +334,54 @@ async function generateSSE(signal, t0) {
   const reader = r.body.getReader();
   const dec = new TextDecoder();
   let buf = '', nTok = 0;
+  // live playback state: audio_chunk PCM plays the moment it stabilizes,
+  // scheduled back-to-back on a WebAudio clock; chunks also accumulate so
+  // the player/download still get the full WAV at the end
+  let liveCtx = null, livePos = 0, liveSr = 24000;
+  const liveChunks = [];
+  const playChunk = (c) => {
+    const bin = atob(c.pcm16);
+    const n = bin.length >> 1;
+    const f32 = new Float32Array(n);
+    for (let i = 0; i < n; i++) {
+      let s = bin.charCodeAt(2 * i) | (bin.charCodeAt(2 * i + 1) << 8);
+      if (s >= 32768) s -= 65536;
+      f32[i] = s / 32768;
+    }
+    liveSr = c.sr || liveSr;
+    liveChunks.push(f32);
+    if (!liveCtx) {
+      liveCtx = new (window.AudioContext || window.webkitAudioContext)();
+      livePos = liveCtx.currentTime + 0.08;
+    }
+    const ab = liveCtx.createBuffer(1, n, liveSr);
+    ab.copyToChannel(f32, 0);
+    const srcNode = liveCtx.createBufferSource();
+    srcNode.buffer = ab;
+    srcNode.connect(liveCtx.destination);
+    livePos = Math.max(livePos, liveCtx.currentTime);
+    srcNode.start(livePos);
+    livePos += n / liveSr;
+  };
+  const liveWavBlob = () => {
+    let total = 0;
+    for (const c of liveChunks) total += c.length;
+    const flat = new Float32Array(total);
+    let off = 0;
+    for (const c of liveChunks) { flat.set(c, off); off += c.length; }
+    const i16 = new Int16Array(total);
+    for (let i = 0; i < total; i++)
+      i16[i] = Math.max(-32768, Math.min(32767, Math.round(flat[i] * 32767)));
+    const hdr = new ArrayBuffer(44);
+    const v = new DataView(hdr);
+    const wstr = (o, s) => { for (let i = 0; i < s.length; i++) v.setUint8(o + i, s.charCodeAt(i)); };
+    wstr(0, 'RIFF'); v.setUint32(4, 36 + total * 2, true); wstr(8, 'WAVE');
+    wstr(12, 'fmt '); v.setUint32(16, 16, true); v.setUint16(20, 1, true);
+    v.setUint16(22, 1, true); v.setUint32(24, liveSr, true);
+    v.setUint32(28, liveSr * 2, true); v.setUint16(32, 2, true);
+    v.setUint16(34, 16, true); wstr(36, 'data'); v.setUint32(40, total * 2, true);
+    return new Blob([hdr, i16.buffer], {type: 'audio/wav'});
+  };
   const handle = (event, data) => {
     if (event === 'token') {
       const t = JSON.parse(data);
@@ -342,10 +392,18 @@ async function generateSSE(signal, t0) {
       const m = JSON.parse(data);
       setStatus('synth-status',
                 `${m.n_codes} codes in ${Math.round(m.llm_ms)}ms — synthesizing…`);
+    } else if (event === 'audio_chunk') {
+      playChunk(JSON.parse(data));
+      setStatus('synth-status', `streaming… (${liveChunks.length} chunks)`);
     } else if (event === 'audio_meta') {
       const m = JSON.parse(data);
       $('metrics').textContent =
         `llm+synth ${Math.round(m.total_ms)}ms · ${m.n_audio} samples @ ${m.sample_rate}Hz`;
+      if (m.streamed) {
+        // no audio_data follows: assemble the wav from the live chunks
+        showWav(liveWavBlob());
+        setStatus('synth-status', `done (${nTok} tokens, streamed)`, 'ok');
+      }
     } else if (event === 'audio_data') {
       const bin = atob(data);
       const bytes = new Uint8Array(bin.length);

@@ -553,4 +553,11 @@ def test_warmup_covers_default_buckets(tmp_path):
     out = {}
     eng.run_tts_request(rp, out)
     assert out["ok"]
+    # streaming request: the prefix re-decode variant (separate static args)
+    # must be warm too
+    rp = parse_request_json({"text": "warm streaming", "reference_key": "p",
+                             "n_predict": 32, "stream_audio": True}, cfg)
+    out = {}
+    eng.run_streaming_request(rp, out)
+    assert out["ok"]
     assert sizes() == warm, f"cold executables compiled: {sizes()} != {warm}"
