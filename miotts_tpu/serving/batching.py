@@ -44,15 +44,20 @@ class GenerationHandle:
     def __init__(self):
         self._q: "queue.Queue[list[int] | None]" = queue.Queue()
         self.cancelled = threading.Event()
+        self.error: Exception | None = None
 
     def cancel(self) -> None:
         self.cancelled.set()
 
     def tokens(self):
-        """Yield tokens until generation completes."""
+        """Yield tokens until generation completes. Raises the worker's
+        exception if the request's lane failed (a dead worker must surface
+        as a failed request, never a hang)."""
         while True:
             batch = self._q.get()
             if batch is None:
+                if self.error is not None:
+                    raise self.error
                 return
             yield from batch
 
@@ -150,6 +155,30 @@ class ContinuousBatcher:
             self._cv.notify_all()
         self._thread.join(timeout=5)
 
+    def _fail_active_lanes(self, snapshot: list[int], exc: Exception) -> None:
+        """Deliver a device failure to every in-flight request and rebuild
+        the batched state so subsequent submits start clean."""
+        import sys
+
+        print(f"mio: generation chunk failed, resetting lanes: {exc!r}",
+              file=sys.stderr)
+        with self._cv:
+            for i in snapshot:
+                lane = self.lanes[i]
+                if lane is None:
+                    continue
+                lane.handle.error = exc
+                lane.handle._q.put(None)
+                self.lanes[i] = None
+                self._pens[i] = 1.0
+            self.state = init_batched_state(self.cfg, self.n_lanes,
+                                            self.max_ctx)
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_gen_state
+
+                self.state = shard_gen_state(self.mesh, self.state)
+            self._cv.notify_all()
+
     # -- worker loop ---------------------------------------------------------------
 
     def _run(self) -> None:
@@ -174,12 +203,18 @@ class ContinuousBatcher:
                 snapshot = [i for i, l in enumerate(self.lanes)
                             if l is not None and l.started]
 
-            out, n_new, state = llm_generate_chunk_batched(
-                self.cfg, self.engine.weights, self.engine.eog_ids,
-                self.chunk, sampler, state)
-            # single packed fetch: three separate np.asarray calls pay three
-            # device round trips per chunk
-            out_np, n_np, done_np = fetch_chunk_result(out, n_new, state)
+            try:
+                out, n_new, state = llm_generate_chunk_batched(
+                    self.cfg, self.engine.weights, self.engine.eog_ids,
+                    self.chunk, sampler, state)
+                # single packed fetch: three separate np.asarray calls pay
+                # three device round trips per chunk
+                out_np, n_np, done_np = fetch_chunk_result(out, n_new, state)
+            except Exception as e:  # device failure: fail the affected
+                # requests and reset the batch state — the worker must keep
+                # serving (a dead loop would hang every future submit)
+                self._fail_active_lanes(snapshot, e)
+                continue
 
             with self._cv:
                 self.state = state

@@ -98,3 +98,33 @@ def test_prompt_too_long_rejected(batcher):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="prompt is too long"):
         b.submit("x" * 4000, SamplerParams(), n_predict=4)
+
+
+def test_worker_survives_chunk_failure(batcher, monkeypatch):
+    """A device failure mid-chunk must fail the in-flight requests (raise,
+    not hang) and leave the worker serving subsequent submits."""
+    import miotts_tpu.serving.batching as bmod
+    from miotts_tpu.serving.batching import ContinuousBatcher
+
+    eng, _shared = batcher
+    b = ContinuousBatcher(eng, n_lanes=2, max_ctx=160, chunk=8, seed=0)
+    try:
+        real = bmod.llm_generate_chunk_batched
+        calls = {"n": 0}
+
+        def boom(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected device failure")
+            return real(*a, **k)
+
+        monkeypatch.setattr(bmod, "llm_generate_chunk_batched", boom)
+        h = b.submit("fail me", n_predict=8)
+        with pytest.raises(RuntimeError, match="injected device failure"):
+            h.collect()
+        # the worker recovered: a new request completes normally
+        h2 = b.submit("works again", n_predict=8)
+        toks = h2.collect()
+        assert len(toks) > 0
+    finally:
+        b.shutdown()
