@@ -596,9 +596,9 @@ def attach_lane(state: GenState, lane, logits1, ck1, cv1, pos1, seed) -> GenStat
     GenState (continuous batching: requests join at chunk boundaries).
     The lane's PRNG stream restarts from the request's seed."""
     return GenState(
-        logits=state.logits.at[lane].set(logits1[0]),
-        cache_k=state.cache_k.at[:, lane].set(ck1[:, 0]),
-        cache_v=state.cache_v.at[:, lane].set(cv1[:, 0]),
+        logits=state.logits.at[lane].set(logits1[0].astype(state.logits.dtype)),
+        cache_k=state.cache_k.at[:, lane].set(ck1[:, 0].astype(state.cache_k.dtype)),
+        cache_v=state.cache_v.at[:, lane].set(cv1[:, 0].astype(state.cache_v.dtype)),
         pos=state.pos.at[lane].set(pos1),
         ring=state.ring.at[lane].set(-1),
         ring_idx=state.ring_idx,
