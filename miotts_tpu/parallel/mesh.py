@@ -141,8 +141,9 @@ def parse_backend_devices(spec: str):
     lanes sharded across it. Accepted forms:
       ""            -> None (single default device)
       "all"         -> every visible device
-      "4"           -> first 4 devices
-      "0,2,3"       -> devices by index
+      "0,2,3"       -> devices by index (a single "2" is index 2, not a
+                       count — a bare integer must not change meaning when
+                       a comma appears)
       "TPU:0,TPU:1" -> devices by platform:id name (case-insensitive)
     """
     spec = (spec or "").strip()
@@ -152,13 +153,6 @@ def parse_backend_devices(spec: str):
     if spec.lower() == "all":
         return list(devices)
     parts = [p.strip() for p in spec.split(",") if p.strip()]
-    if len(parts) == 1 and parts[0].isdigit():
-        n = int(parts[0])
-        if n < 1 or n > len(devices):
-            raise ValueError(
-                f"--mio-backend-devices requests {n} devices, "
-                f"{len(devices)} visible")
-        return list(devices[:n])
     out = []
     by_name = {f"{d.platform}:{d.id}".lower(): d for d in devices}
     for p in parts:

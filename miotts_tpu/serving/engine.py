@@ -273,12 +273,19 @@ class ServingEngine:
                 raise RequestError(str(e))
             eog_set = set(int(t) for t in np.asarray(self.llm.eog_ids))
             tokens: list[int] = []
-            for tok in handle.tokens():
-                tokens.append(tok)
-                if on_token is not None:
-                    if not on_token(tok, len(tokens) - 1, tok in eog_set):
-                        handle.cancel()
-                        break
+            try:
+                for tok in handle.tokens():
+                    tokens.append(tok)
+                    if on_token is not None:
+                        if not on_token(tok, len(tokens) - 1, tok in eog_set):
+                            handle.cancel()
+                            break
+            except BaseException:
+                # an exception from on_token (codec failure, client gone)
+                # must free the lane — otherwise it keeps generating into an
+                # unread queue, burning shared chunk-loop steps
+                handle.cancel()
+                raise
             out["n_tokens"] = len(tokens)
             codes = self.llm.tokens_to_codes(tokens)
             if not codes:
@@ -314,7 +321,9 @@ class ServingEngine:
 
     def run_streaming_request(self, rp: RequestParams, out: dict,
                               on_token=None, on_audio=None,
-                              on_codes=None) -> tuple[np.ndarray, int]:
+                              on_codes=None,
+                              embedding: np.ndarray | None = None
+                              ) -> tuple[np.ndarray, int]:
         """Incremental synthesis: token generation (continuous-batcher lane)
         interleaved with prefix re-decodes, so PCM leaves the server while
         the LLM is still generating. ``on_audio(pcm: np.ndarray)`` fires per
@@ -326,7 +335,8 @@ class ServingEngine:
         """
         from ..streaming import StreamingSynthesizer
 
-        embedding = self._resolve_embedding(rp)
+        if embedding is None:
+            embedding = self._resolve_embedding(rp)
         ss = StreamingSynthesizer(
             self.pipeline, embedding,
             synth_fn=self.codec_batcher.synthesize)
@@ -385,6 +395,12 @@ class ServingEngine:
 
         if on_codes is not None:
             on_codes(codes)
+        if rp.codes_out:
+            # same artifact contract as the non-streaming path
+            try:
+                save_codes(rp.codes_out, codes)
+            except (OSError, ValueError) as e:
+                raise RequestError(f"mio_tts_codes_save failed: {e}")
         if not ss.codes and not pending:
             # non-streamed code source: feed in chunks for incremental output
             for off in range(0, len(codes), token_chunk):

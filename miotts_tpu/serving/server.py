@@ -378,11 +378,15 @@ class MioTTSServer:
                 t_wait = now_ms()
                 slot = eng.slots.acquire(timeout=server.cfg.slot_timeout or None)
                 eng._count("inflight", 1)
+                out: dict = {}
+                ok = False
                 try:
-                    emb = eng.ref_cache.get(rp.reference_key)
-                    if emb is None or emb.size == 0:
-                        sse("error", json.dumps(
-                            {"error": f"reference_key not found: {rp.reference_key}"}))
+                    # same resolution order as run_tts_request
+                    # (embedding_in > reference_key > default)
+                    try:
+                        emb = eng._resolve_embedding(rp)
+                    except RequestError as e:
+                        sse("error", json.dumps({"error": str(e)}))
                         finish()
                         return
 
@@ -403,7 +407,6 @@ class MioTTSServer:
                             ev["eog"] = True
                         return sse("token", json.dumps(ev))
 
-                    out: dict = {}
                     try:
                         if rp.stream_audio:
                             # incremental PCM: audio_chunk events interleave
@@ -431,7 +434,7 @@ class MioTTSServer:
 
                             audio, sr = eng.run_streaming_request(
                                 rp, out, on_token=on_token, on_audio=on_audio,
-                                on_codes=on_codes)
+                                on_codes=on_codes, embedding=emb)
                             total_ms = now_ms() - t_begin
                             sse("audio_meta", json.dumps({
                                 "sample_rate": sr,
@@ -466,11 +469,19 @@ class MioTTSServer:
                                 "synth_ms": synth_ms, "total_ms": total_ms,
                                 "wav_size": len(wav)}))
                             sse("audio_data", base64.b64encode(wav).decode())
-                    except (RequestError, ValueError) as e:
+                    except Exception as e:
+                        # headers are gone — any failure (including device
+                        # errors re-raised through GenerationHandle/codec
+                        # futures) must end as an SSE error event + clean
+                        # chunked terminator, never a second status line
                         sse("error", json.dumps({"error": str(e)}))
                         finish()
+                        if not isinstance(e, (RequestError, ValueError)):
+                            import traceback
+
+                            traceback.print_exc()
                         return
-                    eng.record_request(out)
+                    ok = True
                     print(f"generate: path={self.path} slot={slot} ok=true "
                           f"wait_ms={t_llm - t_wait:.2f} "
                           f"llm_ms={out.get('llm_ms', 0.0):.2f} "
@@ -484,6 +495,7 @@ class MioTTSServer:
                 finally:
                     eng.slots.release(slot)
                     eng._count("inflight", -1)
+                    eng.record_request(out, error=not ok)
 
             def _binary_audio_stream(self, rp, t_begin):
                 """stream_audio without stream_tokens: chunked streaming WAV —
@@ -493,8 +505,9 @@ class MioTTSServer:
                 eng = server.engine
                 if not (rp.text or rp.inline_codes or rp.codes_in):
                     raise RequestError("either text/prompt, codes, or codes_in is required")
-                # resolve before headers so failures are still normal JSON errors
-                eng._resolve_embedding(rp)
+                # resolve before headers so failures are still normal JSON
+                # errors; pass the result down to avoid a second disk load
+                emb = eng._resolve_embedding(rp)
                 if rp.text and eng.llm is None and not server.cfg.llm_api_enabled:
                     raise RequestError("text generation requested but LLM model is not loaded")
 
@@ -528,14 +541,24 @@ class MioTTSServer:
 
                     try:
                         audio, _sr = eng.run_streaming_request(
-                            rp, out, on_audio=on_audio)
+                            rp, out, on_audio=on_audio, embedding=emb)
                         ok = True
-                    except (RequestError, ValueError) as e:
-                        # headers are gone; terminate the chunked body so the
-                        # client sees a truncated-but-well-formed stream
+                    except Exception as e:
+                        # headers are gone (any failure here, including
+                        # device errors surfaced through the batcher/codec):
+                        # terminate the chunked body so the client sees a
+                        # truncated-but-well-formed stream, never a second
+                        # status line
                         print(f"generate: path={self.path} slot={slot} ok=false "
                               f"error={e}", file=sys.stderr)
-                    self.wfile.write(b"0\r\n\r\n")
+                        if not isinstance(e, (RequestError, ValueError, OSError)):
+                            import traceback
+
+                            traceback.print_exc()
+                    try:
+                        self.wfile.write(b"0\r\n\r\n")
+                    except OSError:
+                        pass
                 finally:
                     eng.slots.release(slot)
                     eng._count("inflight", -1)

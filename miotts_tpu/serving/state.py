@@ -50,7 +50,7 @@ class ServerConfig:
     llm_api_timeout: int = 120
     llm_api_mode: str = "openai-chat"
     reference_file_json: str = ""
-    # --mio-backend-devices: dp fan-out over chips ("all", "4", "0,2", or
+    # --mio-backend-devices: dp fan-out over chips ("all", "0,2", or
     # platform:id names); lanes/micro-batches shard over the resulting mesh
     mio_backend_devices: str = ""
     warmup: bool = False  # compile serving executables at startup (TPU addition)

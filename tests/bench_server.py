@@ -40,8 +40,7 @@ def one_request(url: str, payload: bytes) -> tuple[bool, float, float, float]:
         return False, time.perf_counter() - t0, float("nan"), float("nan")
 
 
-def one_sse_request(url: str, payload: bytes,
-                    want_audio_chunks: bool) -> tuple[bool, float, float, float]:
+def one_sse_request(url: str, payload: bytes) -> tuple[bool, float, float, float]:
     """SSE request. Returns (ok, total_sec, first_audio_sec, llm_ms):
     first_audio_sec = time to the first audio bytes (audio_chunk event with
     stream_audio, else the audio_data blob) — the server-level TTFA;
@@ -127,10 +126,13 @@ def main() -> int:
     def run_one(_):
         if args.mode == "binary":
             return one_request(args.url, payload)
-        return one_sse_request(args.url, payload,
-                               want_audio_chunks=args.mode == "stream-audio")
+        return one_sse_request(args.url, payload)
 
-    ttfb_col = "ttfa_p50_ms" if args.mode == "stream-audio" else "ttfb_p50_ms"
+    # column semantics per mode: binary = first response byte; sse = the
+    # final audio_data blob (== full synthesis latency, NOT first-byte);
+    # stream-audio = first incremental PCM chunk (true server-level TTFA)
+    ttfb_col = {"binary": "ttfb_p50_ms", "sse": "audio_blob_p50_ms",
+                "stream-audio": "ttfa_p50_ms"}[args.mode]
     rows = [("concurrency", "requests", "ok", "rps",
              "avg_ms", "p50_ms", "p90_ms", "p95_ms", "p99_ms", ttfb_col,
              "llm_ms_p50")]

@@ -237,3 +237,50 @@ def test_sampler_topk_disabled_full_vocab():
     t = sample_token(logits, SamplerParams(temp=1.0, top_k=0, top_p=1.0),
                      state, jax.random.PRNGKey(0))
     assert int(t[0]) == 4321
+
+
+def test_unfused_load_matches_fused(tmp_path, monkeypatch):
+    """MIOTTS_LLM_FUSE=0 keeps the separate-projection leaves working (the
+    layout an operator pins for whole-projection tp shards): same logits and
+    same greedy tokens as the fused default."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from miotts_tpu.models.llm import (
+        SamplerParams, init_kv_cache, llm_generate, llm_prefill, load_llm_gguf,
+    )
+    from miotts_tpu.testing import write_synthetic_llm_gguf
+
+    path = tmp_path / "llm.gguf"
+    write_synthetic_llm_gguf(str(path), n_audio=64, dim=64, n_layers=2,
+                             n_heads=4, n_kv_heads=2, ffn=96, seed=3)
+    cfg_f, w_f, tok = load_llm_gguf(str(path), dtype=jnp.float32)
+    monkeypatch.setenv("MIOTTS_LLM_FUSE", "0")
+    cfg_u, w_u, _ = load_llm_gguf(str(path), dtype=jnp.float32)
+    assert cfg_f == cfg_u
+    assert "wqkv" in w_f and "wq" in w_u and "w_gateup" in w_f and "w_gate" in w_u
+
+    rng = np.random.RandomState(0)
+    tokens = rng.randint(0, 200, size=(2, 8)).astype(np.int32)
+    lengths = jnp.asarray([8, 6], jnp.int32)
+    ck, cv = init_kv_cache(cfg_f, 2, 32, dtype=jnp.float32)
+    ref, _, _ = jax.jit(llm_prefill, static_argnums=0)(
+        cfg_f, w_f, jnp.asarray(tokens), lengths, ck, cv)
+    ck, cv = init_kv_cache(cfg_u, 2, 32, dtype=jnp.float32)
+    got, _, _ = jax.jit(llm_prefill, static_argnums=0)(
+        cfg_u, w_u, jnp.asarray(tokens), lengths, ck, cv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    eog = jnp.asarray([tok.eos_id], jnp.int32)
+    ck, cv = init_kv_cache(cfg_f, 2, 48, dtype=jnp.float32)
+    out_f, n_f = llm_generate(cfg_f, w_f, jnp.asarray(tokens), lengths, eog,
+                              jax.random.PRNGKey(0), 8,
+                              SamplerParams(temp=0.0), ck, cv)
+    ck, cv = init_kv_cache(cfg_u, 2, 48, dtype=jnp.float32)
+    out_u, n_u = llm_generate(cfg_u, w_u, jnp.asarray(tokens), lengths, eog,
+                              jax.random.PRNGKey(0), 8,
+                              SamplerParams(temp=0.0), ck, cv)
+    np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_u))
+    np.testing.assert_array_equal(np.asarray(n_f), np.asarray(n_u))

@@ -47,7 +47,8 @@ def test_parse_backend_devices():
     devs = jax.devices()
     assert parse_backend_devices("") is None
     assert parse_backend_devices("all") == list(devs)
-    assert parse_backend_devices("4") == list(devs[:4])
+    # a bare integer is an INDEX (same meaning with or without commas)
+    assert parse_backend_devices("4") == [devs[4]]
     assert parse_backend_devices("0,2") == [devs[0], devs[2]]
     name = f"{devs[1].platform}:{devs[1].id}"
     assert parse_backend_devices(name.upper()) == [devs[1]]
