@@ -223,6 +223,25 @@ def test_unicode_prompt_tokenizes(tiny_llm):
     assert tok.decode(ids) == "こんにちは、世界。"
 
 
+def test_exact_top_k_matches_lax_top_k():
+    """The tile-max prefilter top-k (sampling.exact_top_k) must be exact:
+    identical values and an index set selecting those same values, across
+    vocab sizes that exercise the padded/unpadded and degenerate paths."""
+    from miotts_tpu.models.sampling import exact_top_k
+
+    rng = np.random.RandomState(7)
+    for V, k in [(151_936, 50), (151_936, 256), (152_000, 1),
+                 (12_345, 50), (4_000, 17), (300, 50), (64, 8)]:
+        x = jnp.asarray(rng.randn(3, V).astype(np.float32))
+        v, i = jax.jit(lambda a: exact_top_k(a, k))(x)
+        ve, ie = jax.lax.top_k(x, min(k, V))
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(ve))
+        # ties may legally report a different index with the same value
+        gathered = np.take_along_axis(np.asarray(x), np.asarray(i), axis=1)
+        np.testing.assert_array_equal(gathered, np.asarray(ve))
+        assert all(len(set(row)) == len(row) for row in np.asarray(i))
+
+
 def test_sampler_topk_disabled_full_vocab():
     """top_k<=0 must not truncate (reference: no top-k filter is added)."""
     V = 5000
