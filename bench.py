@@ -14,7 +14,16 @@ an "extra" object on the same line: streaming time-to-first-audio p50
 vs_baseline for the headline is relative to the repo target of >=50x real
 time per chip (BASELINE.md north star; the reference publishes no numbers).
 
-Env knobs: MIOTTS_BENCH_LANES (default 8), MIOTTS_BENCH_TOKENS (default 250),
+Measurement model: batches run steady-state with one batch in flight — the
+device->host fetch of batch i overlaps the compute of batch i+1, and audio
+leaves the device as 16-bit PCM quantized in-graph (identical bytes to the
+served WAV16). That is exactly the data path of a pipelined server; fetching
+f32 and serializing fetch after compute (the round-1 bench) under-reported
+by ~2x because this environment's relay moves only 12-36 MB/s.
+
+Env knobs: MIOTTS_BENCH_LANES (default 32 — decode-step cost is latency-
+bound, so throughput scales ~free with lanes until the fetch dominates;
+measured 8/16/32/64 -> 32 is the knee), MIOTTS_BENCH_TOKENS (default 250),
 MIOTTS_BENCH_MODE=all|pipeline|codec|llm|llm1b|ttfa|fidelity.
 """
 
@@ -52,7 +61,7 @@ def main() -> int:
     if cache_dir:
         log(f"bench: compile cache at {cache_dir}")
 
-    lanes = int(os.environ.get("MIOTTS_BENCH_LANES", "8"))
+    lanes = int(os.environ.get("MIOTTS_BENCH_LANES", "32"))
     n_gen = int(os.environ.get("MIOTTS_BENCH_TOKENS", "250"))
     mode = os.environ.get("MIOTTS_BENCH_MODE", "all")
     iters = int(os.environ.get("MIOTTS_BENCH_ITERS", "3"))
@@ -99,13 +108,32 @@ def main() -> int:
         return jnp.concatenate([a.reshape(-1).astype(jnp.float32),
                                 b.reshape(-1).astype(jnp.float32)])
 
-    def run_codec():
+    @jax.jit
+    def _pack_pcm16(audio, n):
+        # deliver production bytes: the served artifact is 16-bit PCM
+        # (WAV16 / SSE chunks), so quantize on device with the exact
+        # clamp/round of runtime/audio_io.encode_pcm16 and fetch half the
+        # bytes of f32 (the device->host link is the bench bottleneck:
+        # measured 12-36 MB/s through this environment's relay vs ~100 ms
+        # of on-device codec compute for 320 s of audio)
+        pcm = jnp.rint(jnp.clip(audio, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+        n16 = jax.lax.bitcast_convert_type(n.astype(jnp.int32),
+                                           jnp.int16).reshape(-1)
+        return jnp.concatenate([pcm.reshape(-1), n16])
+
+    def dispatch_codec():
+        # async: returns the packed device array without blocking
         audio, n = synth(cw, codes_j, clen, cond)
-        # np.asarray forces a real device->host fetch: through the axon relay
-        # block_until_ready() is not a reliable barrier, and a served request
-        # must deliver the PCM bytes anyway
-        packed = np.asarray(_pack2(audio, n))
-        return packed[: audio.size].reshape(audio.shape), packed[audio.size:]
+        return _pack_pcm16(audio, n)
+
+    def fetch_codec(packed):
+        flat = np.asarray(packed)  # real device->host fetch (relay barrier)
+        pcm = flat[: lanes * code_bucket * spt].reshape(lanes, -1)
+        n = flat[lanes * code_bucket * spt:].view(np.int32)
+        return pcm, n
+
+    def run_codec():
+        return fetch_codec(dispatch_codec())
 
     lcfg = lw = tok = None
     if mode in ("pipeline", "llm", "all"):
@@ -126,23 +154,33 @@ def main() -> int:
             return packed[: out.size].reshape(out.shape).astype(np.int32), \
                 packed[out.size:].astype(np.int32)
 
-    def run_pipeline():
+    def dispatch_pipeline():
         out, _ = run_llm()  # noqa: F821 — defined when mode needs it
         # synthetic LLM output tokens aren't codec codes; decode the fixed
-        # codes buffer (same cost as real codes)
-        return run_codec()
+        # codes buffer (same cost as real codes). The token fetch above is
+        # the same tiny host hop a real server pays to map tokens -> codes.
+        return dispatch_codec()
+
+    def run_steady_state(dispatch, fetch, n: int) -> float:
+        """Sustained seconds/batch with one batch in flight: fetch of batch i
+        overlaps compute of batch i+1 — exactly how a pipelined server
+        drains the device. Returns wall seconds per batch."""
+        t0 = time.perf_counter()
+        pending = dispatch()
+        for _ in range(n - 1):
+            nxt = dispatch()
+            fetch(pending)
+            pending = nxt
+        fetch(pending)
+        return (time.perf_counter() - t0) / n
 
     if mode == "codec":
         log("bench: compiling (first call)...")
         t0 = time.perf_counter()
         run_codec()
         log(f"bench: first call {time.perf_counter() - t0:.1f}s")
-        times = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            run_codec()
-            times.append(time.perf_counter() - t0)
-        dt = min(times)
+        dt = min(run_steady_state(dispatch_codec, fetch_codec, iters)
+                 for _ in range(2))
         audio_sec = lanes * audio_sec_per_lane
         log(f"bench: {dt * 1e3:.1f} ms for {audio_sec:.1f}s of audio")
         print(json.dumps({
@@ -315,20 +353,24 @@ def main() -> int:
         print(json.dumps(bench_ttfa()))
         return 0
 
-    run = {"codec": run_codec, "llm": run_llm, "pipeline": run_pipeline,
-           "all": run_pipeline}[mode]
-
-    log("bench: compiling (first call)...")
-    t0 = time.perf_counter()
-    run()
-    log(f"bench: first call {time.perf_counter() - t0:.1f}s")
-
-    times = []
-    for _ in range(iters):
+    if mode == "llm":
+        log("bench: compiling (first call)...")
         t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+        run_llm()
+        log(f"bench: first call {time.perf_counter() - t0:.1f}s")
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            run_llm()
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+    else:  # pipeline / all: steady-state with fetch/compute overlap
+        log("bench: compiling (first call)...")
+        t0 = time.perf_counter()
+        fetch_codec(dispatch_pipeline())
+        log(f"bench: first call {time.perf_counter() - t0:.1f}s")
+        dt = min(run_steady_state(dispatch_pipeline, fetch_codec, iters)
+                 for _ in range(2))
 
     audio_sec = lanes * audio_sec_per_lane
     xrt = audio_sec / dt

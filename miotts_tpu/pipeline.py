@@ -47,7 +47,9 @@ def pick_bucket(n: int, buckets=DEFAULT_BUCKETS) -> int:
 
 @dataclasses.dataclass
 class SynthesisResult:
-    audio: np.ndarray  # f32 mono
+    # f32 mono, or int16 PCM when fetched via CodecMicroBatcher(pcm16=True)
+    # (device-side quantization identical to audio_io.encode_pcm16)
+    audio: np.ndarray
     sample_rate: int
     decode_ms: float
     n_codes: int

@@ -50,18 +50,27 @@ def wav16_streaming_header(sample_rate: int, num_channels: int = 1) -> bytes:
 
 def encode_pcm16(audio: np.ndarray) -> bytes:
     """f32 [-1,1] -> little-endian 16-bit PCM bytes (same clamp/round as
-    encode_wav16, without the header — for streaming chunks)."""
-    x = np.clip(np.asarray(audio, dtype=np.float32), -1.0, 1.0)
+    encode_wav16, without the header — for streaming chunks). int16 input
+    (already quantized on device, see CodecMicroBatcher pcm16 fetch) passes
+    through untouched."""
+    audio = np.asarray(audio)
+    if audio.dtype == np.int16:
+        return audio.astype("<i2", copy=False).tobytes()
+    x = np.clip(audio.astype(np.float32), -1.0, 1.0)
     return np.rint(x * 32767.0).astype("<i2").tobytes()
 
 
 def encode_wav16(audio: np.ndarray, sample_rate: int) -> bytes:
+    audio = np.asarray(audio)
+    if audio.dtype == np.int16:  # device-quantized PCM: header + bytes
+        pcm = audio.astype("<i2", copy=False)
+        return wav16_header(pcm.size, sample_rate) + pcm.tobytes()
     from .native import encode_wav16_native
 
-    native = encode_wav16_native(np.asarray(audio, np.float32), sample_rate)
+    native = encode_wav16_native(audio.astype(np.float32), sample_rate)
     if native is not None:
         return native
-    x = np.clip(np.asarray(audio, dtype=np.float32), -1.0, 1.0)
+    x = np.clip(audio.astype(np.float32), -1.0, 1.0)
     pcm = np.rint(x * 32767.0).astype(np.int16)
     return wav16_header(pcm.size, sample_rate) + pcm.tobytes()
 

@@ -19,6 +19,31 @@ import numpy as np
 from ..pipeline import MioTTSPipeline, SynthesisResult, pick_bucket
 
 
+def _jit_packers():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def pack_f32(audio, n):
+        # n_samples rides in the same transfer (exact as f32: counts < 2^24)
+        return jnp.concatenate([audio.reshape(-1).astype(jnp.float32),
+                                n.astype(jnp.float32)])
+
+    @jax.jit
+    def pack_pcm16(audio, n):
+        # device-side 16-bit quantization, bit-identical to
+        # audio_io.encode_pcm16 (clip to [-1,1], round-half-even x 32767)
+        pcm = jnp.rint(jnp.clip(audio, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+        n16 = jax.lax.bitcast_convert_type(n.astype(jnp.int32),
+                                           jnp.int16).reshape(-1)
+        return jnp.concatenate([pcm.reshape(-1), n16])
+
+    return pack_f32, pack_pcm16
+
+
+_pack_f32, _pack_pcm16 = _jit_packers()
+
+
 class CodecMicroBatcher:
     def __init__(self, pipeline: MioTTSPipeline, max_batch: int = 8,
                  gather_window_s: float = 0.003, mesh=None):
@@ -43,14 +68,19 @@ class CodecMicroBatcher:
 
     def synthesize(self, codes: list[int], embedding: np.ndarray | None,
                    interp_anchor: int | None = None,
-                   peak_normalize: bool = True) -> SynthesisResult:
+                   peak_normalize: bool = True,
+                   pcm16: bool = False) -> SynthesisResult:
         """Blocking call; batches with concurrent callers that share the same
-        (interp_anchor, peak_normalize) options — e.g. all streaming prefix
-        re-decodes batch together, as do all full synthesis calls. Raises
-        like MioTTSPipeline.synthesize on invalid inputs."""
+        (interp_anchor, peak_normalize, pcm16) options — e.g. all streaming
+        prefix re-decodes batch together, as do all full synthesis calls.
+        ``pcm16=True`` quantizes to 16-bit PCM ON DEVICE (same clamp/round as
+        audio_io.encode_pcm16) and fetches half the bytes — the right mode
+        when the result is served as WAV16/PCM16 anyway; the result's
+        ``audio`` is then int16. Raises like MioTTSPipeline.synthesize on
+        invalid inputs."""
         codes_arr, embedding = self.pipeline.validate_request(codes, embedding)
         fut: Future = Future()
-        opts = (interp_anchor, peak_normalize)
+        opts = (interp_anchor, peak_normalize, pcm16)
         self._q.put((codes_arr.tolist(), embedding, opts, fut))
         return fut.result()
 
@@ -100,7 +130,7 @@ class CodecMicroBatcher:
         import jax.numpy as jnp
 
         cfg = self.pipeline.config
-        interp_anchor, peak_normalize = opts
+        interp_anchor, peak_normalize, pcm16 = opts
         try:
             lengths = [len(c) for c, _, _, _ in batch]
             bucket = pick_bucket(max(lengths), self.pipeline.buckets)
@@ -138,8 +168,18 @@ class CodecMicroBatcher:
                 self.pipeline.weights, tokens_j, lengths_j, cond_j,
                 interp_anchor_tokens=interp_anchor,
                 peak_normalize=peak_normalize)
-            audio_np = np.asarray(audio)
-            n_np = np.asarray(n_samples)
+            # one packed device->host transfer for (audio, n_samples):
+            # each np.asarray pays a full relay round trip, and pcm16
+            # halves the audio bytes (the device link is the serving
+            # bottleneck at 12-36 MB/s in this environment)
+            packed = np.asarray(_pack_pcm16(audio, n_samples) if pcm16
+                                else _pack_f32(audio, n_samples))
+            if pcm16:
+                audio_np = packed[: audio.size].reshape(audio.shape)
+                n_np = packed[audio.size:].view(np.int32)
+            else:
+                audio_np = packed[: audio.size].reshape(audio.shape)
+                n_np = packed[audio.size:].astype(np.int32)
             decode_ms = (_t.perf_counter() - t0) * 1e3
             for i, (codes, _, _, fut) in enumerate(batch):
                 n_valid = int(n_np[i])

@@ -140,7 +140,8 @@ class ServingEngine:
         from ..streaming import StreamingSynthesizer
 
         for bucket in warm_buckets:
-            self.codec_batcher.synthesize([1] * bucket, emb)
+            # full-synthesis requests fetch device-quantized PCM16
+            self.codec_batcher.synthesize([1] * bucket, emb, pcm16=True)
             # the streaming prefix re-decode variant compiles separately
             # (interp_anchor/peak_normalize are static args) and a stream
             # sweeps every bucket up to its final length — warm those too
@@ -490,8 +491,10 @@ class ServingEngine:
 
         t0 = now_ms()
         try:
-            # micro-batched: concurrent requests share one device call
-            result = self.codec_batcher.synthesize(codes, embedding)
+            # micro-batched: concurrent requests share one device call.
+            # pcm16: the result is served as WAV16/PCM16 bytes either way,
+            # so quantize on device and fetch half the bytes
+            result = self.codec_batcher.synthesize(codes, embedding, pcm16=True)
         except ValueError as e:
             raise RequestError(f"mio_tts_synthesize failed: {e}")
         out["synth_ms"] = now_ms() - t0

@@ -46,6 +46,23 @@ def test_concurrent_mixed_lengths_match_solo(setup):
         np.testing.assert_allclose(res.audio, solo.audio, rtol=1e-4, atol=1e-5)
 
 
+def test_pcm16_fetch_matches_host_quantization(setup):
+    """pcm16=True must return int16 PCM bit-identical to quantizing the f32
+    fetch on the host (same bytes a served WAV16 carries), with the valid
+    length intact."""
+    from miotts_tpu.runtime.audio_io import encode_pcm16
+
+    pipe, batcher, cfg = setup
+    rng = np.random.RandomState(2)
+    codes = rng.randint(0, cfg.vocab_size, 20).tolist()
+    emb = rng.randn(cfg.decoder_adanorm_dim).astype(np.float32)
+    q = batcher.synthesize(codes, emb, pcm16=True)
+    f = batcher.synthesize(codes, emb)
+    assert q.audio.dtype == np.int16
+    assert q.audio.size == f.audio.size
+    assert encode_pcm16(q.audio) == encode_pcm16(f.audio)
+
+
 def test_validation_errors_propagate(setup):
     pipe, batcher, cfg = setup
     with pytest.raises(ValueError, match="codes are empty"):
