@@ -69,19 +69,25 @@ class CodecMicroBatcher:
     def synthesize(self, codes: list[int], embedding: np.ndarray | None,
                    interp_anchor: int | None = None,
                    peak_normalize: bool = True,
-                   pcm16: bool = False) -> SynthesisResult:
+                   pcm16: bool = False,
+                   window: tuple[int, int] | None = None) -> SynthesisResult:
         """Blocking call; batches with concurrent callers that share the same
-        (interp_anchor, peak_normalize, pcm16) options — e.g. all streaming
-        prefix re-decodes batch together, as do all full synthesis calls.
-        ``pcm16=True`` quantizes to 16-bit PCM ON DEVICE (same clamp/round as
-        audio_io.encode_pcm16) and fetches half the bytes — the right mode
-        when the result is served as WAV16/PCM16 anyway; the result's
-        ``audio`` is then int16. Raises like MioTTSPipeline.synthesize on
-        invalid inputs."""
+        (interp_anchor, peak_normalize, pcm16, window-length) options — e.g.
+        all streaming prefix re-decodes batch together, as do all full
+        synthesis calls. ``pcm16=True`` quantizes to 16-bit PCM ON DEVICE
+        (same clamp/round as audio_io.encode_pcm16) and fetches half the
+        bytes — the right mode when the result is served as WAV16/PCM16
+        anyway; the result's ``audio`` is then int16. ``window=(start, len)``
+        fetches only that slice per lane (f32; see MioTTSPipeline.synthesize)
+        — the window LENGTH is part of the batch group (static shape), the
+        start is per-caller dynamic. Raises like MioTTSPipeline.synthesize
+        on invalid inputs."""
         codes_arr, embedding = self.pipeline.validate_request(codes, embedding)
         fut: Future = Future()
-        opts = (interp_anchor, peak_normalize, pcm16)
-        self._q.put((codes_arr.tolist(), embedding, opts, fut))
+        wlen = None if window is None else int(window[1])
+        wstart = 0 if window is None else int(window[0])
+        opts = (interp_anchor, peak_normalize, pcm16, wlen)
+        self._q.put((codes_arr.tolist(), embedding, opts, fut, wstart))
         return fut.result()
 
     def shutdown(self) -> None:
@@ -130,9 +136,9 @@ class CodecMicroBatcher:
         import jax.numpy as jnp
 
         cfg = self.pipeline.config
-        interp_anchor, peak_normalize, pcm16 = opts
+        interp_anchor, peak_normalize, pcm16, wlen = opts
         try:
-            lengths = [len(c) for c, _, _, _ in batch]
+            lengths = [len(item[0]) for item in batch]
             bucket = pick_bucket(max(lengths), self.pipeline.buckets)
             # fixed lane count: one compiled executable per LENGTH bucket
             # (a varying batch dim would recompile per concurrency level;
@@ -140,15 +146,18 @@ class CodecMicroBatcher:
             B = self.max_batch
             tokens = np.zeros((B, bucket), np.int32)
             lane_len = [1] * B
-            for i, (codes, _, _, _) in enumerate(batch):
+            starts = np.zeros(B, np.int32)
+            for i, item in enumerate(batch):
+                codes = item[0]
                 tokens[i, : len(codes)] = codes
                 lane_len[i] = len(codes)
+                starts[i] = item[4]
             lengths = lane_len
             if cfg.dynamic_global:
                 dc = cfg.decoder_adanorm_dim
                 cond = np.zeros((B, dc), np.float32)
-                for i, (_, e, _, _) in enumerate(batch):
-                    cond[i] = np.asarray(e, np.float32).reshape(-1)
+                for i, item in enumerate(batch):
+                    cond[i] = np.asarray(item[1], np.float32).reshape(-1)
                 cond_j = jnp.asarray(cond)
             else:
                 cond_j = None
@@ -169,9 +178,31 @@ class CodecMicroBatcher:
                 interp_anchor_tokens=interp_anchor,
                 peak_normalize=peak_normalize)
             # one packed device->host transfer for (audio, n_samples):
-            # each np.asarray pays a full relay round trip, and pcm16
-            # halves the audio bytes (the device link is the serving
-            # bottleneck at 12-36 MB/s in this environment)
+            # each np.asarray pays a full relay round trip; pcm16 halves
+            # the audio bytes and window fetches move only the slice the
+            # caller will emit (the device link is the serving bottleneck
+            # at 12-36 MB/s in this environment)
+            if wlen is not None:
+                from ..pipeline import _pack_audio_window
+
+                packed = np.asarray(_pack_audio_window(
+                    audio, n_samples, int(wlen), jnp.asarray(starts)))
+                win_np = packed[: B * wlen].reshape(B, wlen)
+                n_np = packed[B * wlen:].astype(np.int32)
+                decode_ms = (_t.perf_counter() - t0) * 1e3
+                for i, item in enumerate(batch):
+                    codes, fut, start = item[0], item[3], int(starts[i])
+                    n_valid = int(n_np[i])
+                    fut.set_result(SynthesisResult(
+                        audio=win_np[i, : max(0, min(wlen, n_valid - start))],
+                        sample_rate=cfg.sample_rate,
+                        decode_ms=decode_ms,
+                        n_codes=len(codes),
+                        n_frames=n_valid // cfg.hop_length,
+                        window_start=start,
+                        n_total=n_valid,
+                    ))
+                return
             packed = np.asarray(_pack_pcm16(audio, n_samples) if pcm16
                                 else _pack_f32(audio, n_samples))
             if pcm16:
@@ -181,7 +212,8 @@ class CodecMicroBatcher:
                 audio_np = packed[: audio.size].reshape(audio.shape)
                 n_np = packed[audio.size:].astype(np.int32)
             decode_ms = (_t.perf_counter() - t0) * 1e3
-            for i, (codes, _, _, fut) in enumerate(batch):
+            for i, item in enumerate(batch):
+                codes, fut = item[0], item[3]
                 n_valid = int(n_np[i])
                 fut.set_result(SynthesisResult(
                     audio=audio_np[i, :n_valid],
@@ -191,6 +223,7 @@ class CodecMicroBatcher:
                     n_frames=n_valid // cfg.hop_length,
                 ))
         except Exception as e:  # deliver the failure to every waiter
-            for _, _, _, fut in batch:
+            for item in batch:
+                fut = item[3]
                 if not fut.done():
                     fut.set_exception(e)

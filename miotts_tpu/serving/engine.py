@@ -144,7 +144,17 @@ class ServingEngine:
             self.codec_batcher.synthesize([1] * bucket, emb, pcm16=True)
             # the streaming prefix re-decode variant compiles separately
             # (interp_anchor/peak_normalize are static args) and a stream
-            # sweeps every bucket up to its final length — warm those too
+            # sweeps every bucket up to its final length — warm both its
+            # fetch shapes: the per-feed window (used once the bucket
+            # outgrows it; see StreamingSynthesizer._decode_window) and the
+            # full-decode fallback (small buckets, oversized finalize tails)
+            if (bucket * self.pipeline.config.samples_per_token
+                    > StreamingSynthesizer.WINDOW_SAMPLES):
+                self.codec_batcher.synthesize(
+                    [1] * bucket, emb,
+                    interp_anchor=StreamingSynthesizer.INTERP_ANCHOR,
+                    peak_normalize=False,
+                    window=(0, StreamingSynthesizer.WINDOW_SAMPLES))
             self.codec_batcher.synthesize(
                 [1] * bucket, emb,
                 interp_anchor=StreamingSynthesizer.INTERP_ANCHOR,

@@ -28,6 +28,11 @@ class StreamingSynthesizer:
         pcm = ss.finalize()           # remaining samples
     """
 
+    # fixed fetch-window length (static shape -> one executable per bucket):
+    # must cover one feed's emission (token_chunk * spt) plus the crossfade
+    # margin the NEXT boundary reads back
+    WINDOW_SAMPLES = 32768
+
     def __init__(
         self,
         pipeline: MioTTSPipeline,
@@ -36,15 +41,18 @@ class StreamingSynthesizer:
         crossfade_samples: int = 128,
         min_decode_tokens: int = 4,
         synth_fn=None,
+        window_samples: int | None = None,
     ):
         self.pipeline = pipeline
         self.embedding = embedding
         self.lookahead = max(0, lookahead_tokens)
         self.crossfade = max(0, crossfade_samples)
         self.min_decode = max(1, min_decode_tokens)
+        self.window = window_samples or self.WINDOW_SAMPLES
         self.codes: list[int] = []
         self.emitted = 0  # samples already returned
-        self._prev_audio: np.ndarray | None = None
+        self._prev_win: np.ndarray | None = None
+        self._prev_start = 0
         self.sample_rate = pipeline.sample_rate
         # pluggable decode (pipeline.synthesize signature): the server passes
         # its CodecMicroBatcher so concurrent streams share device calls
@@ -52,30 +60,55 @@ class StreamingSynthesizer:
 
     INTERP_ANCHOR = 1024  # fixed resample ratio across prefix re-decodes
 
-    def _decode_prefix(self) -> np.ndarray:
+    def _decode_window(self, start: int, need: int) -> tuple[np.ndarray, int]:
+        """Decode the current prefix; return (win, n_total) where ``win``
+        covers [start, start + len(win)) of the decode and ``n_total`` is its
+        total valid sample count. Fetches only a fixed window — the emission
+        is a tiny slice of the decode, and the device link is slow — unless
+        the caller needs more than one window (then fetch the full tail) or
+        the prefix's bucket is already no bigger than the window (a full
+        fetch costs the same bytes and reuses the plain executable)."""
+        from .pipeline import pick_bucket
+
+        bucket_samples = (pick_bucket(len(self.codes), self.pipeline.buckets)
+                          * self.pipeline.samples_per_token)
+        if (need + self.crossfade > self.window
+                or bucket_samples <= self.window):
+            result = self._synth(self.codes, self.embedding,
+                                 interp_anchor=self.INTERP_ANCHOR,
+                                 peak_normalize=False)
+            total = int(result.audio.size)
+            return np.asarray(result.audio[start:], np.float32), total
         result = self._synth(self.codes, self.embedding,
                              interp_anchor=self.INTERP_ANCHOR,
-                             peak_normalize=False)
-        return result.audio
+                             peak_normalize=False,
+                             window=(start, self.window))
+        total = result.n_total if result.n_total is not None else int(
+            start + result.audio.size)
+        return np.asarray(result.audio, np.float32), int(total)
 
-    def _emit(self, audio: np.ndarray, upto: int) -> np.ndarray:
-        """Emit [self.emitted, upto) with crossfade against the previously
-        decoded tail around the boundary."""
-        upto = min(upto, audio.size)
+    def _emit(self, win: np.ndarray, start: int, n_total: int,
+              upto: int) -> np.ndarray:
+        """Emit [self.emitted, upto) from ``win`` (which covers the decode
+        from ``start``), crossfading against the previous window around the
+        boundary."""
+        upto = min(upto, n_total, start + win.size)
         if upto <= self.emitted:
+            self._prev_win, self._prev_start = win, start
             return np.zeros(0, np.float32)
-        out = audio[self.emitted:upto].copy()
-        if (self._prev_audio is not None and self.crossfade > 0
+        out = win[self.emitted - start: upto - start].copy()
+        if (self._prev_win is not None and self.crossfade > 0
                 and self.emitted > 0):
+            off = self.emitted - self._prev_start
             n = min(self.crossfade, out.size,
-                    max(0, self._prev_audio.size - self.emitted))
-            if n > 0:
+                    max(0, self._prev_win.size - off))
+            if n > 0 and off >= 0:
                 t = np.arange(n, dtype=np.float32) / n
                 fade = 0.5 - 0.5 * np.cos(np.pi * t)  # 0 -> 1
-                prev = self._prev_audio[self.emitted:self.emitted + n]
+                prev = self._prev_win[off:off + n]
                 out[:n] = prev * (1.0 - fade) + out[:n] * fade
         self.emitted = upto
-        self._prev_audio = audio
+        self._prev_win, self._prev_start = win, start
         return out
 
     def feed(self, new_codes: list[int]) -> np.ndarray:
@@ -85,17 +118,23 @@ class StreamingSynthesizer:
         stable_tokens = n - self.lookahead
         if n < self.min_decode or stable_tokens <= 0:
             return np.zeros(0, np.float32)
-        audio = self._decode_prefix()
         spt = self.pipeline.samples_per_token
         stable_samples = stable_tokens * spt
-        return self._emit(audio, stable_samples)
+        if stable_samples <= self.emitted:
+            return np.zeros(0, np.float32)
+        start = self.emitted
+        win, n_total = self._decode_window(start, stable_samples - start)
+        return self._emit(win, start, n_total, stable_samples)
 
     def finalize(self) -> np.ndarray:
         """Flush: decode the full sequence and emit everything left."""
         if not self.codes:
             return np.zeros(0, np.float32)
-        audio = self._decode_prefix()
-        return self._emit(audio, audio.size)
+        spt = self.pipeline.samples_per_token
+        start = self.emitted
+        need = max(0, len(self.codes) * spt - start)
+        win, n_total = self._decode_window(start, need)
+        return self._emit(win, start, n_total, n_total)
 
 
 def stream_text_to_audio(

@@ -70,6 +70,36 @@ def test_streaming_incremental_latency(pipe):
     assert total == len(codes) * cfg.samples_per_token
 
 
+def test_window_fetch_matches_full_fetch(pipe):
+    """The per-feed window fetch (default) must emit bit-identical PCM to
+    the full-decode fetch (forced via window_samples=1, which makes every
+    feed take the fallback path) — the window is purely a transfer-size
+    optimization."""
+    pipeline, cfg = pipe
+    rng = np.random.RandomState(3)
+    codes = rng.randint(0, cfg.vocab_size, 60).tolist()
+    emb = rng.randn(cfg.decoder_adanorm_dim).astype(np.float32)
+
+    def run(window_samples):
+        ss = StreamingSynthesizer(pipeline, emb, lookahead_tokens=8,
+                                  window_samples=window_samples)
+        pieces = []
+        for i in range(0, len(codes), 7):
+            pcm = ss.feed(codes[i:i + 7])
+            if pcm.size:
+                pieces.append(pcm)
+        pieces.append(ss.finalize())
+        return np.concatenate(pieces)
+
+    # 512 < bucket*spt for every prefix here, so real window fetches run
+    # (the tiny config's buckets are smaller than the production default
+    # window, which would route everything through the full-fetch path)
+    windowed = run(512)
+    full = run(1)                 # every feed falls back to a full fetch
+    assert windowed.size == full.size
+    np.testing.assert_array_equal(windowed, full)
+
+
 def test_streaming_monotone_no_rewrites(pipe):
     pipeline, cfg = pipe
     rng = np.random.RandomState(2)
