@@ -7,7 +7,10 @@ lanes over one batched KV cache. Requests prefill (B=1) and attach to a free
 lane; every loop iteration runs one jitted chunk of decode steps over ALL
 active lanes (mixed per-lane sampler settings); tokens stream back per lane.
 New requests join at the next chunk boundary — no request ever waits for
-another to finish.
+another to finish. The worker runs one chunk AHEAD of result delivery
+(dispatch k+1, then fetch k): the device->host fetch round trip overlaps the
+next chunk's on-device compute, which matters when the device link is a
+high-latency relay.
 """
 
 from __future__ import annotations
@@ -182,10 +185,19 @@ class ContinuousBatcher:
     # -- worker loop ---------------------------------------------------------------
 
     def _run(self) -> None:
+        # one-deep dispatch-ahead: chunk k+1 is dispatched BEFORE chunk k's
+        # results are fetched, so the fetch round trip (tens of ms through a
+        # device relay) overlaps chunk k+1's on-device compute. Costs: a new
+        # request attaches one chunk later under saturation, and lane
+        # freeing lags one chunk — the budget guard below skips the
+        # speculative dispatch when no lane can outlive the in-flight chunk
+        # (EOG-finished lanes make the speculative chunk exit in-graph).
+        inflight: tuple | None = None  # (out, n_new, state_k, snapshot_k)
         while True:
             with self._cv:
-                while not self._shutdown and not self._pending and all(
-                        l is None or not l.started for l in self.lanes):
+                while (inflight is None and not self._shutdown
+                       and not self._pending and all(
+                           l is None or not l.started for l in self.lanes)):
                     self._cv.wait()
                 if self._shutdown:
                     return
@@ -200,45 +212,81 @@ class ContinuousBatcher:
                 sampler = BatchSamplerParams.make(
                     self._temps, self._top_ks, self._top_ps, self._pens)
                 state = self.state
-                snapshot = [i for i, l in enumerate(self.lanes)
+                # snapshot carries the lane OBJECTS: delivery later verifies
+                # self.lanes[i] is still the same request — a lane freed
+                # while a speculative chunk is in flight may be re-attached
+                # by a new request, whose tokens start only at the next
+                # chunk (the stale chunk's output for that lane is dropped)
+                snapshot = [(i, l) for i, l in enumerate(self.lanes)
                             if l is not None and l.started]
+                inflight_set = ({i for i, _ in inflight[3]}
+                                if inflight is not None else set())
+                # would any lane still have token budget after the chunk(s)
+                # already in flight? If not, a speculative dispatch can only
+                # produce tokens the budget clamp drops.
+                worth_dispatching = any(
+                    (l.generated + (self.chunk if i in inflight_set else 0))
+                    < l.n_predict
+                    for i, l in snapshot)
 
-            try:
-                out, n_new, state = llm_generate_chunk_batched(
-                    self.cfg, self.engine.weights, self.engine.eog_ids,
-                    self.chunk, sampler, state)
-                # single packed fetch: three separate np.asarray calls pay
-                # three device round trips per chunk
-                out_np, n_np, done_np = fetch_chunk_result(out, n_new, state)
-            except Exception as e:  # device failure: fail the affected
-                # requests and reset the batch state — the worker must keep
-                # serving (a dead loop would hang every future submit)
-                self._fail_active_lanes(snapshot, e)
-                continue
+            dispatched: tuple | None = None
+            if snapshot and worth_dispatching:
+                try:
+                    out, n_new, state = llm_generate_chunk_batched(
+                        self.cfg, self.engine.weights, self.engine.eog_ids,
+                        self.chunk, sampler, state)
+                    with self._cv:
+                        self.state = state
+                    dispatched = (out, n_new, state, snapshot)
+                except Exception as e:  # tracing/dispatch failure
+                    self._fail_active_lanes([i for i, _ in snapshot], e)
+                    inflight = None
+                    continue
 
-            with self._cv:
-                self.state = state
-                freed = False
-                for i in snapshot:
-                    lane = self.lanes[i]
-                    if lane is None:
-                        continue
-                    n = int(n_np[i])
-                    toks = [int(t) for t in out_np[i, :n]]
-                    budget_left = lane.n_predict - lane.generated
-                    if len(toks) > budget_left:
-                        toks = toks[:budget_left]
-                    lane.generated += len(toks)
-                    if toks and not lane.handle.cancelled.is_set():
-                        lane.handle._q.put(toks)
-                    finished = (bool(done_np[i]) or lane.generated >= lane.n_predict
-                                or lane.handle.cancelled.is_set())
-                    if finished:
-                        lane.handle._q.put(None)
-                        self.lanes[i] = None
-                        self._pens[i] = 1.0
-                        if not done_np[i]:
-                            self.state = set_lane_done(self.state, jnp.int32(i))
-                        freed = True
-                if freed:
-                    self._cv.notify_all()
+            if inflight is not None:
+                out_k, n_new_k, state_k, snap_k = inflight
+                try:
+                    # single packed fetch: three separate np.asarray calls
+                    # pay three device round trips per chunk
+                    out_np, n_np, done_np = fetch_chunk_result(
+                        out_k, n_new_k, state_k)
+                except Exception as e:  # device failure: fail the affected
+                    # requests and reset the batch state — the worker must
+                    # keep serving (a dead loop would hang every submit),
+                    # and the speculatively dispatched chunk built on the
+                    # poisoned state is discarded with it
+                    affected = sorted({i for i, _ in snap_k}
+                                      | ({i for i, _ in dispatched[3]}
+                                         if dispatched else set()))
+                    self._fail_active_lanes(affected, e)
+                    inflight = None
+                    continue
+                self._deliver_chunk(out_np, n_np, done_np, snap_k)
+            inflight = dispatched
+
+    def _deliver_chunk(self, out_np, n_np, done_np, snapshot) -> None:
+        with self._cv:
+            freed = False
+            for i, lane_at_dispatch in snapshot:
+                lane = self.lanes[i]
+                if lane is None or lane is not lane_at_dispatch:
+                    continue  # freed (and possibly re-attached) since dispatch
+                n = int(n_np[i])
+                toks = [int(t) for t in out_np[i, :n]]
+                budget_left = lane.n_predict - lane.generated
+                if len(toks) > budget_left:
+                    toks = toks[:budget_left]
+                lane.generated += len(toks)
+                if toks and not lane.handle.cancelled.is_set():
+                    lane.handle._q.put(toks)
+                finished = (bool(done_np[i]) or lane.generated >= lane.n_predict
+                            or lane.handle.cancelled.is_set())
+                if finished:
+                    lane.handle._q.put(None)
+                    self.lanes[i] = None
+                    self._pens[i] = 1.0
+                    if not done_np[i]:
+                        self.state = set_lane_done(self.state, jnp.int32(i))
+                    freed = True
+            if freed:
+                self._cv.notify_all()
