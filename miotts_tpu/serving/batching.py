@@ -78,12 +78,17 @@ class ContinuousBatcher:
         if mesh is not None:
             # dp fan-out over --mio-backend-devices: lanes shard across the
             # mesh (the reference round-robins slots over GGML backends,
-            # tts-mio-server.cpp:2659-2746); weights replicate per chip.
-            from ..parallel.mesh import replicate_tree
+            # tts-mio-server.cpp:2659-2746). Weights replicate per chip
+            # unless the mesh carries a tp axis (--tensor-parallel), which
+            # shards them megatron-style for models too big per chip.
+            from ..parallel.mesh import replicate_tree, shard_llm_weights
 
             dp = mesh.shape["dp"]
             n_lanes = ((n_lanes + dp - 1) // dp) * dp
-            engine.weights = replicate_tree(mesh, engine.weights)
+            if mesh.shape.get("tp", 1) > 1:
+                engine.weights = shard_llm_weights(mesh, engine.weights)
+            else:
+                engine.weights = replicate_tree(mesh, engine.weights)
             engine.eog_ids = replicate_tree(mesh, engine.eog_ids)
         self.n_lanes = n_lanes
         self.max_ctx = max_ctx

@@ -62,18 +62,27 @@ class ServingEngine:
         self.cfg = cfg
         self.pipeline = MioTTSPipeline(cfg.model_vocoder,
                                        wavlm_path=cfg.wavlm_model or None)
-        # multi-chip fan-out: a dp mesh over --mio-backend-devices; batch
-        # lanes and codec micro-batches shard across it (XLA SPMD), the
-        # TPU-native form of the reference's slot-over-backends round-robin
-        # (tts-mio-server.cpp:2659-2746)
+        # multi-chip fan-out: a (dp, tp) mesh over --mio-backend-devices.
+        # Batch lanes and codec micro-batches shard over dp (the TPU-native
+        # form of the reference's slot-over-backends round-robin,
+        # tts-mio-server.cpp:2659-2746); --tensor-parallel > 1 additionally
+        # shards the LLM megatron-style over tp for models too big per chip
+        # (the codec is small and always replicates).
         self.mesh = None
         devices = None
+        tp = max(1, cfg.tensor_parallel)
         if cfg.mio_backend_devices:
             from ..parallel.mesh import make_mesh, parse_backend_devices, replicate_tree
 
             devices = parse_backend_devices(cfg.mio_backend_devices)
-        if devices is not None and len(devices) > 1:
-            self.mesh = make_mesh(devices, tp=1)
+        if tp > 1 and devices is None:
+            raise ValueError("--tensor-parallel requires --mio-backend-devices")
+        if devices is not None and (len(devices) > 1 or tp > 1):
+            if len(devices) % tp != 0:
+                raise ValueError(
+                    f"--tensor-parallel {tp} does not divide the "
+                    f"{len(devices)} backend devices")
+            self.mesh = make_mesh(devices, tp=tp)
             self.pipeline.weights = replicate_tree(self.mesh, self.pipeline.weights)
         self.llm = None
         self.batcher = None

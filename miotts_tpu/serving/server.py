@@ -189,6 +189,8 @@ class MioTTSServer:
                         "llm_shared_context": cfg.llm_shared_context,
                         "backend_devices": (eng.mesh.devices.size
                                             if eng.mesh is not None else 1),
+                        "tensor_parallel": (eng.mesh.shape.get("tp", 1)
+                                            if eng.mesh is not None else 1),
                     })
                 elif path == "/metrics":
                     data = eng.metrics_text().encode()
@@ -793,6 +795,12 @@ def build_arg_parser():
     p.add_argument("--llm-shared-context", default="on")
     p.add_argument("--parallel-reference-generation", type=int, default=0)
     p.add_argument("--mio-backend-devices", default="")
+    # TPU addition: megatron-style tensor parallelism for LLMs too big per
+    # chip — shards QKV/gate/up column- and attn-out/down row-parallel over
+    # this many chips of the --mio-backend-devices mesh (must divide the
+    # device count; the rest forms the dp request-fan-out axis)
+    p.add_argument("-tp", "--tensor-parallel", dest="tensor_parallel",
+                   type=int, default=1)
     p.add_argument("-ngl", "--n-gpu-layers", type=int, default=-1)
     p.add_argument("-fa", "--flash-attn", default="auto")
     p.add_argument("--threads", type=int, default=2)
@@ -837,6 +845,7 @@ def main(argv=None) -> int:
         llm_api_model=args.llm_api_model, llm_api_headers=args.llm_api_headers,
         llm_api_timeout=args.llm_api_timeout, llm_api_mode=args.llm_api_mode,
         mio_backend_devices=args.mio_backend_devices,
+        tensor_parallel=args.tensor_parallel,
         warmup=args.warmup == "on",
         slot_timeout=args.slot_timeout,
     )

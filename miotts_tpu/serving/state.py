@@ -50,6 +50,11 @@ class ServerConfig:
     llm_api_timeout: int = 120
     llm_api_mode: str = "openai-chat"
     reference_file_json: str = ""
+    # --tensor-parallel: shard the LLM megatron-style over this many chips
+    # of the --mio-backend-devices mesh (for models too big per chip; the
+    # remaining devices form the dp axis). TPU addition — the reference is
+    # single-node GGML with no tensor parallelism.
+    tensor_parallel: int = 1
     # --mio-backend-devices: dp fan-out over chips ("all", "0,2", or
     # platform:id names); lanes/micro-batches shard over the resulting mesh
     mio_backend_devices: str = ""
