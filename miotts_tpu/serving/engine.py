@@ -450,6 +450,32 @@ class ServingEngine:
         out["key"] = rp.reference_key
         return audio, sr
 
+    def _run_overlapped(self, rp: RequestParams, out: dict,
+                        on_token=None) -> tuple[np.ndarray, int]:
+        """Non-streaming response, streaming-interleaved synthesis: codec
+        prefix re-decodes run while the LLM lane is still generating, so the
+        full WAV is ready ~one lookahead window after the last token (the
+        serial path pays full decode + PCM fetch after generation ends).
+        Audio is the crossfaded incremental emission; the reference's final
+        peak normalization (mio-tts-lib.cpp:1299-1310) is applied on the
+        concatenated result, which the per-chunk path must skip (the global
+        peak is unknown mid-stream)."""
+        embedding = self._resolve_embedding(rp)
+        if rp.embedding_out:
+            if embedding is None or embedding.size == 0:
+                raise RequestError(
+                    "--embedding_out requested but no embedding available")
+            self.pipeline.save_embedding(rp.embedding_out, embedding)
+        audio, sr = self.run_streaming_request(rp, out, on_token=on_token,
+                                               embedding=embedding)
+        peak = float(np.max(np.abs(audio))) if audio.size else 0.0
+        if peak > 0.98:
+            audio = audio * np.float32(0.95 / peak)
+        out["mode"] = "synthesis_overlap"
+        out["codes_out"] = rp.codes_out
+        out["embedding_out"] = rp.embedding_out
+        return audio, sr
+
     # -- main request flow (run_tts_request parity) -------------------------------
 
     def run_tts_request(self, rp: RequestParams, out: dict,
@@ -457,6 +483,11 @@ class ServingEngine:
         """Fills ``out`` with the reference's JSON fields. Returns
         (audio f32, sample_rate) for synthesis requests, None for
         codes/embedding-only."""
+        if (rp.overlap_synthesis and rp.text and not rp.inline_codes
+                and not rp.codes_in and not rp.codes_only
+                and not rp.embedding_only and not self.cfg.llm_api_enabled
+                and self.llm is not None):
+            return self._run_overlapped(rp, out, on_token=on_token)
         need_codes = (not rp.embedding_only) or rp.codes_only or bool(rp.codes_out)
 
         codes: list[int] | None = None

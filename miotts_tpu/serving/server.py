@@ -801,6 +801,9 @@ def build_arg_parser():
     # device count; the rest forms the dp request-fan-out axis)
     p.add_argument("-tp", "--tensor-parallel", dest="tensor_parallel",
                    type=int, default=1)
+    # TPU addition: interleave codec prefix re-decodes with LLM generation
+    # for non-streaming text requests (see RequestParams.overlap_synthesis)
+    p.add_argument("--overlap-synthesis", default="off")
     p.add_argument("-ngl", "--n-gpu-layers", type=int, default=-1)
     p.add_argument("-fa", "--flash-attn", default="auto")
     p.add_argument("--threads", type=int, default=2)
@@ -848,6 +851,7 @@ def main(argv=None) -> int:
         tensor_parallel=args.tensor_parallel,
         warmup=args.warmup == "on",
         slot_timeout=args.slot_timeout,
+        overlap_synthesis=args.overlap_synthesis == "on",
     )
     MioTTSServer(cfg).serve_forever()
     return 0

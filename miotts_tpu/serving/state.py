@@ -59,6 +59,9 @@ class ServerConfig:
     # platform:id names); lanes/micro-batches shard over the resulting mesh
     mio_backend_devices: str = ""
     warmup: bool = False  # compile serving executables at startup (TPU addition)
+    # --overlap-synthesis on: default non-streaming text requests to
+    # LLM-interleaved incremental synthesis (see RequestParams.overlap_synthesis)
+    overlap_synthesis: bool = False
     slot_timeout: float = 0.0  # >0: shed load with 503 instead of queueing forever
     max_body_bytes: int = 256 * 1024 * 1024  # 413 above this (uploads are ~MBs)
 
@@ -95,6 +98,13 @@ class RequestParams:
     # chunked streaming WAV body (without). The reference always synthesizes
     # fully before sending (tts-mio-server.cpp:3876-3886).
     stream_audio: bool = False
+    # TPU addition: for non-streaming text requests, interleave codec prefix
+    # re-decodes with LLM generation so the response is ready ~one lookahead
+    # window after the last token instead of paying the full decode + PCM
+    # fetch serially. Audio is the streaming synthesizer's crossfaded
+    # emission (sub-1e-3 boundary drift vs the single-shot decode), so this
+    # is opt-in (per-request or --overlap-synthesis on).
+    overlap_synthesis: bool = False
     inline_codes: list[int] = dataclasses.field(default_factory=list)
 
 
@@ -116,6 +126,7 @@ def parse_request_json(body: dict, cfg: ServerConfig) -> RequestParams:
         top_k=cfg.top_k, top_p=cfg.top_p, temp=cfg.temp,
         repeat_penalty=cfg.repeat_penalty, seed=cfg.seed,
         max_reference_seconds=cfg.max_reference_seconds,
+        overlap_synthesis=cfg.overlap_synthesis,
     )
     rp.text = _get_str(body, "text") or _get_str(body, "prompt") or _get_str(body, "input")
     rp.output_file = _get_str(body, "output_file")
@@ -141,7 +152,8 @@ def parse_request_json(body: dict, cfg: ServerConfig) -> RequestParams:
                        ("max_reference_seconds", "max_reference_seconds")]:
         if key in body and body[key] is not None:
             setattr(rp, field, float(body[key]))
-    for field in ("codes_only", "embedding_only", "stream_tokens", "stream_audio"):
+    for field in ("codes_only", "embedding_only", "stream_tokens",
+                  "stream_audio", "overlap_synthesis"):
         if field in body and body[field] is not None:
             setattr(rp, field, bool(body[field]))
 

@@ -455,6 +455,71 @@ def test_tts_binary_stream_audio_inline_codes(server):
     assert data[:4] == b"RIFF" and len(data) > 44
 
 
+def test_tts_overlap_synthesis_json(server):
+    """overlap_synthesis=true on a non-streaming text request: generation
+    and codec prefix re-decodes interleave, the response is the ordinary
+    JSON-with-output-file contract."""
+    srv, *_ = server
+    with _post_json(srv, "/mio/tts",
+                    {"text": "overlap me", "reference_key": "preset",
+                     "n_predict": 24, "overlap_synthesis": True}) as r:
+        j = json.loads(r.read())
+    assert j["ok"] is True
+    assert j["mode"] == "synthesis_overlap"
+    assert j["codes"] > 0 and j["n_audio"] > 0
+    assert "llm_ms" in j and "synth_ms" in j
+    assert j["output_file"].endswith(".wav")
+
+
+def test_tts_overlap_synthesis_binary(server):
+    """Same on the binary route: a complete (non-streamed) WAV body."""
+    srv, *_ = server
+    with _post_json(srv, "/mio/tts/stream",
+                    {"text": "overlap binary", "reference_key": "preset",
+                     "n_predict": 24, "overlap_synthesis": True}) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        data = r.read()
+    assert data[:4] == b"RIFF"
+    assert int(r.headers["X-Audio-Samples"]) * 2 + 44 == len(data)
+
+
+def test_overlap_matches_serial_duration(tmp_path):
+    """Greedy generation through the overlap path produces the same codes
+    and the same audio duration as the serial path (the waveform itself may
+    differ sub-1e-3 at chunk boundaries by design — crossfaded prefix
+    re-decodes with an anchored resize ratio)."""
+    from miotts_tpu.serving.engine import ServingEngine
+    from miotts_tpu.serving.state import ServerConfig, parse_request_json
+
+    cfg_codec = tiny_codec_config()
+    write_synthetic_miocodec_gguf(str(tmp_path / "codec.gguf"), cfg_codec, seed=0)
+    write_synthetic_llm_gguf(str(tmp_path / "llm.gguf"),
+                             n_audio=cfg_codec.vocab_size, seed=1)
+    rng = np.random.RandomState(0)
+    emb_path = tmp_path / "v.emb.gguf"
+    save_embedding_gguf(emb_path,
+                        rng.randn(cfg_codec.decoder_adanorm_dim).astype(np.float32))
+    cfg = ServerConfig(
+        model_vocoder=str(tmp_path / "codec.gguf"),
+        model=str(tmp_path / "llm.gguf"), output_dir=str(tmp_path / "out"),
+        n_parallel=2, n_predict=64, n_ctx=256,
+        reference_file_json=json.dumps({"key": "p", "path": str(emb_path)}),
+    )
+    eng = ServingEngine(cfg)
+    body = {"text": "same codes please", "reference_key": "p",
+            "n_predict": 48, "temp": 0.0, "seed": 3}
+    out_s: dict = {}
+    audio_s, sr_s = eng.run_tts_request(parse_request_json(body, cfg), out_s)
+    out_o: dict = {}
+    audio_o, sr_o = eng.run_tts_request(
+        parse_request_json({**body, "overlap_synthesis": True}, cfg), out_o)
+    assert out_o["mode"] == "synthesis_overlap"
+    assert out_s["codes"] == out_o["codes"] > 0
+    assert sr_s == sr_o
+    assert audio_s.size == audio_o.size
+    assert np.isfinite(audio_o).all() and np.abs(audio_o).max() > 0
+
+
 def test_streaming_request_audio_before_generation_done(tmp_path):
     """Engine-level ordering proof: on_audio fires before code acquisition
     finishes, i.e. PCM really leaves while the LLM is still generating.
