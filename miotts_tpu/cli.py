@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="embedding_default_in", default="")
     p.add_argument("--tts-mio-embedding-out", default="")
     p.add_argument("--tts-mio-embedding-only", action="store_true")
+    # TPU addition (no reference counterpart): stream the output WAV while
+    # the LLM is still generating — chunked codec prefix re-decodes feed the
+    # file incrementally (streaming.stream_text_to_audio); the header's
+    # sizes are patched on completion so the artifact is a normal WAV
+    p.add_argument("--tts-stream-output", action="store_true")
     p.add_argument("-h", "--help", action="store_true", dest="show_help")
     return p
 
@@ -158,6 +163,75 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.tts_mio_embedding_only:
         return _err("--tts-mio-embedding-only requires --tts-reference-audio")
+
+    # ---- streaming output mode (TPU addition) -----------------------------------
+    if args.tts_stream_output:
+        if not prompt or args.llm_api_url or not args.model:
+            return _err("--tts-stream-output requires -p/--prompt with a local LLM (-m)")
+        import time
+
+        from .models.llm import LLMEngine, SamplerParams
+        from .runtime.audio_io import (
+            encode_pcm16, wav16_header, wav16_streaming_header,
+        )
+        from .streaming import stream_text_to_audio
+
+        try:
+            engine = LLMEngine(args.model)
+        except Exception as e:
+            return _err(f"failed to load LLM GGUF: {e}")
+        sampler = SamplerParams(
+            temp=args.temp, top_k=args.top_k, top_p=args.top_p,
+            repeat_penalty=args.repeat_penalty, seed=args.seed,
+        )
+        stats = {"n_samples": 0, "ttfa": None}
+        stream_codes: list[int] = []
+        t0 = time.perf_counter()
+        try:
+            f = open(args.output, "wb")
+        except OSError as e:
+            return _err(f"failed to open output wav: {e}")
+        try:
+            with f:
+                f.write(wav16_streaming_header(pipe.sample_rate))
+
+                def on_audio(pcm: np.ndarray) -> None:
+                    if stats["ttfa"] is None:
+                        stats["ttfa"] = time.perf_counter() - t0
+                    buf = encode_pcm16(pcm)
+                    f.write(buf)
+                    f.flush()
+                    stats["n_samples"] += len(buf) // 2
+
+                def on_token(tok, i, is_eog) -> bool:
+                    code = engine.token_to_code_or_none(tok)
+                    if code is not None:
+                        stream_codes.append(code)
+                    return True
+
+                _, n_codes = stream_text_to_audio(
+                    pipe, engine, prompt, embedding,
+                    n_predict=args.n_predict, n_ctx=args.n_ctx,
+                    sampler=sampler, on_audio=on_audio, on_token=on_token)
+                if not n_codes:
+                    return _err("no Mio audio codes were found in token sequence")
+                # patch the placeholder RIFF/data sizes -> a normal WAV
+                f.seek(0)
+                f.write(wav16_header(stats["n_samples"], pipe.sample_rate))
+        except Exception as e:
+            return _err(f"streaming synthesis failed: {e}")
+        if args.tts_mio_codes_out:
+            try:
+                save_codes(args.tts_mio_codes_out, stream_codes)
+                print(f"saved codes: {args.tts_mio_codes_out}", file=sys.stderr)
+            except (OSError, ValueError) as e:
+                return _err(f"failed to save codes: {e}")
+        ttfa_ms = (stats["ttfa"] or 0.0) * 1e3
+        print(f"synth breakdown: streaming ttfa={ttfa_ms:.1f}ms "
+              f"n_codes={n_codes} n_samples={stats['n_samples']}", file=sys.stderr)
+        print(f"wrote {args.output} ({stats['n_samples']} samples @ "
+              f"{pipe.sample_rate} Hz)", file=sys.stderr)
+        return 0
 
     # ---- codes acquisition -------------------------------------------------------
     codes: list[int] | None = None

@@ -138,6 +138,27 @@ def test_t8_reference_plus_synthesis_oneshot(assets, tmp_path):
     _check_wav(out)
 
 
+def test_stream_output_mode(assets, tmp_path):
+    """--tts-stream-output (TPU addition): incremental WAV write during
+    generation; the finished file is a normal, header-consistent WAV."""
+    d, cfg, codec, llm, wavlm, emb, ref = assets
+    out = tmp_path / "stream.wav"
+    codes_out = tmp_path / "stream.codes.txt"
+    rc = main(["-mv", codec, "-m", llm, "-p", "stream this text", "-n", "48",
+               "-emb", emb, "-o", str(out), "--tts-stream-output",
+               "--tts-mio-codes-out", str(codes_out)])
+    assert rc == 0
+    _check_wav(out)
+    data = out.read_bytes()
+    # sizes patched: RIFF size and data size consistent with the payload
+    assert struct.unpack_from("<I", data, 4)[0] == len(data) - 8
+    assert struct.unpack_from("<I", data, 40)[0] == len(data) - 44
+    assert codes_out.exists() and codes_out.read_text().strip()
+    # requires a prompt + local LLM
+    assert main(["-mv", codec, "--tts-stream-output", "-emb", emb,
+                 "--tts-mio-codes", "1,2,3", "-o", str(tmp_path / "x.wav")]) == 1
+
+
 def test_error_paths(assets, tmp_path):
     d, cfg, codec, llm, wavlm, emb, ref = assets
     # missing -mv
