@@ -24,7 +24,7 @@ by ~2x because this environment's relay moves only 12-36 MB/s.
 Env knobs: MIOTTS_BENCH_LANES (default 32 — decode-step cost is latency-
 bound, so throughput scales ~free with lanes until the fetch dominates;
 measured 8/16/32/64 -> 32 is the knee), MIOTTS_BENCH_TOKENS (default 250),
-MIOTTS_BENCH_MODE=all|pipeline|codec|llm|llm1b|ttfa|fidelity.
+MIOTTS_BENCH_MODE=all|pipeline|codec|llm|llm1b|ttfa|fidelity|vocoder|refgen.
 """
 
 from __future__ import annotations
@@ -278,6 +278,111 @@ def main() -> int:
             "value": round(xrt, 2),
             "unit": "audio-sec/sec",
             "vs_baseline": round(xrt / 50.0, 3),
+        }))
+        return 0
+
+    if mode == "vocoder":
+        # mel-vocoder path (decode_mel_to_audio, miocodec-decoder.cpp:1967 —
+        # the reference's "slowest path": a scalar CPU vocoder). Full codec
+        # trunk + BigVGAN-style vocoder at 24 kHz mel geometry (100 mels,
+        # hop 480 -> upsample 5*4*4*3*2 = 480). Channel width via
+        # MIOTTS_BENCH_VOCODER_CH (the shipped mel GGUF's width is unknown —
+        # no weights in this sandbox; 256 is BigVGAN-base scale).
+        from miotts_tpu.testing import write_synthetic_mel_vocoder_gguf
+
+        # constant-width stages (the arch keeps ch through every upsample, so
+        # unlike a halving BigVGAN most compute lands at full waveform
+        # length): 128 keeps the live set of stream buffers inside HBM
+        ch = int(os.environ.get("MIOTTS_BENCH_VOCODER_CH", "128"))
+        mel_cfg = full_codec_config(
+            model_type=1, n_mels=100, resnet_blocks=0,
+            wave_upsampler_factors=(), wave_upsampler_kernel_sizes=(),
+            vocoder_upsample_rates=(5, 4, 4, 3, 2), vocoder_num_kernels=3)
+        mel_path = os.path.join(tmp, f"miotts_bench_melvoc_{ch}.gguf")
+        if not os.path.exists(mel_path):
+            log(f"bench: generating synthetic mel-vocoder gguf (ch={ch})...")
+            write_synthetic_mel_vocoder_gguf(mel_path, mel_cfg, seed=0, ch=ch)
+        mcfg, mw = load_miocodec(mel_path)
+        mw = jax.tree.map(jnp.asarray, mw)
+        msynth = jax.jit(functools.partial(codec_synthesize, mcfg))
+        # the vocoder runs at waveform length x ch channels — activations are
+        # ~0.5 GB/lane at ch=256, so the batch stays small (it is already
+        # >100x realtime per lane; lanes only amortize fixed costs)
+        vlanes = int(os.environ.get("MIOTTS_BENCH_VOCODER_LANES", "2"))
+        voc_bucket = max(64, ((n_gen + 63) // 64) * 64)
+        mcodes = jnp.asarray(
+            rng.randint(0, mcfg.vocab_size, (vlanes, voc_bucket)).astype(np.int32))
+        mlen = jnp.asarray([n_gen] * vlanes, jnp.int32)
+        mcond = cond[:vlanes]
+
+        def dispatch_voc():
+            audio, n = msynth(mw, mcodes, mlen, mcond)
+            return _pack_pcm16(audio, n)
+
+        def fetch_voc(packed):
+            np.asarray(packed)
+
+        log("bench: compiling mel+vocoder (first call)...")
+        t0 = time.perf_counter()
+        fetch_voc(dispatch_voc())
+        log(f"bench: first call {time.perf_counter() - t0:.1f}s")
+        dt = min(run_steady_state(dispatch_voc, fetch_voc, iters)
+                 for _ in range(2))
+        audio_sec = vlanes * n_gen * mcfg.samples_per_token / mcfg.sample_rate
+        log(f"bench: {dt * 1e3:.1f} ms for {audio_sec:.1f}s of audio "
+            f"(ch={ch}, {vlanes} lanes)")
+        print(json.dumps({
+            "metric": "mel_vocoder_xrt_per_chip",
+            "value": round(audio_sec / dt, 2),
+            "unit": "audio-sec/sec",
+            "vs_baseline": round(audio_sec / dt / 50.0, 3),
+        }))
+        return 0
+
+    if mode == "refgen":
+        # voice-clone latency: reference audio -> 128-d speaker embedding
+        # (POST /mio/generate_reference; mio_tts_reference_to_embedding,
+        # mio-tts-lib.cpp:1048). Production WavLM Base+ shapes
+        # (wavlm-extractor.h:13-25: 2 layers, 12 heads x 64, conv
+        # 512-ch k=[10,3,3,3,3,2,2], rel-pos buckets 320/800) + the
+        # ConvNeXt global encoder from the flagship codec gguf.
+        from miotts_tpu.pipeline import MioTTSPipeline
+        from miotts_tpu.runtime.audio_io import save_wav16
+        from miotts_tpu.testing import write_synthetic_wavlm_gguf
+
+        wavlm_path = os.path.join(tmp, "miotts_bench_wavlm.gguf")
+        if not os.path.exists(wavlm_path):
+            log("bench: generating synthetic production-shape wavlm gguf...")
+            write_synthetic_wavlm_gguf(
+                wavlm_path, n_layers=2, n_heads=12, head_dim=64, ffn=3072,
+                num_buckets=320, max_distance=800,
+                conv_kernel=(10, 3, 3, 3, 3, 2, 2),
+                conv_stride=(5, 2, 2, 2, 2, 2, 2), conv_dim=512, seed=0)
+        ref_sec = float(os.environ.get("MIOTTS_BENCH_REF_SECONDS", "10"))
+        wav_path = os.path.join(tmp, "miotts_bench_ref.wav")
+        t = np.arange(int(ref_sec * sr)) / sr
+        save_wav16(wav_path, (0.3 * np.sin(2 * np.pi * 220 * t)
+                              + 0.1 * np.sin(2 * np.pi * 517 * t)
+                              ).astype(np.float32), sr)
+        pipe = MioTTSPipeline(codec_path, wavlm_path=wavlm_path)
+        log("bench: compiling wavlm + global encoder (first call)...")
+        t0 = time.perf_counter()
+        emb = pipe.reference_to_embedding(wav_path, max_reference_seconds=20.0)
+        assert emb.shape == (ccfg.decoder_adanorm_dim,)
+        log(f"bench: first call {time.perf_counter() - t0:.1f}s")
+        times = []
+        for _ in range(max(3, iters)):
+            t0 = time.perf_counter()
+            pipe.reference_to_embedding(wav_path, max_reference_seconds=20.0)
+            times.append(time.perf_counter() - t0)
+        lat_ms = sorted(times)[len(times) // 2] * 1e3
+        log(f"bench: refgen samples {['%.0fms' % (x * 1e3) for x in times]}")
+        print(json.dumps({
+            "metric": "reference_generation_latency",
+            "value": round(lat_ms, 1),
+            "unit": f"ms per {ref_sec:.0f}s reference (p50, end-to-end)",
+            # real-time factor: audio seconds processed per second
+            "vs_baseline": round(ref_sec / (lat_ms / 1e3), 2),
         }))
         return 0
 

@@ -61,11 +61,25 @@ def julius_lowpass_kernel(cutoff: float, zeros: float = 8.0) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def replicate_pad(x: jnp.ndarray, lengths: jnp.ndarray, left: int, right: int) -> jnp.ndarray:
-    """Replicate-pad along time using the *true* edges (0 and lengths-1)."""
+    """Replicate-pad along time using the *true* edges (0 and lengths-1).
+
+    Implemented as static concat + a [B, 1, C] edge gather + an elementwise
+    select: a full [B, T, C] gather serializes on TPU (~76 ms at the
+    vocoder's waveform lengths vs ~8 ms for this form — it was the dominant
+    cost of the whole mel-vocoder forward)."""
     B, T, C = x.shape
+    if left == 0 and right == 0:
+        return x
+    first = jnp.broadcast_to(x[:, :1, :], (B, max(left, 1), C))[:, :left, :]
+    edge = jnp.take_along_axis(
+        x, jnp.maximum(lengths - 1, 0).astype(jnp.int32)[:, None, None],
+        axis=1)  # [B, 1, C]
+    out = jnp.concatenate(
+        [first, x, jnp.zeros((B, right, C), x.dtype)], axis=1)
+    # every position at or past the true end reads the edge value
     idx = jnp.arange(-left, T + right, dtype=jnp.int32)[None, :]
-    idx = jnp.clip(idx, 0, jnp.maximum(lengths - 1, 0)[:, None])
-    return jnp.take_along_axis(x, jnp.broadcast_to(idx[:, :, None], (B, T + left + right, C)), axis=1)
+    beyond = idx >= lengths[:, None]
+    return jnp.where(beyond[:, :, None], edge, out)
 
 
 def conv1d_zeropad(x, w, b, dilation: int, padding: int) -> jnp.ndarray:

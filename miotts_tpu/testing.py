@@ -376,7 +376,8 @@ def write_synthetic_wavlm_gguf(
 def write_synthetic_mel_vocoder_gguf(path: str, cfg: MioCodecConfig, seed: int = 0,
                                      act_filter_len: int = 12,
                                      mel_postnet_layers: int = 2,
-                                     mel_postnet_kernel: int = 5) -> None:
+                                     mel_postnet_kernel: int = 5,
+                                     ch: int = 16) -> None:
     """Mel-mode MioCodec with a bundled BigVGAN-style vocoder (small dims).
 
     cfg must have model_type=1, n_mels>0, vocoder_upsample_rates and
@@ -476,7 +477,8 @@ def write_synthetic_mel_vocoder_gguf(path: str, cfg: MioCodecConfig, seed: int =
     # vocoder
     rates = cfg.vocoder_upsample_rates
     num_k = cfg.vocoder_num_kernels
-    ch = 16  # vocoder channel width
+    # ch: vocoder channel width (16 for tests; bench.py passes a
+    # production-scale width — the loader derives channels from shapes)
     w.add_uint32("miovocoder.sample_rate", cfg.sample_rate)
     w.add_uint32("miovocoder.n_mels", cfg.n_mels)
     w.add_uint32("miovocoder.num_upsamples", len(rates))

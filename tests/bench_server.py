@@ -103,11 +103,13 @@ def main() -> int:
     ap.add_argument("--concurrency", default="1,2,4,8,16,32")
     ap.add_argument("--requests-per-worker", type=int, default=2)
     ap.add_argument("--mode", default="binary",
-                    choices=["binary", "sse", "stream-audio"],
+                    choices=["binary", "sse", "stream-audio", "overlap"],
                     help="binary: chunked WAV after full synthesis; "
                          "sse: token events (measures amortized llm_ms under "
                          "continuous batching); stream-audio: SSE with "
-                         "incremental PCM (ttfb column = server-level TTFA)")
+                         "incremental PCM (ttfb column = server-level TTFA); "
+                         "overlap: binary with overlap_synthesis=true "
+                         "(LLM-interleaved codec decode, full WAV response)")
     ap.add_argument("--out", default="summary.csv")
     args = ap.parse_args()
 
@@ -121,17 +123,20 @@ def main() -> int:
         body["stream_tokens"] = True
     if args.mode == "stream-audio":
         body["stream_audio"] = True
+    if args.mode == "overlap":
+        body["overlap_synthesis"] = True
     payload = json.dumps(body).encode()
 
     def run_one(_):
-        if args.mode == "binary":
+        if args.mode in ("binary", "overlap"):
             return one_request(args.url, payload)
         return one_sse_request(args.url, payload)
 
-    # column semantics per mode: binary = first response byte; sse = the
-    # final audio_data blob (== full synthesis latency, NOT first-byte);
+    # column semantics per mode: binary/overlap = first response byte; sse =
+    # the final audio_data blob (== full synthesis latency, NOT first-byte);
     # stream-audio = first incremental PCM chunk (true server-level TTFA)
-    ttfb_col = {"binary": "ttfb_p50_ms", "sse": "audio_blob_p50_ms",
+    ttfb_col = {"binary": "ttfb_p50_ms", "overlap": "ttfb_p50_ms",
+                "sse": "audio_blob_p50_ms",
                 "stream-audio": "ttfa_p50_ms"}[args.mode]
     rows = [("concurrency", "requests", "ok", "rps",
              "avg_ms", "p50_ms", "p90_ms", "p95_ms", "p99_ms", ttfb_col,
