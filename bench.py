@@ -75,16 +75,21 @@ def main() -> int:
 
     # ---- flagship models (synthetic weights at production shapes) ----------
     codec_path = os.path.join(tmp, "miotts_bench_codec.gguf")
-    llm_path = os.path.join(tmp, "miotts_bench_llm.gguf")
+    llm_path = os.path.join(tmp, "miotts_bench_llm_v2.gguf")
     ccfg_probe = full_codec_config()
     if not os.path.exists(codec_path):
         log("bench: generating synthetic flagship codec gguf...")
         write_synthetic_miocodec_gguf(codec_path, ccfg_probe, seed=0)
     if not os.path.exists(llm_path):
         log("bench: generating synthetic 0.1B-scale llm gguf (152k vocab)...")
+        # audio_logit_scale: generations are code-dense like the real model
+        # (random weights would emit ~8% codes, making TTFA/streaming
+        # numbers unrepresentative — the first-audio feed would rarely
+        # trigger mid-generation)
         write_synthetic_llm_gguf(llm_path, n_audio=12800, dim=768, n_layers=12,
                                  n_heads=12, n_kv_heads=2, ffn=2048, seed=0,
-                                 n_filler_vocab=138_700)  # ~151.8k total
+                                 n_filler_vocab=138_700,  # ~151.8k total
+                                 audio_logit_scale=3.0)
 
     ccfg, cw = load_miocodec(codec_path)
     cw = jax.tree.map(jnp.asarray, cw)

@@ -241,11 +241,21 @@ def write_synthetic_llm_gguf(
     seed: int = 0,
     arch: str = "qwen2",
     n_filler_vocab: int = 0,
+    audio_logit_scale: float = 1.0,
 ) -> None:
+    """``audio_logit_scale > 1`` scales the output-head rows of the
+    ``<|s_N|>`` audio tokens so sampled generations are code-dense like the
+    real MioTTS model (whose outputs are nearly all audio codes). With
+    random weights only ~n_audio/vocab of samples are codes, which makes
+    streaming/TTFA benchmarks unrepresentative (the first-audio feed
+    threshold is rarely reached mid-generation); a scale of 3 makes the
+    top-k all-audio at production vocab sizes."""
     rng = np.random.RandomState(seed)
     tokens, types = synthetic_vocab(n_audio, n_filler_vocab)
     vocab = len(tokens)
     head_dim = dim // n_heads
+    audio_lo = len(tokens) - n_audio - n_filler_vocab
+    audio_hi = audio_lo + n_audio
 
     def rnd(*shape):
         fan_in = shape[-1] if len(shape) >= 2 else shape[0]
@@ -285,7 +295,10 @@ def write_synthetic_llm_gguf(
         w.add_tensor(f"blk.{i}.ffn_up.weight", rnd(ffn, dim))
         w.add_tensor(f"blk.{i}.ffn_down.weight", rnd(dim, ffn))
     w.add_tensor("output_norm.weight", 1.0 + rnd(dim) * 0.05)
-    w.add_tensor("output.weight", rnd(vocab, dim))
+    out_w = rnd(vocab, dim)
+    if audio_logit_scale != 1.0:
+        out_w[audio_lo:audio_hi] *= np.float32(audio_logit_scale)
+    w.add_tensor("output.weight", out_w)
     w.write()
 
 
