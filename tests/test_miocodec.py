@@ -163,6 +163,43 @@ def test_wave_upsampler_matches_oracle(tiny_ups_model):
     np.testing.assert_allclose(np.array(spec[0, :f]), ref_spec, rtol=2e-3, atol=2e-4)
 
 
+def test_441khz_geometry_end_to_end(tmp_path):
+    """The 44.1 kHz v2 model family (scripts/README.md: samples_per_token
+    1764 with a wave upsampler) through the full synthesize path at tiny
+    dims but the real geometry ratios: spt 1764 = hop 441 x 4 stft frames
+    per token, upsampler total factor 4 (2x2), and an n_fft the hop does
+    not divide — oracle-checked end to end."""
+    cfg = tiny_codec_config(
+        sample_rate=44100, samples_per_token=1764, hop_length=441, n_fft=1024,
+        wave_upsampler_factors=(2, 2), wave_upsampler_kernel_sizes=(4, 4),
+    )
+    path = tmp_path / "tiny441.gguf"
+    write_synthetic_miocodec_gguf(str(path), cfg, seed=3)
+    cfg, w = load_miocodec(str(path))
+    assert cfg.samples_per_token == 1764 and cfg.wave_upsampler_total_factor == 4
+    with GGUFReader(path) as r:
+        raw = {name: np.array(r.tensor(name)) for name in r.tensors}
+    w = jax.tree.map(jnp.asarray, w)
+
+    rng = np.random.RandomState(7)
+    n = 5
+    codes = rng.randint(0, cfg.vocab_size, size=n).astype(np.int32)
+    cond = rng.randn(cfg.decoder_adanorm_dim).astype(np.float32) * 0.5
+
+    ref_spec = oracle.decode_spec(_oracle_cfg(cfg), raw, codes, cond)
+    ref_audio = oracle.istft(ref_spec, cfg.n_fft, cfg.hop_length)
+
+    audio, n_samples = jax.jit(codec_synthesize, static_argnums=0)(
+        cfg, w, jnp.asarray(codes)[None], jnp.asarray([n], jnp.int32),
+        jnp.asarray(cond)[None])
+    got = np.array(audio[0, :int(n_samples[0])])
+    assert got.shape == ref_audio.shape
+    peak = np.abs(ref_audio).max()
+    if peak > 0.98:
+        ref_audio = ref_audio * (0.95 / peak)
+    np.testing.assert_allclose(got, ref_audio, rtol=5e-3, atol=5e-4)
+
+
 def test_global_encoder_runs_and_is_finite(tiny_model):
     cfg, w, raw = tiny_model
     rng = np.random.RandomState(2)
