@@ -148,9 +148,14 @@ class ServingEngine:
             warm_buckets.append(top)
         from ..streaming import StreamingSynthesizer
 
+        # each (bucket, variant) is a distinct executable; warm them from a
+        # thread pool — compiles/cache-loads/uploads overlap in the backend
+        # (measured: 4 concurrent warms complete in the time of ~one serial
+        # warm through this environment's relay)
+        warm_calls: list[tuple[int, dict]] = []
         for bucket in warm_buckets:
             # full-synthesis requests fetch device-quantized PCM16
-            self.codec_batcher.synthesize([1] * bucket, emb, pcm16=True)
+            warm_calls.append((bucket, dict(pcm16=True)))
             # the streaming prefix re-decode variant compiles separately
             # (interp_anchor/peak_normalize are static args) and a stream
             # sweeps every bucket up to its final length — warm both its
@@ -159,15 +164,20 @@ class ServingEngine:
             # full-decode fallback (small buckets, oversized finalize tails)
             if (bucket * self.pipeline.config.samples_per_token
                     > StreamingSynthesizer.WINDOW_SAMPLES):
-                self.codec_batcher.synthesize(
-                    [1] * bucket, emb,
+                warm_calls.append((bucket, dict(
                     interp_anchor=StreamingSynthesizer.INTERP_ANCHOR,
                     peak_normalize=False,
-                    window=(0, StreamingSynthesizer.WINDOW_SAMPLES))
-            self.codec_batcher.synthesize(
-                [1] * bucket, emb,
+                    window=(0, StreamingSynthesizer.WINDOW_SAMPLES))))
+            warm_calls.append((bucket, dict(
                 interp_anchor=StreamingSynthesizer.INTERP_ANCHOR,
-                peak_normalize=False)
+                peak_normalize=False)))
+        import concurrent.futures
+
+        with concurrent.futures.ThreadPoolExecutor(4) as ex:
+            list(ex.map(
+                lambda bk: self.codec_batcher.synthesize([1] * bk[0], emb,
+                                                         **bk[1]),
+                warm_calls))
         if self.batcher is not None:
             from ..models.llm import CHAT_TEMPLATE, SamplerParams
             from .batching import _PROMPT_BUCKETS
