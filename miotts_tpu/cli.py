@@ -165,7 +165,10 @@ def main(argv: list[str] | None = None) -> int:
         return _err("--tts-mio-embedding-only requires --tts-reference-audio")
 
     # ---- streaming output mode (TPU addition) -----------------------------------
-    if args.tts_stream_output:
+    # --tts-mio-codes-only skips synthesis entirely, so it takes precedence
+    # over streaming output (which exists to overlap synthesis with
+    # generation) — fall through to the normal codes-dump path
+    if args.tts_stream_output and not args.tts_mio_codes_only:
         if not prompt or args.llm_api_url or not args.model:
             return _err("--tts-stream-output requires -p/--prompt with a local LLM (-m)")
         import time
@@ -186,6 +189,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         stats = {"n_samples": 0, "ttfa": None}
         stream_codes: list[int] = []
+        pieces: list[np.ndarray] = []
         t0 = time.perf_counter()
         try:
             f = open(args.output, "wb")
@@ -202,6 +206,7 @@ def main(argv: list[str] | None = None) -> int:
                     f.write(buf)
                     f.flush()
                     stats["n_samples"] += len(buf) // 2
+                    pieces.append(np.asarray(pcm, np.float32))
 
                 def on_token(tok, i, is_eog) -> bool:
                     code = engine.token_to_code_or_none(tok)
@@ -215,6 +220,16 @@ def main(argv: list[str] | None = None) -> int:
                     sampler=sampler, on_audio=on_audio, on_token=on_token)
                 if not n_codes:
                     return _err("no Mio audio codes were found in token sequence")
+                # final peak normalization (mio_tts_synthesize parity,
+                # mio-tts-lib.cpp:1299-1310): the streamed chunks could not
+                # know the global peak, so rewrite the payload if it clipped
+                peak = max((float(np.abs(p).max()) for p in pieces if p.size),
+                           default=0.0)
+                if peak > 0.98:
+                    f.seek(44)
+                    gain = np.float32(0.95 / peak)
+                    for p in pieces:
+                        f.write(encode_pcm16(p * gain))
                 # patch the placeholder RIFF/data sizes -> a normal WAV
                 f.seek(0)
                 f.write(wav16_header(stats["n_samples"], pipe.sample_rate))

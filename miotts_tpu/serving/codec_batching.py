@@ -90,6 +90,50 @@ class CodecMicroBatcher:
         self._q.put((codes_arr.tolist(), embedding, opts, fut, wstart))
         return fut.result()
 
+    def warm(self, bucket: int,
+             interp_anchor: int | None = None,
+             peak_normalize: bool = True,
+             pcm16: bool = False,
+             wlen: int | None = None) -> None:
+        """Compile/load the exact executables ``_run_group`` uses for this
+        (bucket, opts) — the batched forward at [max_batch, bucket] plus the
+        matching packer — WITHOUT going through the gather queue. Warmup
+        must not use ``synthesize``: concurrent warm calls with identical
+        opts coalesce into one group padded to the largest bucket (skipping
+        the smaller buckets' executables entirely), and the single batcher
+        thread would serialize the compiles anyway. Direct calls are
+        thread-safe (jit dispatch + immutable weights), so a warmup pool
+        overlaps the backend work."""
+        import jax.numpy as jnp
+
+        cfg = self.pipeline.config
+        B = self.max_batch
+        tokens_j = jnp.asarray(np.ones((B, bucket), np.int32))
+        lengths_j = jnp.asarray([bucket] * B, jnp.int32)
+        cond_j = (jnp.zeros((B, cfg.decoder_adanorm_dim), jnp.float32)
+                  if cfg.dynamic_global else None)
+        if self._data_sharding is not None:
+            import jax
+
+            tokens_j = jax.device_put(tokens_j, self._data_sharding)
+            lengths_j = jax.device_put(lengths_j, self._lane_sharding)
+            if cond_j is not None:
+                cond_j = jax.device_put(cond_j, self._data_sharding)
+        audio, n_samples = self.pipeline._synth_fn(
+            self.pipeline.weights, tokens_j, lengths_j, cond_j,
+            interp_anchor_tokens=interp_anchor,
+            peak_normalize=peak_normalize)
+        if wlen is not None:
+            from ..pipeline import _pack_audio_window
+
+            np.asarray(_pack_audio_window(
+                audio, n_samples, int(wlen),
+                jnp.asarray(np.zeros(B, np.int32))))
+        elif pcm16:
+            np.asarray(_pack_pcm16(audio, n_samples))
+        else:
+            np.asarray(_pack_f32(audio, n_samples))
+
     def shutdown(self) -> None:
         self._q.put(None)
         self._thread.join(timeout=5)

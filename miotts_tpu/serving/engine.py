@@ -136,8 +136,6 @@ class ServingEngine:
         from ..pipeline import pick_bucket
 
         t0 = time.perf_counter()
-        emb = (np.zeros(self.pipeline.config.decoder_adanorm_dim, np.float32)
-               if self.pipeline.config.dynamic_global else None)
         # every codec bucket a default request can land in: a full-length
         # generation emits up to n_predict codes, so the ladder must be warm
         # through pick_bucket(n_predict) (default 700 -> bucket 768) — a cold
@@ -148,10 +146,11 @@ class ServingEngine:
             warm_buckets.append(top)
         from ..streaming import StreamingSynthesizer
 
-        # each (bucket, variant) is a distinct executable; warm them from a
-        # thread pool — compiles/cache-loads/uploads overlap in the backend
-        # (measured: 4 concurrent warms complete in the time of ~one serial
-        # warm through this environment's relay)
+        # each (bucket, variant) is a distinct executable; warm them via
+        # CodecMicroBatcher.warm (NOT synthesize: concurrent warm calls with
+        # identical opts would coalesce into one group padded to the largest
+        # bucket, silently skipping the smaller executables) from a thread
+        # pool — compiles/cache-loads/uploads overlap in the backend
         warm_calls: list[tuple[int, dict]] = []
         for bucket in warm_buckets:
             # full-synthesis requests fetch device-quantized PCM16
@@ -167,17 +166,15 @@ class ServingEngine:
                 warm_calls.append((bucket, dict(
                     interp_anchor=StreamingSynthesizer.INTERP_ANCHOR,
                     peak_normalize=False,
-                    window=(0, StreamingSynthesizer.WINDOW_SAMPLES))))
+                    wlen=StreamingSynthesizer.WINDOW_SAMPLES)))
             warm_calls.append((bucket, dict(
                 interp_anchor=StreamingSynthesizer.INTERP_ANCHOR,
                 peak_normalize=False)))
         import concurrent.futures
 
         with concurrent.futures.ThreadPoolExecutor(4) as ex:
-            list(ex.map(
-                lambda bk: self.codec_batcher.synthesize([1] * bk[0], emb,
-                                                         **bk[1]),
-                warm_calls))
+            list(ex.map(lambda bk: self.codec_batcher.warm(bk[0], **bk[1]),
+                        warm_calls))
         if self.batcher is not None:
             from ..models.llm import CHAT_TEMPLATE, SamplerParams
             from .batching import _PROMPT_BUCKETS
@@ -470,14 +467,20 @@ class ServingEngine:
         peak normalization (mio-tts-lib.cpp:1299-1310) is applied on the
         concatenated result, which the per-chunk path must skip (the global
         peak is unknown mid-stream)."""
+        # the embedding must resolve before generation (the interleaved
+        # decodes need it) — a bad reference therefore fails fast here,
+        # before burning LLM steps, unlike the serial path which generates
+        # first; the error payload is identical either way
         embedding = self._resolve_embedding(rp)
-        if rp.embedding_out:
-            if embedding is None or embedding.size == 0:
-                raise RequestError(
-                    "--embedding_out requested but no embedding available")
-            self.pipeline.save_embedding(rp.embedding_out, embedding)
+        if rp.embedding_out and (embedding is None or embedding.size == 0):
+            raise RequestError(
+                "--embedding_out requested but no embedding available")
         audio, sr = self.run_streaming_request(rp, out, on_token=on_token,
                                                embedding=embedding)
+        if rp.embedding_out:
+            # written only after generation + synthesis succeed, matching
+            # the serial path's side-effect ordering
+            self.pipeline.save_embedding(rp.embedding_out, embedding)
         peak = float(np.max(np.abs(audio))) if audio.size else 0.0
         if peak > 0.98:
             audio = audio * np.float32(0.95 / peak)

@@ -157,6 +157,14 @@ def test_stream_output_mode(assets, tmp_path):
     # requires a prompt + local LLM
     assert main(["-mv", codec, "--tts-stream-output", "-emb", emb,
                  "--tts-mio-codes", "1,2,3", "-o", str(tmp_path / "x.wav")]) == 1
+    # --tts-mio-codes-only takes precedence: codes dumped, no synthesis
+    co = tmp_path / "only.codes.txt"
+    no_wav = tmp_path / "should-not-exist.wav"
+    rc = main(["-mv", codec, "-m", llm, "-p", "dump only", "-n", "16",
+               "-emb", emb, "-o", str(no_wav), "--tts-stream-output",
+               "--tts-mio-codes-only", "--tts-mio-codes-out", str(co)])
+    assert rc == 0
+    assert co.exists() and not no_wav.exists()
 
 
 def test_error_paths(assets, tmp_path):

@@ -607,11 +607,21 @@ def test_warmup_covers_default_buckets(tmp_path):
                      llm_mod.llm_prefill_jit._cache_size(),
                      llm_mod.llm_generate_chunk_batched._cache_size())
     warm = sizes()
-    # codes right at the n_predict bucket ceiling (the r1 cold spot)
-    out: dict = {}
-    rp = parse_request_json({"codes": list(range(60)), "reference_key": "p"}, cfg)
-    eng.run_tts_request(rp, out)
-    assert out["ok"]
+    # every bucket <= the n_predict ceiling must be warm, including the
+    # SMALLER ones (regression: concurrent warm calls once coalesced in the
+    # micro-batcher into one group padded to the largest bucket, silently
+    # skipping the rest)
+    from miotts_tpu.pipeline import pick_bucket
+
+    top = pick_bucket(cfg.n_predict, eng.pipeline.buckets)
+    for bucket in [b for b in eng.pipeline.buckets if b <= top]:
+        out: dict = {}
+        rp = parse_request_json(
+            {"codes": list(range(bucket - 4)), "reference_key": "p"}, cfg)
+        eng.run_tts_request(rp, out)
+        assert out["ok"]
+        assert sizes() == warm, (
+            f"bucket {bucket} was cold: {sizes()} != {warm}")
     # text request through prefill + chunked decode
     rp = parse_request_json({"text": "hello warm buckets", "reference_key": "p",
                              "n_predict": 32}, cfg)
