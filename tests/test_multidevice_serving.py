@@ -131,6 +131,33 @@ def test_tensor_parallel_serving_matches_single_device(assets, engines):
     assert out["ok"] and audio.size > 0
 
 
+def test_tensor_parallel_streaming_request(assets):
+    """Streaming synthesis through a tp-sharded engine: the continuous
+    batcher's tp-sharded chunk steps and the dp-sharded codec micro-batcher
+    compose — audio chunks arrive before code acquisition completes."""
+    d, emb_path, cfg_codec = assets
+    # code-dense LLM (audio_logit_scale): the streaming first-feed must
+    # trigger mid-generation for the ordering assertion to be meaningful
+    dense_llm = d / "llm_dense.gguf"
+    if not dense_llm.exists():
+        write_synthetic_llm_gguf(str(dense_llm), n_audio=cfg_codec.vocab_size,
+                                 seed=1, audio_logit_scale=3.0)
+    cfg = _mk_cfg(d, emb_path, "all", n_parallel=4, tensor_parallel=2)
+    cfg.model = str(dense_llm)
+    eng = ServingEngine(cfg)
+    rp = parse_request_json({"text": "stream over tp", "reference_key": "preset",
+                             "n_predict": 96, "stream_audio": True},
+                            eng.cfg)
+    seq: list[str] = []
+    out: dict = {}
+    audio, sr = eng.run_streaming_request(
+        rp, out, on_audio=lambda pcm: seq.append("audio"),
+        on_codes=lambda codes: seq.append("codes_done"))
+    assert out["ok"] and audio.size > 0
+    assert "audio" in seq and "codes_done" in seq
+    assert seq.index("audio") < seq.index("codes_done"), seq
+
+
 def test_tensor_parallel_requires_devices(assets):
     d, emb_path, _ = assets
     with pytest.raises(ValueError, match="tensor-parallel"):
