@@ -151,6 +151,20 @@ class ContinuousBatcher:
             self._cv.notify_all()
         return handle
 
+    def warm_prefill(self, bucket: int) -> None:
+        """Compile/load the submit-time prefill executable for this prompt
+        bucket without running a generation. Thread-safe (jit dispatch on
+        immutable weights, own cache arrays) — ServingEngine.warmup calls
+        this from a pool so the per-bucket compiles overlap in the backend
+        instead of serializing through token-generating submits."""
+        bucket = min(bucket, self.max_ctx)
+        ck1, cv1 = init_kv_cache(self.cfg, 1, self.max_ctx)
+        logits1, _, _ = llm_prefill_jit(
+            self.cfg, self.engine.weights,
+            jnp.asarray(np.ones((1, bucket), np.int32)),
+            jnp.asarray([min(4, bucket)], jnp.int32), ck1, cv1)
+        np.asarray(logits1[:, :1])  # force execution through the relay
+
     def _free_lane(self) -> int | None:
         for i, l in enumerate(self.lanes):
             if l is None:

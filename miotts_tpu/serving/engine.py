@@ -172,40 +172,36 @@ class ServingEngine:
                 peak_normalize=False)))
         import concurrent.futures
 
-        with concurrent.futures.ThreadPoolExecutor(4) as ex:
-            list(ex.map(lambda bk: self.codec_batcher.warm(bk[0], **bk[1]),
-                        warm_calls))
         if self.batcher is not None:
-            from ..models.llm import CHAT_TEMPLATE, SamplerParams
+            # every prompt bucket a request can reach within the context
+            # budget compiles its own prefill executable — warm them in the
+            # same pool as the codec buckets (direct llm_prefill_jit calls;
+            # token-generating submits would serialize on the chunk loop)
             from .batching import _PROMPT_BUCKETS
 
-            # every prompt bucket a request can reach within the context
-            # budget; the repeat count is tuned against the real tokenizer
-            # so each warmup prompt actually lands in its target bucket
-            def prompt_len(n_words: int) -> int:
-                return len(self.llm.tokenizer.encode(
-                    CHAT_TEMPLATE.format(text="warmup " * n_words),
-                    parse_special=True))
-
             max_prompt = self.batcher.max_ctx - 8
-            prev = 0
-            for bucket in _PROMPT_BUCKETS:
-                if bucket > max_prompt:
-                    break
-                n = max(1, (bucket + prev) // 4)  # ~2 tokens per word
-                while prompt_len(n) > bucket and n > 1:
-                    n -= 1
-                while prompt_len(n) <= prev:
-                    n += 1
-                if not (prev < prompt_len(n) <= bucket):
-                    prev = bucket
-                    continue  # template overhead alone exceeds this bucket
-                handle = self.batcher.submit("warmup " * n,
-                                             sampler=SamplerParams(),
-                                             n_predict=2)
-                for _ in handle.tokens():
-                    pass
-                prev = bucket
+            llm_buckets = ([b for b in _PROMPT_BUCKETS if b <= max_prompt]
+                           or [max(8, max_prompt)])
+            warm_calls += [(b, None) for b in llm_buckets]
+
+        def do_warm(bk):
+            bucket, kw = bk
+            if kw is None:
+                self.batcher.warm_prefill(bucket)
+            else:
+                self.codec_batcher.warm(bucket, **kw)
+
+        with concurrent.futures.ThreadPoolExecutor(4) as ex:
+            list(ex.map(do_warm, warm_calls))
+        if self.batcher is not None:
+            from ..models.llm import SamplerParams
+
+            # one real submit warms the attach + chunk-step + fetch
+            # executables (shared across buckets)
+            handle = self.batcher.submit("warmup", sampler=SamplerParams(),
+                                         n_predict=2)
+            for _ in handle.tokens():
+                pass
         print(f"warmup: serving executables compiled in "
               f"{time.perf_counter() - t0:.1f}s "
               f"(codec buckets {warm_buckets})", file=sys.stderr)
