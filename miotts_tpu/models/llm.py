@@ -51,6 +51,27 @@ class LLMConfig:
     has_qkv_bias: bool = False
     has_qk_norm: bool = False
     tie_embeddings: bool = False
+    # layout of the dense logits head: True stores [V, D] (the GGUF-native
+    # token-major layout) and contracts on the last dim. Default on CPU
+    # hosts, where it is a measured ~17% on the 0.1B decode step: XLA:CPU
+    # runs while_loop-body gemvs strided/single-threaded against jit
+    # parameters (weights closed over as constants are ~6x faster because
+    # layouts get assigned at compile time — the remaining gap lives in the
+    # stacked per-layer weights, which keep the shard/quant-compatible
+    # [K, N] convention). TPU keeps feature-major (the MXU layout the
+    # kernels were tuned with).
+    output_token_major: bool = False
+
+
+def _pick_output_layout() -> bool:
+    """token-major logits head on CPU-only hosts (see LLMConfig); override
+    with MIOTTS_OUTPUT_LAYOUT=token|feature."""
+    setting = os.environ.get("MIOTTS_OUTPUT_LAYOUT", "")
+    if setting in ("token", "feature"):
+        return setting == "token"
+    import jax
+
+    return jax.default_backend() == "cpu"
 
 
 def load_llm_gguf(path: str, dtype=jnp.bfloat16,
@@ -85,6 +106,7 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
         head_dim=head_dim, ffn_dim=ffn, vocab_size=vocab_size, rms_eps=rms_eps,
         rope_base=rope_base, rope_neox=rope_neox, context_length=ctx,
         has_qkv_bias=has_qkv_bias, has_qk_norm=has_qk_norm, tie_embeddings=tie,
+        output_token_major=_pick_output_layout(),
     )
 
     def t(name, transpose=False):
@@ -172,9 +194,12 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
         "q_norm": stack("blk.{i}.attn_q_norm.weight", optional=True),
         "k_norm": stack("blk.{i}.attn_k_norm.weight", optional=True),
         "output_norm": t("output_norm.weight"),
+        # dense head: [V, D] token-major (cfg.output_token_major) or [D, V];
+        # the quant leaf is always [D, V]-derived (Pallas tile layout)
         "output": (None if tie
                    else tq("output.weight") if quant_output
-                   else t("output.weight", transpose=True)),  # [D, V]
+                   else t("output.weight",
+                          transpose=not cfg.output_token_major)),
     }
     if fuse:
         w["wqkv"] = stack_fused(["blk.{i}.attn_q.weight", "blk.{i}.attn_k.weight",
@@ -224,6 +249,34 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 from ..ops.pallas.quant_matmul import maybe_quant_matmul as _mm  # noqa: E402
+
+
+def _logits_matmul(cfg: LLMConfig, w: Pytree, x: jnp.ndarray) -> jnp.ndarray:
+    """x [..., D] -> f32 logits [..., vocab_size].
+
+    Honors cfg.output_token_major (see LLMConfig): token-major heads (and
+    tied embeddings, whose token_embd is [V, D] already) contract on the
+    last dim of both operands so no backend ever materializes a transposed
+    copy of the head; feature-major / quantized heads keep the plain
+    [.., D] @ [D, V] path the TPU kernels were tuned with."""
+    ow = w["output"]
+    if ow is None:
+        ow = w["token_embd"]  # [V, D] token-major by construction
+        token_major = True
+    else:
+        # shape check: hand-built dense weights (tests, converters) may be
+        # feature-major regardless of the load-time flag; [D, V] and [V, D]
+        # are unambiguous whenever vocab != dim (always, in practice)
+        token_major = (cfg.output_token_major and not isinstance(ow, dict)
+                       and ow.shape[-1] == cfg.dim)
+    if token_major:
+        y = jax.lax.dot_general(
+            x, ow.astype(x.dtype),
+            (((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        y = _mm(x, ow)
+    return y.astype(jnp.float32)[..., : cfg.vocab_size]
 from ..ops.rope import apply_rope as apply_rope_llm  # noqa: E402 — shared
 # RoPE implementation (adjacent-pair NORM + half-split NEOX variants live in
 # ops/rope.py; signature apply_rope(x, positions, theta_base, neox))
@@ -351,8 +404,7 @@ def llm_prefill(
     cache_v = cache_v.at[:, b_idx, s_idx].set(new_v.astype(cache_v.dtype), mode="drop")
 
     xn = rms_norm(x, w["output_norm"], cfg.rms_eps)
-    out_w = w["output"] if w["output"] is not None else w["token_embd"].T
-    logits = _mm(xn, out_w).astype(jnp.float32)[..., : cfg.vocab_size]  # [B, T, V]
+    logits = _logits_matmul(cfg, w, xn)  # [B, T, V]
     last = jnp.take_along_axis(
         logits, jnp.maximum(lengths - 1, 0)[:, None, None].astype(jnp.int32), axis=1
     )[:, 0]
@@ -407,8 +459,7 @@ def llm_decode_step(
         x = x + _layer_ffn(cfg, blk, x)
 
     xn = rms_norm(x, w["output_norm"], cfg.rms_eps)
-    out_w = w["output"] if w["output"] is not None else w["token_embd"].T
-    logits = _mm(xn[:, 0], out_w).astype(jnp.float32)[..., : cfg.vocab_size]
+    logits = _logits_matmul(cfg, w, xn[:, 0])
     return logits, cache_k, cache_v
 
 

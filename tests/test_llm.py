@@ -8,6 +8,7 @@ import pytest
 
 from miotts_tpu.models.llm import (
     LLMEngine, init_kv_cache, llm_decode_step, llm_generate, llm_prefill,
+    llm_prefill_jit,
     load_llm_gguf,
 )
 from miotts_tpu.models.sampling import (
@@ -303,3 +304,29 @@ def test_unfused_load_matches_fused(tmp_path, monkeypatch):
                               SamplerParams(temp=0.0), ck, cv)
     np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_u))
     np.testing.assert_array_equal(np.asarray(n_f), np.asarray(n_u))
+
+
+def test_output_layout_parity(tiny_llm, monkeypatch):
+    """Token-major ([V, D], the CPU default) and feature-major ([D, V], the
+    TPU default) logits heads produce identical prefill logits and greedy
+    generations — the layout is a pure performance choice."""
+    path, *_ = tiny_llm
+    outs = {}
+    for layout in ("token", "feature"):
+        monkeypatch.setenv("MIOTTS_OUTPUT_LAYOUT", layout)
+        cfg, w, tok = load_llm_gguf(path, dtype=jnp.float32)
+        assert cfg.output_token_major == (layout == "token")
+        V = len(tok.tokens)
+        assert w["output"].shape == ((V, cfg.dim) if layout == "token"
+                                     else (cfg.dim, V))
+        prompt = jnp.asarray(np.arange(8, dtype=np.int32)[None])
+        plen = jnp.asarray([8], jnp.int32)
+        ck, cv = init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+        logits, _, _ = llm_prefill_jit(cfg, w, prompt, plen, ck, cv)
+        eng = LLMEngine(path, dtype=jnp.float32)
+        toks = eng.generate_audio_tokens("layout parity", n_predict=12,
+                                         sampler=SamplerParams(temp=0.0))
+        outs[layout] = (np.asarray(logits), toks)
+    np.testing.assert_allclose(outs["token"][0], outs["feature"][0],
+                               rtol=1e-5, atol=1e-6)
+    assert outs["token"][1] == outs["feature"][1]
