@@ -158,6 +158,29 @@ def test_tensor_parallel_streaming_request(assets):
     assert seq.index("audio") < seq.index("codes_done"), seq
 
 
+def test_warmup_under_mesh(assets):
+    """--warmup on a dp/tp engine: CodecMicroBatcher.warm device_puts its
+    dummy batch with the mesh shardings and ContinuousBatcher.warm_prefill
+    runs against tp-sharded weights — then a real request triggers no new
+    codec compiles."""
+    d, emb_path, _ = assets
+    cfg = _mk_cfg(d, emb_path, "all", n_parallel=4, tensor_parallel=2)
+    cfg.warmup = True
+    eng = ServingEngine(cfg)
+    warm = eng.pipeline._synth_fn._cache_size()
+    out: dict = {}
+    rp = parse_request_json({"codes": list(range(24)), "reference_key": "preset"},
+                            cfg)
+    audio, sr = eng.run_tts_request(rp, out)
+    assert out["ok"] and audio.size > 0
+    assert eng.pipeline._synth_fn._cache_size() == warm
+    out = {}
+    rp = parse_request_json({"text": "warm mesh", "reference_key": "preset",
+                             "n_predict": 16}, cfg)
+    eng.run_tts_request(rp, out)
+    assert out["ok"]
+
+
 def test_tensor_parallel_requires_devices(assets):
     d, emb_path, _ = assets
     with pytest.raises(ValueError, match="tensor-parallel"):
