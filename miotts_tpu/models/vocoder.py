@@ -82,13 +82,17 @@ def replicate_pad(x: jnp.ndarray, lengths: jnp.ndarray, left: int, right: int) -
     return jnp.where(beyond[:, :, None], edge, out)
 
 
-def conv1d_zeropad(x, w, b, dilation: int, padding: int) -> jnp.ndarray:
+def conv1d_zeropad(x, w, b, dilation: int, padding: int,
+                   groups: int = 1) -> jnp.ndarray:
     """conv1d_same semantics (miocodec-decoder.cpp:1751-1781): explicit
-    zero padding, output length == input length. w: torch [out, in, k]."""
+    zero padding, output length == input length. w: torch [out, in/groups, k];
+    ``groups`` runs a block-diagonal (grouped) conv — used to fuse a stage's
+    AMP resblock branches into one pass."""
     w_wio = jnp.transpose(w, (2, 1, 0)).astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x, w_wio, window_strides=(1,), padding=[(padding, padding)],
         rhs_dilation=(dilation,), dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
     if b is not None:
@@ -97,10 +101,15 @@ def conv1d_zeropad(x, w, b, dilation: int, padding: int) -> jnp.ndarray:
 
 
 def depthwise_strided(x, filt: jnp.ndarray, stride: int) -> jnp.ndarray:
-    """Per-channel FIR, valid padding. filt: [k]."""
+    """Per-channel FIR, valid padding. filt: [k] (one filter for every
+    channel) or [k, C] (a per-channel filter bank — the fused-resblock path
+    carries a different anti-aliasing filter per branch)."""
     C = x.shape[-1]
     k = filt.shape[0]
-    w = jnp.broadcast_to(filt[:, None, None], (k, 1, C)).astype(x.dtype)
+    if filt.ndim == 2:
+        w = filt[:, None, :].astype(x.dtype)  # [k, 1, C]
+    else:
+        w = jnp.broadcast_to(filt[:, None, None], (k, 1, C)).astype(x.dtype)
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(stride,), padding=[(0, 0)],
         dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=C,
@@ -158,7 +167,11 @@ def upsample_activation(x, lengths, up_filter: jnp.ndarray):
     # transposed conv: out[t*2 + kk] += x[t] * 2 * f[kk]
     B, Tp, C = xp.shape
     stuffed = zero_stuff(xp * ratio, ratio)  # [B, Tp*2, C]
-    w = jnp.broadcast_to(up_filter[::-1][:, None, None], (k, 1, C)).astype(x.dtype)
+    if up_filter.ndim == 2:  # per-channel bank (fused-resblock path)
+        w = up_filter[::-1, None, :].astype(x.dtype)  # [k, 1, C]
+    else:
+        w = jnp.broadcast_to(up_filter[::-1][:, None, None],
+                             (k, 1, C)).astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         stuffed, w, window_strides=(1,), padding=[(k - 1, k - 1)],
         dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=C,
@@ -213,6 +226,92 @@ def activation1d(x, lengths, act: Pytree):
 # full vocoder forward
 # ---------------------------------------------------------------------------
 
+def _stack_branch_kernels(ws, bs):
+    """Stack per-branch conv kernels [(C, C, k_j)] into one grouped-conv
+    weight [nk*C, C, k_max]. Centered zero-extension of an odd kernel is
+    exact: 'same' padding computed at k_max shifts exactly by the extension."""
+    k_max = max(w.shape[-1] for w in ws)
+    padded = []
+    for w in ws:
+        k = w.shape[-1]
+        lo = (k_max - k) // 2
+        padded.append(jnp.pad(w, ((0, 0), (0, 0), (lo, k_max - k - lo))))
+    return jnp.concatenate(padded, axis=0), jnp.concatenate(bs), k_max
+
+
+def _can_fuse_resblocks(rbs) -> bool:
+    import os
+
+    # OFF by default: measured SLOWER on TPU (13.5x vs 16.4x RT at
+    # production shapes) — XLA:TPU lowers feature_group_count convs worse
+    # than the 3x memory-pass saving is worth. Kept as an opt-in
+    # (MIOTTS_VOCODER_FUSE=1) for backends where grouped convs win; the
+    # math is oracle-verified including ragged kernel sizes.
+    if os.environ.get("MIOTTS_VOCODER_FUSE", "0") in ("0", "off", ""):
+        return False
+    for a in range(6):
+        # per-channel filter banks need equal filter lengths per slot
+        if len({rb["acts"][a]["up_filter"].shape[0] for rb in rbs}) > 1:
+            return False
+        if len({rb["acts"][a]["down_filter"].shape[0] for rb in rbs}) > 1:
+            return False
+    for kk in range(3):
+        # centered zero-extension to k_max is exact only for same-parity k
+        for key in ("convs1", "convs2"):
+            if len({rb[key][kk]["w"].shape[-1] % 2 for rb in rbs}) > 1:
+                return False
+    return True
+
+
+def _resblocks_fused(rbs, x, lengths, dilations):
+    """Run a stage's AMP resblocks as one channel-folded pass and average.
+
+    Every branch consumes the same stage input and the outputs are averaged
+    (miocodec-decoder.cpp:2064-2079), so the branches fold into the channel
+    dim: grouped convs (block-diagonal), per-channel anti-aliasing filter
+    banks, and concatenated snake alpha/beta — 3x fewer full-length memory
+    passes than looping branches (the vocoder is bandwidth-bound, see
+    DESIGN.md). Ragged odd kernel sizes are zero-extended to the slot max
+    (exact; `_stack_branch_kernels`)."""
+    nk = len(rbs)
+    B, T, C = x.shape
+
+    def act_bank(a):
+        f_up = rbs[0]["acts"][a]["up_filter"]
+        f_dn = rbs[0]["acts"][a]["down_filter"]
+        return {
+            "alpha": jnp.concatenate([rb["acts"][a]["alpha"] for rb in rbs]),
+            "beta": jnp.concatenate([rb["acts"][a]["beta"] for rb in rbs]),
+            "up_filter": jnp.concatenate(
+                [jnp.broadcast_to(rb["acts"][a]["up_filter"][:, None],
+                                  (f_up.shape[0], C)) for rb in rbs], axis=1),
+            "down_filter": jnp.concatenate(
+                [jnp.broadcast_to(rb["acts"][a]["down_filter"][:, None],
+                                  (f_dn.shape[0], C)) for rb in rbs], axis=1),
+        }
+
+    r = jnp.tile(x, (1, 1, nk))  # [B, T, nk*C]
+    r_len = lengths
+    for kk in range(3):
+        r_in = r
+        r, r_len = activation1d(r, r_len, act_bank(2 * kk))
+        w1, b1, k1 = _stack_branch_kernels(
+            [rb["convs1"][kk]["w"] for rb in rbs],
+            [rb["convs1"][kk]["b"] for rb in rbs])
+        d = dilations[kk]
+        r = conv1d_zeropad(r, w1, b1, d, (k1 * d - d) // 2, groups=nk)
+        r = mask_time(r, r_len)
+        r, r_len = activation1d(r, r_len, act_bank(2 * kk + 1))
+        w2, b2, k2 = _stack_branch_kernels(
+            [rb["convs2"][kk]["w"] for rb in rbs],
+            [rb["convs2"][kk]["b"] for rb in rbs])
+        r = conv1d_zeropad(r, w2, b2, 1, (k2 - 1) // 2, groups=nk)
+        r = mask_time(r, r_len)
+        r = r + r_in  # activation1d round-trip preserves length
+    out = r.reshape(B, r.shape[1], nk, C).sum(2) * (1.0 / nk)
+    return mask_time(out, r_len), r_len
+
+
 def mel_postnet_apply(cfg, w, mel: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     """Residual mel postnet (:2001-2020). mel: [B, T, n_mels]."""
     if "mel_postnet" not in w:
@@ -266,27 +365,32 @@ def vocoder_decode(cfg, w, mel: jnp.ndarray, lengths: jnp.ndarray):
         cur_len = y_len
         x = mask_time(x, cur_len)
 
-        xs = jnp.zeros_like(x)
-        for j in range(num_k):
-            rb = v["resblocks"][i * num_k + j]
-            r = x
-            r_len = cur_len
-            for kk in range(3):
-                r_in = r
-                r, r_len = activation1d(r, r_len, rb["acts"][2 * kk])
-                k1 = rb["convs1"][kk]["w"].shape[-1]
-                d = dilations[kk]
-                r = conv1d_zeropad(r, rb["convs1"][kk]["w"], rb["convs1"][kk]["b"],
-                                   d, (k1 * d - d) // 2)
-                r = mask_time(r, r_len)
-                r, r_len = activation1d(r, r_len, rb["acts"][2 * kk + 1])
-                k2 = rb["convs2"][kk]["w"].shape[-1]
-                r = conv1d_zeropad(r, rb["convs2"][kk]["w"], rb["convs2"][kk]["b"],
-                                   1, (k2 - 1) // 2)
-                r = mask_time(r, r_len)
-                r = r + r_in  # activation1d round-trip preserves length
-            xs = xs + r
-        x = xs * (1.0 / max(1, num_k))
+        stage_rbs = v["resblocks"][i * num_k:(i + 1) * num_k]
+        if num_k > 1 and _can_fuse_resblocks(stage_rbs):
+            x, _ = _resblocks_fused(stage_rbs, x, cur_len, dilations)
+        else:
+            xs = jnp.zeros_like(x)
+            for rb in stage_rbs:
+                r = x
+                r_len = cur_len
+                for kk in range(3):
+                    r_in = r
+                    r, r_len = activation1d(r, r_len, rb["acts"][2 * kk])
+                    k1 = rb["convs1"][kk]["w"].shape[-1]
+                    d = dilations[kk]
+                    r = conv1d_zeropad(r, rb["convs1"][kk]["w"],
+                                       rb["convs1"][kk]["b"],
+                                       d, (k1 * d - d) // 2)
+                    r = mask_time(r, r_len)
+                    r, r_len = activation1d(r, r_len, rb["acts"][2 * kk + 1])
+                    k2 = rb["convs2"][kk]["w"].shape[-1]
+                    r = conv1d_zeropad(r, rb["convs2"][kk]["w"],
+                                       rb["convs2"][kk]["b"],
+                                       1, (k2 - 1) // 2)
+                    r = mask_time(r, r_len)
+                    r = r + r_in  # activation1d round-trip preserves length
+                xs = xs + r
+            x = xs * (1.0 / max(1, num_k))
 
     x, cur_len = activation1d(x, cur_len, v["activation_post"])
     x = conv1d_zeropad(x, v["conv_post_w"], None, 1, 3)

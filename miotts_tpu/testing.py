@@ -390,7 +390,8 @@ def write_synthetic_mel_vocoder_gguf(path: str, cfg: MioCodecConfig, seed: int =
                                      act_filter_len: int = 12,
                                      mel_postnet_layers: int = 2,
                                      mel_postnet_kernel: int = 5,
-                                     ch: int = 16) -> None:
+                                     ch: int = 16,
+                                     resblock_kernels: tuple = ()) -> None:
     """Mel-mode MioCodec with a bundled BigVGAN-style vocoder (small dims).
 
     cfg must have model_type=1, n_mels>0, vocoder_upsample_rates and
@@ -508,11 +509,15 @@ def write_synthetic_mel_vocoder_gguf(path: str, cfg: MioCodecConfig, seed: int =
     # anti-aliasing filter (kaiser-like; any fixed taps work for tests)
     act_filt = np.hanning(act_filter_len + 2)[1:-1].astype(np.float32)
     act_filt = act_filt / act_filt.sum()
+    # resblock_kernels: per-resblock conv kernel size within a stage
+    # (BigVGAN-style models use e.g. [3, 7, 11]); cycled over num_k
+    rks = resblock_kernels or (3,) * num_k
     for r in range(len(rates) * num_k):
+        rk = rks[r % num_k]
         for c in range(3):
-            w.add_tensor(f"vocoder.resblocks.{r}.convs1.{c}.weight", rnd(ch, ch, 3, scale=0.1))
+            w.add_tensor(f"vocoder.resblocks.{r}.convs1.{c}.weight", rnd(ch, ch, rk, scale=0.1))
             w.add_tensor(f"vocoder.resblocks.{r}.convs1.{c}.bias", rnd(ch, scale=0.02))
-            w.add_tensor(f"vocoder.resblocks.{r}.convs2.{c}.weight", rnd(ch, ch, 3, scale=0.1))
+            w.add_tensor(f"vocoder.resblocks.{r}.convs2.{c}.weight", rnd(ch, ch, rk, scale=0.1))
             w.add_tensor(f"vocoder.resblocks.{r}.convs2.{c}.bias", rnd(ch, scale=0.02))
         for a in range(6):
             w.add_tensor(f"vocoder.resblocks.{r}.acts.{a}.alpha", rnd(ch, scale=0.1))

@@ -81,6 +81,50 @@ def test_vocoder_padding_invariance(mel_model):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_vocoder_ragged_kernels_fused_matches_oracle(tmp_path, monkeypatch):
+    """BigVGAN-style ragged per-resblock kernel sizes (3/5/7): the default
+    per-branch loop matches the independent numpy oracle, and the opt-in
+    channel-folded fused path (MIOTTS_VOCODER_FUSE=1, which zero-extends
+    kernels to the slot max) is bit-consistent with it."""
+    monkeypatch.setenv("MIOTTS_VOCODER_FUSE", "1")
+    cfg = tiny_codec_config(
+        model_type=1, n_mels=12, n_fft=64, hop_length=16, samples_per_token=32,
+        resnet_blocks=0,
+        vocoder_upsample_rates=(4, 2, 2), vocoder_num_kernels=3,
+    )
+    path = tmp_path / "ragged.gguf"
+    write_synthetic_mel_vocoder_gguf(str(path), cfg, seed=5,
+                                     resblock_kernels=(3, 5, 7))
+    loaded, w = load_miocodec(str(path))
+    w = jax.tree.map(jnp.asarray, w)
+    with GGUFReader(path) as r:
+        raw = {name: np.array(r.tensor(name)) for name in r.tensors}
+    rng = np.random.RandomState(3)
+    T = 8
+    mel_ct = (rng.randn(loaded.n_mels, T) * 0.5).astype(np.float32)
+    ocfg = {
+        "mel_postnet_layers": loaded.mel_postnet_layers,
+        "norm_eps": loaded.norm_eps,
+        "vocoder_upsample_rates": loaded.vocoder_upsample_rates,
+        "vocoder_num_kernels": loaded.vocoder_num_kernels,
+    }
+    ref = oracle.decode_mel_to_audio(raw, ocfg, mel_ct)
+    mel_btc = jnp.asarray(mel_ct.T)[None]
+    lengths = jnp.asarray([T], jnp.int32)
+
+    audio, n = jax.jit(lambda w, m, l: vocoder_decode(loaded, w, m, l))(
+        w, mel_btc, lengths)
+    got = np.array(audio[0, : int(n[0])])
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+
+    monkeypatch.delenv("MIOTTS_VOCODER_FUSE")
+    audio2, n2 = jax.jit(lambda w, m, l: vocoder_decode(loaded, w, m, l))(
+        w, mel_btc, lengths)
+    assert int(n2[0]) == int(n[0])
+    np.testing.assert_allclose(got, np.array(audio2[0, : int(n[0])]),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_mel_mode_end_to_end_synthesis(mel_model):
     cfg, w, raw = mel_model
     rng = np.random.RandomState(2)
