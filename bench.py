@@ -113,18 +113,14 @@ def main() -> int:
         return jnp.concatenate([a.reshape(-1).astype(jnp.float32),
                                 b.reshape(-1).astype(jnp.float32)])
 
-    @jax.jit
-    def _pack_pcm16(audio, n):
-        # deliver production bytes: the served artifact is 16-bit PCM
-        # (WAV16 / SSE chunks), so quantize on device with the exact
-        # clamp/round of runtime/audio_io.encode_pcm16 and fetch half the
-        # bytes of f32 (the device->host link is the bench bottleneck:
-        # measured 12-36 MB/s through this environment's relay vs ~100 ms
-        # of on-device codec compute for 320 s of audio)
-        pcm = jnp.rint(jnp.clip(audio, -1.0, 1.0) * 32767.0).astype(jnp.int16)
-        n16 = jax.lax.bitcast_convert_type(n.astype(jnp.int32),
-                                           jnp.int16).reshape(-1)
-        return jnp.concatenate([pcm.reshape(-1), n16])
+    # deliver production bytes: the served artifact is 16-bit PCM
+    # (WAV16 / SSE chunks), so quantize on device and fetch half the bytes
+    # of f32 (the device->host link is the bench bottleneck: measured
+    # 12-36 MB/s through this environment's relay vs ~100 ms of on-device
+    # codec compute for 320 s of audio). The packer is the serving path's
+    # own (bit-identical to audio_io.encode_pcm16) — the bench measures
+    # exactly the bytes the server ships.
+    from miotts_tpu.serving.codec_batching import _pack_pcm16
 
     def dispatch_codec():
         # async: returns the packed device array without blocking

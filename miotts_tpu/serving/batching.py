@@ -93,6 +93,7 @@ class ContinuousBatcher:
         self.n_lanes = n_lanes
         self.max_ctx = max_ctx
         self.chunk = chunk
+        self.seed = seed
         self.state = init_batched_state(self.cfg, n_lanes, max_ctx, seed)
         if mesh is not None:
             from ..parallel.mesh import shard_gen_state
@@ -100,8 +101,9 @@ class ContinuousBatcher:
             self.state = shard_gen_state(mesh, self.state)
         self.lanes: list[_Lane | None] = [None] * n_lanes
         # attaches are queued and applied only by the worker loop, so the
-        # post-chunk state write-back can never clobber a concurrent attach
-        self._pending: list[tuple[int, object, object, object, int]] = []
+        # post-chunk state write-back can never clobber a concurrent attach:
+        # (lane_idx, prefill logits, cache_k, cache_v, prompt_len, seed)
+        self._pending: list[tuple[int, object, object, object, int, int]] = []
         # per-lane sampler knobs mirrored host-side
         self._temps = np.full(n_lanes, 0.8, np.float32)
         self._top_ks = np.full(n_lanes, 50, np.int32)
@@ -194,7 +196,7 @@ class ContinuousBatcher:
                 self.lanes[i] = None
                 self._pens[i] = 1.0
             self.state = init_batched_state(self.cfg, self.n_lanes,
-                                            self.max_ctx)
+                                            self.max_ctx, self.seed)
             if self.mesh is not None:
                 from ..parallel.mesh import shard_gen_state
 

@@ -293,6 +293,15 @@ class ServingEngine:
                 handle = self.batcher.submit(rp.text, sampler=sampler,
                                              n_predict=rp.n_predict)
             except ValueError as e:
+                if "prompt is too long" in str(e):
+                    # prompt exceeds the batcher's fixed KV budget: fall back
+                    # to a dedicated per-request generation that sizes its
+                    # context like the reference (max(n_ctx, T+n_predict+32),
+                    # tts-mio-cli.cpp:1018) instead of erroring — oversized
+                    # prompts are rare enough that a serialized one-off beats
+                    # reserving worst-case lanes for everyone
+                    return self._generate_codes_oversized(rp, out, sampler,
+                                                          on_token, t0)
                 raise RequestError(str(e))
             eog_set = set(int(t) for t in np.asarray(self.llm.eog_ids))
             tokens: list[int] = []
@@ -313,6 +322,29 @@ class ServingEngine:
             codes = self.llm.tokens_to_codes(tokens)
             if not codes:
                 raise RequestError("no Mio audio codes were found in token sequence")
+        out["llm_ms"] = now_ms() - t0
+        return codes
+
+    def _generate_codes_oversized(self, rp: RequestParams, out: dict,
+                                  sampler, on_token, t0: float) -> list[int]:
+        """Dedicated generation for prompts beyond the batcher's KV budget
+        (see _generate_codes); same token-callback contract."""
+        eog_set = set(int(t) for t in np.asarray(self.llm.eog_ids))
+        tokens: list[int] = []
+
+        def cb(tok, index, is_eog):
+            tokens.append(int(tok))
+            if on_token is not None:
+                return on_token(int(tok), index, int(tok) in eog_set)
+            return True
+
+        self.llm.generate_audio_tokens_streaming(
+            rp.text, cb, n_predict=rp.n_predict, n_ctx=rp.n_ctx,
+            sampler=sampler)
+        out["n_tokens"] = len(tokens)
+        codes = self.llm.tokens_to_codes(tokens)
+        if not codes:
+            raise RequestError("no Mio audio codes were found in token sequence")
         out["llm_ms"] = now_ms() - t0
         return codes
 

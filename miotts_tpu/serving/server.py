@@ -413,13 +413,12 @@ class MioTTSServer:
                         if rp.stream_audio:
                             # incremental PCM: audio_chunk events interleave
                             # with token events while generation runs
-                            chunk_state = {"seq": 0, "samples": 0}
+                            chunk_state = {"seq": 0}
 
                             def on_audio(pcm):
                                 from ..runtime.audio_io import encode_pcm16
 
                                 chunk_state["seq"] += 1
-                                chunk_state["samples"] += int(pcm.size)
                                 sse("audio_chunk", json.dumps({
                                     "seq": chunk_state["seq"] - 1,
                                     "n_samples": int(pcm.size),
@@ -457,7 +456,12 @@ class MioTTSServer:
                                 "llm_ms": out["llm_ms"]}))
 
                             t_synth = now_ms()
-                            result = eng.codec_batcher.synthesize(codes, emb)
+                            # pcm16: quantize on device and fetch half the
+                            # bytes (same executable + micro-batch group as
+                            # the binary path; encode_wav16 passes int16
+                            # through untouched)
+                            result = eng.codec_batcher.synthesize(
+                                codes, emb, pcm16=True)
                             synth_ms = now_ms() - t_synth
                             out["synth_ms"] = synth_ms
                             out["codes"] = len(codes)

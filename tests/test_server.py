@@ -520,6 +520,41 @@ def test_overlap_matches_serial_duration(tmp_path):
     assert np.isfinite(audio_o).all() and np.abs(audio_o).max() > 0
 
 
+def test_oversized_prompt_falls_back_to_dedicated_generation(tmp_path):
+    """A prompt beyond the continuous batcher's fixed KV budget must still
+    generate (dedicated per-request context sized like the reference,
+    tts-mio-cli.cpp:1018) instead of erroring."""
+    from miotts_tpu.serving.engine import ServingEngine
+    from miotts_tpu.serving.state import ServerConfig, parse_request_json
+
+    cfg_codec = tiny_codec_config()
+    write_synthetic_miocodec_gguf(str(tmp_path / "codec.gguf"), cfg_codec, seed=0)
+    write_synthetic_llm_gguf(str(tmp_path / "llm.gguf"),
+                             n_audio=cfg_codec.vocab_size, seed=1)
+    rng = np.random.RandomState(0)
+    emb_path = tmp_path / "v.emb.gguf"
+    save_embedding_gguf(emb_path,
+                        rng.randn(cfg_codec.decoder_adanorm_dim).astype(np.float32))
+    cfg = ServerConfig(
+        model_vocoder=str(tmp_path / "codec.gguf"),
+        model=str(tmp_path / "llm.gguf"), output_dir=str(tmp_path / "out"),
+        n_parallel=2, n_predict=24, n_ctx=96,
+        reference_file_json=json.dumps({"key": "p", "path": str(emb_path)}),
+    )
+    eng = ServingEngine(cfg)
+    # byte-level synthetic tokenizer: ~1 token/char; batcher budget is
+    # n_ctx + n_predict + 64 - 8 = 176 tokens -> this prompt exceeds it
+    long_text = "oversized prompt " * 20
+    out: dict = {}
+    rp = parse_request_json({"text": long_text, "reference_key": "p",
+                             "n_predict": 16}, cfg)
+    seen: list[int] = []
+    codes = eng._generate_codes(rp, out, on_token=lambda t, i, e: (seen.append(t)
+                                                                   or True))
+    assert codes and out["n_tokens"] == len(seen) > 0
+    assert out["llm_ms"] > 0
+
+
 def test_streaming_request_audio_before_generation_done(tmp_path):
     """Engine-level ordering proof: on_audio fires before code acquisition
     finishes, i.e. PCM really leaves while the LLM is still generating.
