@@ -191,7 +191,8 @@ class ServingEngine:
             else:
                 self.codec_batcher.warm(bucket, **kw)
 
-        with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        width = int(os.environ.get("MIOTTS_WARMUP_POOL", "4"))
+        with concurrent.futures.ThreadPoolExecutor(max(1, width)) as ex:
             list(ex.map(do_warm, warm_calls))
         if self.batcher is not None:
             from ..models.llm import SamplerParams
