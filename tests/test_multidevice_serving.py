@@ -158,6 +158,46 @@ def test_tensor_parallel_streaming_request(assets):
     assert seq.index("audio") < seq.index("codes_done"), seq
 
 
+def test_reference_generation_under_mesh(assets, tmp_path):
+    """Voice cloning on a dp/tp engine: WavLM + the mesh-replicated global
+    encoder produce the same embedding as a single-device engine, and the
+    cloned reference synthesizes."""
+    from miotts_tpu.runtime.audio_io import save_wav16
+    from miotts_tpu.testing import write_synthetic_wavlm_gguf
+
+    # self-contained assets: codec whose global encoder accepts the tiny
+    # wavlm's 32-dim SSL features
+    d = tmp_path
+    cfg_codec = tiny_codec_config(global_encoder_input_channels=32)
+    write_synthetic_miocodec_gguf(str(d / "codec.gguf"), cfg_codec, seed=0)
+    write_synthetic_llm_gguf(str(d / "llm.gguf"), n_audio=cfg_codec.vocab_size,
+                             seed=1)
+    wavlm = d / "wavlm.gguf"
+    write_synthetic_wavlm_gguf(str(wavlm), seed=2)
+    emb_path = d / "voice.emb.gguf"
+    save_embedding_gguf(emb_path, np.random.RandomState(0).randn(
+        cfg_codec.decoder_adanorm_dim).astype(np.float32))
+    sr = 24000
+    wav = tmp_path / "ref.wav"
+    t = np.arange(sr // 2) / sr
+    save_wav16(wav, (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32), sr)
+
+    cfg_s = _mk_cfg(d, emb_path, "")
+    cfg_s.wavlm_model = str(wavlm)
+    single = ServingEngine(cfg_s)
+    cfg_m = _mk_cfg(d, emb_path, "all", tensor_parallel=2)
+    cfg_m.wavlm_model = str(wavlm)
+    mesh_eng = ServingEngine(cfg_m)
+    e1 = single.generate_reference(str(wav), "clone", 20.0)
+    e2 = mesh_eng.generate_reference(str(wav), "clone", 20.0)
+    np.testing.assert_allclose(e1, e2, rtol=1e-4, atol=1e-5)
+    out: dict = {}
+    rp = parse_request_json({"codes": [1, 2, 3, 4], "reference_key": "clone"},
+                            cfg_m)
+    audio, _ = mesh_eng.run_tts_request(rp, out)
+    assert out["ok"] and audio.size > 0
+
+
 def test_warmup_under_mesh(assets):
     """--warmup on a dp/tp engine: CodecMicroBatcher.warm device_puts its
     dummy batch with the mesh shardings and ContinuousBatcher.warm_prefill
