@@ -216,7 +216,32 @@ def downsample_activation(x, lengths, down_filter: jnp.ndarray):
     return mask_time(y, new_len), new_len
 
 
+def _act1d_impl() -> str:
+    import os
+
+    return os.environ.get("MIOTTS_ACT1D", "auto")
+
+
 def activation1d(x, lengths, act: Pytree):
+    """Anti-aliased snake: 2x upsample -> ADAA snake-beta -> 2x downsample.
+
+    On TPU this dispatches to the fused Pallas kernel (one VMEM-resident
+    pass instead of ~15 XLA memory passes — the mel-vocoder's dominant
+    cost, see ops/pallas/activation1d.py). The unfused composite remains
+    the non-TPU / filter-bank (fused-resblock) path and the numeric
+    reference. MIOTTS_ACT1D=xla|pallas|interpret overrides."""
+    impl = _act1d_impl()
+    fusable = (act["up_filter"].ndim == 1 and act["down_filter"].ndim == 1
+               and act["up_filter"].shape[0] >= 2)
+    if fusable and impl != "xla":
+        from ..ops.attention import _pallas_available
+        from ..ops.pallas.activation1d import fused_activation1d
+
+        if impl in ("pallas", "interpret") or (
+                impl == "auto" and _pallas_available()):
+            return fused_activation1d(
+                x, lengths, act["up_filter"], act["alpha"], act["beta"],
+                act["down_filter"], interpret=(impl == "interpret"))
     y, ln = upsample_activation(x, lengths, act["up_filter"])
     y = adaa_snake_beta(y, ln, act["alpha"], act["beta"])
     return downsample_activation(y, ln, act["down_filter"])

@@ -125,6 +125,64 @@ def test_vocoder_ragged_kernels_fused_matches_oracle(tmp_path, monkeypatch):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("k1,k2,T,C,B,bt", [
+    (12, 12, 300, 16, 3, 64),   # even/even, ragged lengths, multi-tile
+    (13, 15, 97, 8, 2, 64),     # odd filters, non-dividing T
+    (16, 12, 520, 24, 2, 256),  # asymmetric filter pair
+])
+def test_fused_activation1d_matches_composite(k1, k2, T, C, B, bt):
+    """The Pallas fused Activation1d (interpret mode on CPU) reproduces the
+    unfused upsample->snake->downsample composite to f32 roundoff, including
+    per-batch replicate-pad edges and length masking."""
+    from miotts_tpu.models.vocoder import (adaa_snake_beta,
+                                           downsample_activation,
+                                           upsample_activation)
+    from miotts_tpu.ops.masking import mask_time
+    from miotts_tpu.ops.pallas.activation1d import fused_activation1d
+
+    rng = np.random.RandomState(k1 + k2)
+    f1 = np.hanning(k1 + 2)[1:-1].astype(np.float32)
+    f1 /= f1.sum()
+    f2 = np.hanning(k2 + 2)[1:-1].astype(np.float32)
+    f2 /= f2.sum()
+    lengths = rng.randint(1, T + 1, B).astype(np.int32)
+    lengths[0] = T
+    x = mask_time(jnp.asarray(rng.randn(B, T, C).astype(np.float32)),
+                  jnp.asarray(lengths))
+    alpha = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+    beta = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+    y, ln = upsample_activation(x, jnp.asarray(lengths), jnp.asarray(f1))
+    y = adaa_snake_beta(y, ln, alpha, beta)
+    y_ref, len_ref = downsample_activation(y, ln, jnp.asarray(f2))
+    y_p, len_p = fused_activation1d(
+        x, jnp.asarray(lengths), jnp.asarray(f1), alpha, beta,
+        jnp.asarray(f2), block_t=bt, interpret=True)
+    assert y_p.shape == y_ref.shape
+    np.testing.assert_array_equal(np.asarray(len_p), np.asarray(len_ref))
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_ref),
+                               rtol=1e-5, atol=2e-6)
+
+
+def test_vocoder_fused_act1d_end_to_end(mel_model, monkeypatch):
+    """Full vocoder forward with the fused Activation1d kernel active at
+    every call site matches the default XLA composite path."""
+    cfg, w, raw = mel_model
+    rng = np.random.RandomState(7)
+    T = 9
+    mel = (rng.randn(1, T, cfg.n_mels) * 0.5).astype(np.float32)
+    lengths = jnp.asarray([T], jnp.int32)
+    monkeypatch.setenv("MIOTTS_ACT1D", "xla")
+    a_ref, n_ref = jax.jit(lambda w, m, l: vocoder_decode(cfg, w, m, l))(
+        w, jnp.asarray(mel), lengths)
+    monkeypatch.setenv("MIOTTS_ACT1D", "interpret")
+    a_fused, n_fused = jax.jit(lambda w, m, l: vocoder_decode(cfg, w, m, l))(
+        w, jnp.asarray(mel), lengths)
+    n = int(n_ref[0])
+    assert int(n_fused[0]) == n
+    np.testing.assert_allclose(np.array(a_fused[0, :n]),
+                               np.array(a_ref[0, :n]), rtol=1e-4, atol=1e-5)
+
+
 def test_mel_mode_end_to_end_synthesis(mel_model):
     cfg, w, raw = mel_model
     rng = np.random.RandomState(2)
