@@ -39,6 +39,70 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _build_1b_llm(log, vocab_size: int):
+    """~1.63B-param stretch TTS LLM (BASELINE.json config 5 scale —
+    Orpheus/CosyVoice class), synthetic weights materialized directly on
+    device (a GGUF round-trip would write multi-GB files just to reread
+    them). MIOTTS_LLM_QUANT=int8 quantizes every matmul weight to
+    per-output-channel int8 (W8A8: native MXU int8 dots via
+    ops/pallas/quant_matmul.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from miotts_tpu.models.llm import LLMConfig
+
+    cfg1b = LLMConfig(
+        arch="qwen2", n_layers=16, dim=2048, n_heads=16, n_kv_heads=8,
+        head_dim=128, ffn_dim=8192, vocab_size=vocab_size, rms_eps=1e-6,
+        rope_base=1_000_000.0, rope_neox=True, context_length=4096,
+    )
+    log("bench: materializing ~1.6B-param synthetic weights on device...")
+    key = jax.random.PRNGKey(0)
+
+    def rnd(key, *shape, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(shape[-1])
+        return (jax.random.normal(key, shape, jnp.bfloat16) * scale)
+
+    ks = jax.random.split(key, 16)
+    L, D, H, KV, HD, FF, V = (cfg1b.n_layers, cfg1b.dim, cfg1b.n_heads,
+                              cfg1b.n_kv_heads, cfg1b.head_dim,
+                              cfg1b.ffn_dim, cfg1b.vocab_size)
+    w1b = {
+        "token_embd": rnd(ks[0], V, D, scale=0.02),
+        "attn_norm": jnp.ones((L, D), jnp.float32),
+        "wq": rnd(ks[1], L, D, H * HD), "wk": rnd(ks[2], L, D, KV * HD),
+        "wv": rnd(ks[3], L, D, KV * HD), "wo": rnd(ks[4], L, H * HD, D),
+        "ffn_norm": jnp.ones((L, D), jnp.float32),
+        "w_gate": rnd(ks[5], L, D, FF), "w_up": rnd(ks[6], L, D, FF),
+        "w_down": rnd(ks[7], L, FF, D),
+        "bq": None, "bk": None, "bv": None, "q_norm": None, "k_norm": None,
+        "output_norm": jnp.ones((D,), jnp.float32),
+        "output": rnd(ks[8], D, V, scale=0.02),
+    }
+    n_params = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(w1b))
+    log(f"bench: {n_params / 1e9:.2f}B params")
+
+    if os.environ.get("MIOTTS_LLM_QUANT", "") in ("int8", "w8a8"):
+        # W8A8: per-output-channel int8 weights, native MXU int8 dots
+        # (ops/pallas/quant_matmul.py int8_matmul)
+        log("bench: quantizing matmul weights to per-channel int8...")
+
+        def quant_leaf(w):
+            wf = w.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(wf), axis=-2)
+            s = amax / 127.0
+            sd = jnp.where(s == 0, 1.0, s)[..., None, :]
+            q = jnp.clip(jnp.round(wf / sd), -127, 127).astype(jnp.int8)
+            return {"q8": q, "s8": s}
+
+        for k in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+                  "output"):
+            w1b[k] = jax.jit(quant_leaf)(w1b[k])
+    return cfg1b, w1b
+
+
 def main() -> int:
     import functools
     import tempfile
@@ -193,59 +257,8 @@ def main() -> int:
         return 0
 
     if mode == "llm1b":
-        # stretch config (BASELINE.json config 5): ~1.4B-param TTS LLM
-        # (Orpheus/CosyVoice scale), bf16 on one chip (tp-sharded multi-chip
-        # path exercised separately by dryrun_multichip)
-        from miotts_tpu.models.llm import LLMConfig, init_kv_cache, llm_generate
-
-        cfg1b = LLMConfig(
-            arch="qwen2", n_layers=16, dim=2048, n_heads=16, n_kv_heads=8,
-            head_dim=128, ffn_dim=8192, vocab_size=152_000, rms_eps=1e-6,
-            rope_base=1_000_000.0, rope_neox=True, context_length=4096,
-        )
-        log("bench: materializing ~1.4B-param synthetic weights on device...")
-        key = jax.random.PRNGKey(0)
-
-        def rnd(key, *shape, scale=None):
-            if scale is None:
-                scale = 1.0 / np.sqrt(shape[-1])
-            return (jax.random.normal(key, shape, jnp.bfloat16) * scale)
-
-        ks = jax.random.split(key, 16)
-        L, D, H, KV, HD, FF, V = (cfg1b.n_layers, cfg1b.dim, cfg1b.n_heads,
-                                  cfg1b.n_kv_heads, cfg1b.head_dim,
-                                  cfg1b.ffn_dim, cfg1b.vocab_size)
-        w1b = {
-            "token_embd": rnd(ks[0], V, D, scale=0.02),
-            "attn_norm": jnp.ones((L, D), jnp.float32),
-            "wq": rnd(ks[1], L, D, H * HD), "wk": rnd(ks[2], L, D, KV * HD),
-            "wv": rnd(ks[3], L, D, KV * HD), "wo": rnd(ks[4], L, H * HD, D),
-            "ffn_norm": jnp.ones((L, D), jnp.float32),
-            "w_gate": rnd(ks[5], L, D, FF), "w_up": rnd(ks[6], L, D, FF),
-            "w_down": rnd(ks[7], L, FF, D),
-            "bq": None, "bk": None, "bv": None, "q_norm": None, "k_norm": None,
-            "output_norm": jnp.ones((D,), jnp.float32),
-            "output": rnd(ks[8], D, V, scale=0.02),
-        }
-        n_params = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(w1b))
-        log(f"bench: {n_params / 1e9:.2f}B params")
-
-        if os.environ.get("MIOTTS_LLM_QUANT", "") in ("int8", "w8a8"):
-            # W8A8: per-output-channel int8 weights, native MXU int8 dots
-            # (ops/pallas/quant_matmul.py int8_matmul)
-            log("bench: quantizing matmul weights to per-channel int8...")
-
-            def quant_leaf(w):
-                wf = w.astype(jnp.float32)
-                amax = jnp.max(jnp.abs(wf), axis=-2)
-                s = amax / 127.0
-                sd = jnp.where(s == 0, 1.0, s)[..., None, :]
-                q = jnp.clip(jnp.round(wf / sd), -127, 127).astype(jnp.int8)
-                return {"q8": q, "s8": s}
-
-            for k in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
-                      "output"):
-                w1b[k] = jax.jit(quant_leaf)(w1b[k])
+        cfg1b, w1b = _build_1b_llm(log, vocab_size=152_000)
+        from miotts_tpu.models.llm import init_kv_cache, llm_generate
         from miotts_tpu.models.sampling import SamplerParams as SP
 
         prompt = rng.randint(0, 1000, (lanes, 32)).astype(np.int32)
@@ -278,6 +291,80 @@ def main() -> int:
             "metric": "llm1b_xrt_per_chip",
             "value": round(xrt, 2),
             "unit": "audio-sec/sec",
+            "vs_baseline": round(xrt / 50.0, 3),
+        }))
+        return 0
+
+    if mode == "llm1bserve":
+        # the 1.63B stretch config through the REAL serving path: an
+        # LLMEngine.from_arrays injected into ServingEngine + its
+        # ContinuousBatcher, concurrent requests through _generate_codes
+        # (the same flow /mio/tts/stream drives). Pair with
+        # MIOTTS_LLM_QUANT=int8 (or --llm-quant on a real server) for the
+        # W8A8 serving number.
+        import threading
+
+        from miotts_tpu.gguf import GGUFReader
+        from miotts_tpu.models.llm import LLMEngine
+        from miotts_tpu.runtime.tokenizer import BPETokenizer
+        from miotts_tpu.serving.batching import ContinuousBatcher
+        from miotts_tpu.serving.engine import ServingEngine
+        from miotts_tpu.serving.state import ServerConfig, parse_request_json
+
+        r = GGUFReader(llm_path)
+        tok1b = BPETokenizer.from_gguf_kv(r.kv)
+        r.close()
+        cfg1b, w1b = _build_1b_llm(log, vocab_size=len(tok1b.tokens))
+        conc = int(os.environ.get("MIOTTS_BENCH_SERVE_CONC", "8"))
+        scfg = ServerConfig(model_vocoder=codec_path, model="",
+                            output_dir=tmp, n_parallel=conc,
+                            n_predict=n_gen, n_ctx=64)
+        eng = ServingEngine(scfg)
+        eng.llm = LLMEngine.from_arrays(
+            cfg1b, w1b, tok1b,
+            quantize=os.environ.get("MIOTTS_LLM_QUANT", "") or "bf16")
+        eng.batcher = ContinuousBatcher(
+            eng.llm, n_lanes=conc, max_ctx=64 + n_gen + 64, chunk=32, seed=0)
+
+        def one_request(results, i):
+            out: dict = {}
+            rp = parse_request_json(
+                {"text": f"serve {i}", "n_predict": n_gen,
+                 "codes_only": True}, scfg)
+            try:
+                eng._generate_codes(rp, out)
+            except Exception as e:  # codes may be sparse on random weights
+                out.setdefault("n_tokens", 0)
+                log(f"bench: request {i}: {e}")
+            results[i] = out.get("n_tokens", 0)
+
+        def round_trip():
+            results = [0] * conc
+            threads = [threading.Thread(target=one_request, args=(results, i))
+                       for i in range(conc)]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            return sum(results), time.perf_counter() - t0
+
+        log(f"bench: warm round ({conc} concurrent requests, first "
+            "compiles take minutes)...")
+        t0 = time.perf_counter()
+        round_trip()
+        log(f"bench: warm round {time.perf_counter() - t0:.1f}s")
+        best = 0.0
+        for _ in range(iters):
+            n_tok, dt = round_trip()
+            best = max(best, n_tok / dt)
+            log(f"bench: {n_tok} tokens in {dt * 1e3:.0f} ms "
+                f"({n_tok / dt:.0f} tok/s served)")
+        xrt = best * spt / sr  # all-codes convention (same as llm1b mode)
+        print(json.dumps({
+            "metric": "llm1b_serving_tok_s",
+            "value": round(best, 1),
+            "unit": "tok/s",
             "vs_baseline": round(xrt / 50.0, 3),
         }))
         return 0

@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ctx-size", dest="n_ctx", type=int, default=700)
     p.add_argument("-ngl", "--n-gpu-layers", dest="n_gpu_layers", type=int, default=-1)
     p.add_argument("-fa", "--flash-attn", dest="flash_attn", default="auto")
+    p.add_argument("--llm-quant", dest="llm_quant", default="",
+                   choices=["", "bf16", "output", "q8_0", "int8"],
+                   help="LLM weight numerics (default bf16; int8 = W8A8)")
     p.add_argument("--tts-mio-codes", default="")
     p.add_argument("--tts-mio-codes-in", default="")
     p.add_argument("--tts-mio-codes-out", default="")
@@ -180,7 +183,7 @@ def main(argv: list[str] | None = None) -> int:
         from .streaming import stream_text_to_audio
 
         try:
-            engine = LLMEngine(args.model)
+            engine = LLMEngine(args.model, quantize=(args.llm_quant or None))
         except Exception as e:
             return _err(f"failed to load LLM GGUF: {e}")
         sampler = SamplerParams(
@@ -274,7 +277,8 @@ def main(argv: list[str] | None = None) -> int:
             from .models.llm import LLMEngine, SamplerParams
 
             try:
-                engine = LLMEngine(args.model)
+                engine = LLMEngine(args.model,
+                                   quantize=(args.llm_quant or None))
             except Exception as e:
                 return _err(f"failed to load LLM GGUF: {e}")
             sampler = SamplerParams(

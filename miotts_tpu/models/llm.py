@@ -117,6 +117,8 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
 
     if quantize is None:
         quantize = os.environ.get("MIOTTS_LLM_QUANT", "")
+    if quantize in ("bf16", "none", "off"):  # explicit-dense aliases
+        quantize = ""
     # granularity: False/"" = dense bf16; "output" = quantize only the
     # [D, V] logits matmul (the one large enough to beat the per-kernel
     # launch overhead at 0.1B scale); "all"/"q8" = every matmul weight as
@@ -692,11 +694,35 @@ class LLMEngine:
     Mirrors the CLI's generate_audio_tokens (tts-mio-cli.cpp:1002-1063) and
     mio_tts_vocab_map (mio-tts-lib.cpp:181-223, 913-998)."""
 
-    def __init__(self, path: str, dtype=jnp.bfloat16):
+    def __init__(self, path: str, dtype=jnp.bfloat16, quantize=None):
         from ..runtime.compile_cache import enable_compile_cache
 
         enable_compile_cache()
-        self.config, self.weights, self.tokenizer = load_llm_gguf(path, dtype=dtype)
+        # quantize: None defers to MIOTTS_LLM_QUANT; the CLI/server surface
+        # it as --llm-quant bf16|output|q8_0|int8 (load_llm_gguf semantics)
+        self.config, self.weights, self.tokenizer = load_llm_gguf(
+            path, dtype=dtype, quantize=quantize)
+        self.quantize = (quantize if quantize is not None
+                         else os.environ.get("MIOTTS_LLM_QUANT", "")) or "bf16"
+        self._init_vocab_maps()
+
+    @classmethod
+    def from_arrays(cls, config: LLMConfig, weights: Pytree, tokenizer,
+                    quantize: str = "bf16") -> "LLMEngine":
+        """Build an engine from in-memory (config, weights, tokenizer) —
+        the 1B+ stretch configs materialize synthetic weights directly on
+        device (a GGUF round-trip would write multi-GB files just to reread
+        them); serving benches route them through the real ServingEngine
+        path this way."""
+        self = cls.__new__(cls)
+        self.config = config
+        self.weights = weights
+        self.tokenizer = tokenizer
+        self.quantize = quantize
+        self._init_vocab_maps()
+        return self
+
+    def _init_vocab_maps(self) -> None:
         # token -> audio-code map from <|s_N|> vocab pieces
         import re
 

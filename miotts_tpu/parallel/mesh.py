@@ -36,11 +36,48 @@ def make_mesh(devices=None, dp: int | None = None, tp: int | None = None) -> Mes
     return Mesh(arr, axis_names=("dp", "tp"))
 
 
+def _vocab_axis_specs(mesh: Mesh, weights: Any) -> tuple:
+    """(token_embd_spec, output_spec): shard the vocab axis over tp.
+
+    The 152k-row embedding and logits head are the two biggest tensors in
+    the model (right at 1B+ scale they dominate HBM); both shard on the
+    vocab axis — GSPMD inserts the masked-gather psum for the lookup and
+    the logits all-gather for sampling. The head may be stored [D, V]
+    (feature-major, TPU) or [V, D] (token-major, CPU hosts / tied embd), so
+    the vocab axis is identified against dim (from attn_norm [L, D]);
+    non-tp-divisible vocab (tiny test models) stays replicated."""
+    tp = mesh.shape.get("tp", 1)
+    embd = weights.get("token_embd")
+    an = weights.get("attn_norm")
+    dim = None if an is None else (
+        an["q"].shape[-1] if isinstance(an, dict) else an.shape[-1])
+    embd_spec = P(None, None)
+    if tp > 1 and embd is not None and not isinstance(embd, dict):
+        if embd.shape[0] % tp == 0 and embd.shape[0] != embd.shape[1]:
+            embd_spec = P("tp", None)  # [V, D]
+    ow = weights.get("output")
+    out_spec = P(None, None)
+    if tp > 1 and ow is not None:
+        if isinstance(ow, dict):  # quant leaves are [D, V]-derived
+            v = ow["q8" if "q8" in ow else "q"].shape[-1]
+            if v % tp == 0:
+                out_spec = P(None, "tp")
+        else:
+            a, b = ow.shape
+            if a != b and dim is not None:
+                if b == dim and a % tp == 0:      # token-major [V, D]
+                    out_spec = P("tp", None)
+                elif a == dim and b % tp == 0:    # feature-major [D, V]
+                    out_spec = P(None, "tp")
+    return embd_spec, out_spec
+
+
 def llm_weight_shardings(mesh: Mesh, weights: Any) -> Any:
     """PartitionSpec pytree for the LLM weight dict (models/llm.py layout:
     stacked [n_layers, ...], linear weights pre-transposed to [in, out])."""
+    embd_spec, out_spec = _vocab_axis_specs(mesh, weights)
     specs = {
-        "token_embd": P(None, None),       # [V, D] replicated
+        "token_embd": embd_spec,           # [V, D] vocab-sharded over tp
         "attn_norm": P(None, None),
         "wq": P(None, None, "tp"),         # [L, D, H*hd] column-parallel
         "wk": P(None, None, "tp"),
@@ -62,7 +99,7 @@ def llm_weight_shardings(mesh: Mesh, weights: Any) -> Any:
         "q_norm": P(None, None),
         "k_norm": P(None, None),
         "output_norm": P(None),
-        "output": P(None, None),           # [D, V]
+        "output": out_spec,                # [D, V] vocab-sharded over tp
     }
     def leaf_specs(k, v):
         spec = specs[k]

@@ -90,7 +90,7 @@ class ServingEngine:
             from ..models.llm import LLMEngine
             from .batching import ContinuousBatcher
 
-            self.llm = LLMEngine(cfg.model)
+            self.llm = LLMEngine(cfg.model, quantize=(cfg.llm_quant or None))
             self.batcher = ContinuousBatcher(
                 self.llm,
                 n_lanes=max(1, cfg.n_parallel),

@@ -191,6 +191,8 @@ class MioTTSServer:
                                             if eng.mesh is not None else 1),
                         "tensor_parallel": (eng.mesh.shape.get("tp", 1)
                                             if eng.mesh is not None else 1),
+                        "llm_quant": (eng.llm.quantize if eng.llm is not None
+                                      else ""),
                     })
                 elif path == "/metrics":
                     data = eng.metrics_text().encode()
@@ -803,6 +805,10 @@ def build_arg_parser():
     # chip — shards QKV/gate/up column- and attn-out/down row-parallel over
     # this many chips of the --mio-backend-devices mesh (must divide the
     # device count; the rest forms the dp request-fan-out axis)
+    p.add_argument("--llm-quant", dest="llm_quant", default="",
+                   choices=["", "bf16", "output", "q8_0", "int8"],
+                   help="LLM weight numerics (default bf16; int8 = W8A8 — "
+                        "2x decode at 1B+ scale, see DESIGN.md)")
     p.add_argument("-tp", "--tensor-parallel", dest="tensor_parallel",
                    type=int, default=1)
     # TPU addition: interleave codec prefix re-decodes with LLM generation
@@ -853,6 +859,7 @@ def main(argv=None) -> int:
         llm_api_timeout=args.llm_api_timeout, llm_api_mode=args.llm_api_mode,
         mio_backend_devices=args.mio_backend_devices,
         tensor_parallel=args.tensor_parallel,
+        llm_quant=args.llm_quant,  # "" defers to MIOTTS_LLM_QUANT; "bf16" forces dense
         warmup=args.warmup == "on",
         slot_timeout=args.slot_timeout,
         overlap_synthesis=args.overlap_synthesis == "on",

@@ -55,6 +55,12 @@ class ServerConfig:
     # remaining devices form the dp axis). TPU addition — the reference is
     # single-node GGML with no tensor parallelism.
     tensor_parallel: int = 1
+    # --llm-quant: LLM weight numerics — "" (env/bf16 default), "output"
+    # (quantize only the 152k-vocab logits matmul), "q8_0" (Q8_0 blocks,
+    # Pallas dequant matmul), "int8" (W8A8: per-channel int8 weights +
+    # dynamic int8 activations; 2.0x decode at 1.63B, DESIGN.md). TPU
+    # addition — the reference inherits whatever GGUF quant llama.cpp loads.
+    llm_quant: str = ""
     # --mio-backend-devices: dp fan-out over chips ("all", "0,2", or
     # platform:id names); lanes/micro-batches shard over the resulting mesh
     mio_backend_devices: str = ""

@@ -131,6 +131,49 @@ def test_tensor_parallel_serving_matches_single_device(assets, engines):
     assert out["ok"] and audio.size > 0
 
 
+def test_quantized_tensor_parallel_serving(assets, engines):
+    """--llm-quant int8 + --tensor-parallel 2: the quantized (int8 payload +
+    per-channel scale) leaves shard megatron-style over tp, the vocab axis
+    of the logits head shards when divisible, and greedy codes through the
+    W8A8 engine match the quantized single-device engine (quantization
+    changes numerics vs bf16, so the oracle is the same-quant engine)."""
+    d, emb_path, cfg_codec = assets
+    # code-dense LLM: int8 rounding on random tiny weights otherwise leaves
+    # greedy sampling without any audio-code tokens in a short generation
+    dense_llm = d / "llm_dense.gguf"
+    if not dense_llm.exists():
+        write_synthetic_llm_gguf(str(dense_llm), n_audio=cfg_codec.vocab_size,
+                                 seed=1, audio_logit_scale=3.0)
+    q_cfg = _mk_cfg(d, emb_path, "", n_parallel=2)
+    q_cfg.model = str(dense_llm)
+    q_cfg.llm_quant = "int8"
+    q_single = ServingEngine(q_cfg)
+    assert q_single.llm.quantize == "int8"
+    qtp_cfg = _mk_cfg(d, emb_path, "all", n_parallel=4, tensor_parallel=2)
+    qtp_cfg.model = str(dense_llm)
+    qtp_cfg.llm_quant = "int8"
+    qtp = ServingEngine(qtp_cfg)
+    # quantized leaves really shard: int8 payload + scales carry tp specs
+    wq = qtp.llm.weights.get("wqkv") or qtp.llm.weights["wq"]
+    assert isinstance(wq, dict), "int8 mode should produce quant leaves"
+    assert any("tp" in leaf.sharding.spec for leaf in jax.tree.leaves(wq)), \
+        "quantized LLM leaves are not tp-sharded"
+
+    body = {"text": "quantized tp", "reference_key": "preset",
+            "n_predict": 24, "temp": 0.0, "seed": 3}
+    out_s: dict = {}
+    out_t: dict = {}
+    codes_s = q_single._generate_codes(
+        parse_request_json(body, q_single.cfg), out_s)
+    codes_t = qtp._generate_codes(parse_request_json(body, qtp.cfg), out_t)
+    assert codes_s == codes_t
+    rp = parse_request_json({"text": "quant synth", "reference_key": "preset",
+                             "n_predict": 12}, qtp.cfg)
+    out: dict = {}
+    audio, sr = qtp.run_tts_request(rp, out)
+    assert out["ok"] and audio.size > 0
+
+
 def test_tensor_parallel_streaming_request(assets):
     """Streaming synthesis through a tp-sharded engine: the continuous
     batcher's tp-sharded chunk steps and the dp-sharded codec micro-batcher
