@@ -39,6 +39,7 @@ class _Lane:
     n_predict: int
     generated: int = 0
     started: bool = False  # attach applied to the device state
+    dispatched: int = 0  # decode steps dispatched (>= generated; see ramp)
 
 
 class GenerationHandle:
@@ -71,10 +72,23 @@ class GenerationHandle:
 class ContinuousBatcher:
     def __init__(self, engine: LLMEngine, n_lanes: int = 8,
                  max_ctx: int = 1024, chunk: int = 16, seed: int = 0,
-                 mesh=None):
+                 mesh=None, first_chunk: int | None = None):
+        import os
+
         self.engine = engine
         self.cfg = engine.config
         self.mesh = mesh
+        # first-chunk ramp: a freshly attached lane's first dispatch runs a
+        # SMALL chunk so its first tokens surface before a full
+        # `chunk`-step boundary — the served TTFA was dominated by waiting
+        # out the 32-step first chunk (~1ms/step) plus its fetch. 12 steps
+        # matches the streaming path's first-feed threshold (lookahead+4
+        # codes) so the first audio feed fires right after chunk one.
+        # Costs one extra (smaller) executable and an occasional short
+        # chunk for already-running lanes when a new request attaches.
+        if first_chunk is None:
+            first_chunk = int(os.environ.get("MIOTTS_FIRST_CHUNK", "12"))
+        self.first_chunk = max(1, min(first_chunk or chunk, chunk))
         if mesh is not None:
             # dp fan-out over --mio-backend-devices: lanes shard across the
             # mesh (the reference round-robins slots over GGML backends,
@@ -242,30 +256,39 @@ class ContinuousBatcher:
                             if l is not None and l.started]
                 inflight_set = ({i for i, _ in inflight[3]}
                                 if inflight is not None else set())
+                inflight_steps = inflight[4] if inflight is not None else 0
                 # would any lane still have token budget after the chunk(s)
                 # already in flight? If not, a speculative dispatch can only
                 # produce tokens the budget clamp drops.
                 worth_dispatching = any(
-                    (l.generated + (self.chunk if i in inflight_set else 0))
+                    (l.generated + (inflight_steps if i in inflight_set else 0))
                     < l.n_predict
                     for i, l in snapshot)
+                # first-chunk ramp: any fresh lane in this dispatch -> small
+                # chunk (its first tokens surface ~(chunk-first_chunk) steps
+                # earlier)
+                size = (self.first_chunk
+                        if any(l.dispatched == 0 for _, l in snapshot)
+                        else self.chunk)
 
             dispatched: tuple | None = None
             if snapshot and worth_dispatching:
+                for _, l in snapshot:
+                    l.dispatched += size
                 try:
                     out, n_new, state = llm_generate_chunk_batched(
                         self.cfg, self.engine.weights, self.engine.eog_ids,
-                        self.chunk, sampler, state)
+                        size, sampler, state)
                     with self._cv:
                         self.state = state
-                    dispatched = (out, n_new, state, snapshot)
+                    dispatched = (out, n_new, state, snapshot, size)
                 except Exception as e:  # tracing/dispatch failure
                     self._fail_active_lanes([i for i, _ in snapshot], e)
                     inflight = None
                     continue
 
             if inflight is not None:
-                out_k, n_new_k, state_k, snap_k = inflight
+                out_k, n_new_k, state_k, snap_k, _size_k = inflight
                 try:
                     # single packed fetch: three separate np.asarray calls
                     # pay three device round trips per chunk

@@ -198,9 +198,12 @@ class ServingEngine:
             from ..models.llm import SamplerParams
 
             # one real submit warms the attach + chunk-step + fetch
-            # executables (shared across buckets)
-            handle = self.batcher.submit("warmup", sampler=SamplerParams(),
-                                         n_predict=2)
+            # executables (shared across buckets). n_predict reaches past
+            # the first-chunk ramp so BOTH chunk executables (first_chunk
+            # and the steady chunk) compile here, not on the first request.
+            handle = self.batcher.submit(
+                "warmup", sampler=SamplerParams(),
+                n_predict=self.batcher.first_chunk + 2)
             for _ in handle.tokens():
                 pass
         print(f"warmup: serving executables compiled in "
