@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--llm-quant", dest="llm_quant", default="",
                    choices=["", "bf16", "output", "q8_0", "int8"],
                    help="LLM weight numerics (default bf16; int8 = W8A8)")
+    p.add_argument("--cpu-native", dest="cpu_native", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="native int8 CPU LLM decode on CPU-only hosts "
+                        "(auto: when the GGUF is Q8_0)")
     p.add_argument("--tts-mio-codes", default="")
     p.add_argument("--tts-mio-codes-in", default="")
     p.add_argument("--tts-mio-codes-out", default="")
@@ -86,6 +90,29 @@ def _apply_platform_env() -> None:
         import jax
 
         jax.config.update("jax_platforms", plat)
+
+
+def _make_llm_engine(args):
+    """LLM engine selection: the XLA engine by default; the native int8 CPU
+    engine (models/llm_cpu.py) on CPU-only hosts for local real-time decode
+    — "auto" picks it when the backend is CPU and the GGUF already carries
+    Q8_0 matmul weights (the shipped MioTTS-0.1B-Q8_0 format)."""
+    from .models.llm import LLMEngine
+
+    mode = getattr(args, "cpu_native", "auto")
+    if mode != "off":
+        import jax
+
+        if jax.default_backend() == "cpu":
+            try:
+                from .models.llm_cpu import NativeCpuLLMEngine, gguf_llm_is_q8
+
+                if mode == "on" or gguf_llm_is_q8(args.model):
+                    return NativeCpuLLMEngine(args.model)
+            except Exception:
+                if mode == "on":
+                    raise
+    return LLMEngine(args.model, quantize=(args.llm_quant or None))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -183,7 +210,7 @@ def main(argv: list[str] | None = None) -> int:
         from .streaming import stream_text_to_audio
 
         try:
-            engine = LLMEngine(args.model, quantize=(args.llm_quant or None))
+            engine = _make_llm_engine(args)
         except Exception as e:
             return _err(f"failed to load LLM GGUF: {e}")
         sampler = SamplerParams(
@@ -277,8 +304,7 @@ def main(argv: list[str] | None = None) -> int:
             from .models.llm import LLMEngine, SamplerParams
 
             try:
-                engine = LLMEngine(args.model,
-                                   quantize=(args.llm_quant or None))
+                engine = _make_llm_engine(args)
             except Exception as e:
                 return _err(f"failed to load LLM GGUF: {e}")
             sampler = SamplerParams(

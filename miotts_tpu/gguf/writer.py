@@ -90,6 +90,27 @@ class GGUFWriter:
             ggml_type = GGMLType.F32
         self._tensors.append((name, arr, ggml_type))
 
+    def add_tensor_q8_0(self, name: str, array: np.ndarray) -> None:
+        """Write a 2-D f32 weight as Q8_0 blocks (the shipped
+        MioTTS-0.1B-Q8_0 storage; llama.cpp block layout: per-32 f16 scale
+        + 32 int8). Logical shape is preserved in the tensor info; the
+        payload is the packed block bytes."""
+        from ..runtime.native import q8_quantize_weights
+
+        arr = np.ascontiguousarray(array, np.float32)
+        assert arr.ndim == 2 and arr.shape[1] % 32 == 0, arr.shape
+        raw = q8_quantize_weights(arr)
+
+        class _Q8Blob:
+            shape = arr.shape
+            ndim = 2
+
+            @staticmethod
+            def tobytes() -> bytes:
+                return raw.tobytes()
+
+        self._tensors.append((name, _Q8Blob, GGMLType.Q8_0))
+
     # -- write ----------------------------------------------------------------
 
     def write(self) -> None:

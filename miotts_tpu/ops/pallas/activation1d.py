@@ -110,40 +110,15 @@ def _fused_call(x, lengths, fu, fd, a_vec, inv_vec, k1, k2, block_t,
         b = pl.program_id(0)
         length = len_ref[b]
 
-        w = jnp.concatenate(
+        w_raw = jnp.concatenate(
             [xl[0, hb - h_lo:, :], xc[0], xr[0, :h_hi, :]],
             axis=0).astype(jnp.float32)  # [r_w, C]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (r_w, 1), 0)
-        glob = t0 - h_lo + rows
-        # replicate-extend x at the true per-batch edges: positions < 0 read
-        # x[0], positions >= length read x[length-1] (models/vocoder.py
-        # replicate_pad). Each global index is in exactly one row, so a
-        # masked sum extracts the edge value; tiles entirely past `length`
-        # produce garbage edges but every output row there is zeroed below.
-        x_first = w[h_lo:h_lo + 1, :]
-        x_edge = jnp.sum(jnp.where(glob == length - 1, w, 0.0),
-                         axis=0, keepdims=True)
-        w = jnp.where(glob < 0, x_first,
-                      jnp.where(glob >= length, x_edge, w))
-
-        # polyphase upsample: up_e[s] = up[2s], up_o[s] = up[2s+1]
-        base_e = h_lo - (g_lo + 1) + g["a_e"]
-        base_o = h_lo - (g_lo + 1) + g["a_o"]
-        up_e = jnp.zeros((gz, C), jnp.float32)
-        up_o = jnp.zeros((gz, C), jnp.float32)
-        for r in range(g["n_e"]):
-            up_e += fu_ref[0, 2 * r + g["p0"]] * w[base_e - r:base_e - r + gz, :]
-        for r in range(g["n_o"]):
-            up_o += fu_ref[0, 2 * r + g["p1"]] * w[base_o - r:base_o - r + gz, :]
-        up_e *= 2.0
-        up_o *= 2.0
-
-        # ADAA snake-beta (:1933-1951): y = (x+prev)/2
-        #   + (1 - cos(a*(x+prev)) * sinc(a*(x-prev))) / (2*(e^b + 1e-9))
         a = av[0:1, :]
         inv = iv[0:1, :]
 
         def snake(xv, pv):
+            # ADAA snake-beta (:1933-1951): y = (x+prev)/2
+            #   + (1 - cos(a*(x+prev)) * sinc(a*(x-prev))) / (2*(e^b+1e-9))
             s_ = xv + pv
             d_ = xv - pv
             ad = a * d_
@@ -151,32 +126,84 @@ def _fused_call(x, lengths, fu, fd, a_vec, inv_vec, k1, k2, block_t,
                              jnp.sin(ad) / jnp.where(ad == 0, 1.0, ad))
             return s_ * 0.5 + inv * (1.0 - jnp.cos(a * s_) * sinc)
 
-        s_glob = (t0 - g_lo
-                  + jax.lax.broadcasted_iota(jnp.int32, (gz - 1, 1), 0))
-        # prev of 2x-sample 0 is 0 (the reference zero-pads, not replicates)
-        prev_e = jnp.where(s_glob == 0, 0.0, up_o[:gz - 1, :])
-        z_e = snake(up_e[1:, :], prev_e)
-        z_o = snake(up_o[1:, :], up_e[1:, :])
+        def compute(edges: bool):
+            # replicate-extend x at the true per-batch edges: positions < 0
+            # read x[0], positions >= length read x[length-1]
+            # (models/vocoder.py replicate_pad). Each global index is in
+            # exactly one row, so a masked sum extracts the edge value;
+            # tiles entirely past `length` produce garbage edges but every
+            # output row there is zeroed below.
+            if edges:
+                rows = jax.lax.broadcasted_iota(jnp.int32, (r_w, 1), 0)
+                glob = t0 - h_lo + rows
+                x_first = w_raw[h_lo:h_lo + 1, :]
+                x_edge = jnp.sum(jnp.where(glob == length - 1, w_raw, 0.0),
+                                 axis=0, keepdims=True)
+                w = jnp.where(glob < 0, x_first,
+                              jnp.where(glob >= length, x_edge, w_raw))
+            else:
+                w = w_raw
 
-        # replicate-extend z at the 2x-rate edges for the downsample pad:
-        # 2x position < 0 reads z[0] (even phase, s=0); >= 2*length reads
-        # z[2*length-1] (odd phase, s=length-1)
-        z_first = jnp.sum(jnp.where(s_glob == 0, z_e, 0.0),
-                          axis=0, keepdims=True)
-        z_edge = jnp.sum(jnp.where(s_glob == length - 1, z_o, 0.0),
-                         axis=0, keepdims=True)
-        z_e = jnp.where(s_glob < 0, z_first,
-                        jnp.where(s_glob >= length, z_edge, z_e))
-        z_o = jnp.where(s_glob < 0, z_first,
-                        jnp.where(s_glob >= length, z_edge, z_o))
+            # polyphase upsample: up_e[s] = up[2s], up_o[s] = up[2s+1]
+            base_e = h_lo - (g_lo + 1) + g["a_e"]
+            base_o = h_lo - (g_lo + 1) + g["a_o"]
+            up_e = jnp.zeros((gz, C), jnp.float32)
+            up_o = jnp.zeros((gz, C), jnp.float32)
+            for r in range(g["n_e"]):
+                up_e += (fu_ref[0, 2 * r + g["p0"]]
+                         * w[base_e - r:base_e - r + gz, :])
+            for r in range(g["n_o"]):
+                up_o += (fu_ref[0, 2 * r + g["p1"]]
+                         * w[base_o - r:base_o - r + gz, :])
+            up_e *= 2.0
+            up_o *= 2.0
 
-        out = jnp.zeros((bt, C), jnp.float32)
-        for ph, s_off, j in g["taps"]:
-            buf = z_e if ph == "e" else z_o
-            sl = g_lo + s_off
-            out += fd_ref[0, j] * buf[sl:sl + bt, :]
-        tpos = t0 + jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0)
-        o_ref[0] = jnp.where(tpos < length, out, 0.0).astype(o_ref.dtype)
+            if edges:
+                s_glob = (t0 - g_lo
+                          + jax.lax.broadcasted_iota(jnp.int32, (gz - 1, 1), 0))
+                # prev of 2x-sample 0 is 0 (the reference zero-pads there)
+                prev_e = jnp.where(s_glob == 0, 0.0, up_o[:gz - 1, :])
+            else:
+                prev_e = up_o[:gz - 1, :]
+            z_e = snake(up_e[1:, :], prev_e)
+            z_o = snake(up_o[1:, :], up_e[1:, :])
+
+            if edges:
+                # replicate-extend z at the 2x-rate edges for the downsample
+                # pad: 2x position < 0 reads z[0] (even phase, s=0);
+                # >= 2*length reads z[2*length-1] (odd phase, s=length-1)
+                z_first = jnp.sum(jnp.where(s_glob == 0, z_e, 0.0),
+                                  axis=0, keepdims=True)
+                z_edge = jnp.sum(jnp.where(s_glob == length - 1, z_o, 0.0),
+                                 axis=0, keepdims=True)
+                z_e = jnp.where(s_glob < 0, z_first,
+                                jnp.where(s_glob >= length, z_edge, z_e))
+                z_o = jnp.where(s_glob < 0, z_first,
+                                jnp.where(s_glob >= length, z_edge, z_o))
+
+            out = jnp.zeros((bt, C), jnp.float32)
+            for ph, s_off, j in g["taps"]:
+                buf = z_e if ph == "e" else z_o
+                sl = g_lo + s_off
+                out += fd_ref[0, j] * buf[sl:sl + bt, :]
+            if edges:
+                tpos = t0 + jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0)
+                out = jnp.where(tpos < length, out, 0.0)
+            return out.astype(o_ref.dtype)
+
+        # interior tiles (everything they touch is strictly inside
+        # [0, length)) skip the whole edge-clamp apparatus — ~11 fewer
+        # full-buffer VPU passes on a kernel that is VPU-bound
+        interior = ((t0 - h_lo >= 0)
+                    & (t0 + bt + max(h_hi, g_hi + 1) <= length))
+
+        @pl.when(interior)
+        def _():
+            o_ref[0] = compute(False)
+
+        @pl.when(jnp.logical_not(interior))
+        def _():
+            o_ref[0] = compute(True)
 
     def halo_spec(off):
         def index_map(b, i, *_):

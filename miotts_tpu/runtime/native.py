@@ -40,6 +40,21 @@ def _load():
         return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.mio_runtime_abi_version.restype = ctypes.c_int
+        abi = lib.mio_runtime_abi_version()
+        if abi < 2:
+            # stale library from an older checkout: rebuild once in place
+            try:
+                from .build_native import build
+
+                build(verbose=False)
+                lib = ctypes.CDLL(str(_LIB_PATH))
+                lib.mio_runtime_abi_version.restype = ctypes.c_int
+                abi = lib.mio_runtime_abi_version()
+            except Exception:
+                pass
+        if abi < 1:
+            return None
         lib.mio_dequant.restype = ctypes.c_int
         lib.mio_dequant.argtypes = [
             ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
@@ -55,9 +70,20 @@ def _load():
         lib.mio_resample_linear_len.restype = ctypes.c_int64
         lib.mio_resample_linear_len.argtypes = [
             ctypes.c_int64, ctypes.c_int, ctypes.c_int]
-        lib.mio_runtime_abi_version.restype = ctypes.c_int
-        if lib.mio_runtime_abi_version() != 1:
-            return None
+        if abi >= 2:  # int8 CPU decode kernels
+            lib.mio_q8_quantize_act.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p]
+            lib.mio_q8_gemv.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int]
+            lib.mio_q8_gemv_f32.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int]
+            lib.mio_q8_row_dequant.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p]
         _lib = lib
     except OSError:
         return None
@@ -106,3 +132,60 @@ def resample_linear_native(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray
     rc = lib.mio_resample_linear(x.ctypes.data, x.size, sr_in, sr_out,
                                  out.ctypes.data, n_out)
     return out if rc == 0 else None
+
+
+# ---------------------------------------------------------------------------
+# int8 CPU decode (local real-time text->speech; see miotts_runtime.cpp)
+# ---------------------------------------------------------------------------
+
+def q8_available() -> bool:
+    lib = _load()
+    return lib is not None and lib.mio_runtime_abi_version() >= 2
+
+
+class Q8Gemv:
+    """One Q8_0 weight matrix [N, K] (raw GGUF block bytes) with reusable
+    activation-quantization scratch; y = W @ x per call."""
+
+    def __init__(self, raw: np.ndarray, n: int, k: int):
+        assert k % 32 == 0, k
+        self.raw = np.ascontiguousarray(raw.reshape(-1).view(np.uint8))
+        assert self.raw.size == n * (k // 32) * 34, (self.raw.size, n, k)
+        self.n = n
+        self.k = k
+        self._q = np.empty(k, np.int8)
+        self._s = np.empty(k // 32, np.float32)
+
+    def __call__(self, x: np.ndarray, out: np.ndarray | None = None,
+                 n_threads: int = 1) -> np.ndarray:
+        lib = _load()
+        x = np.ascontiguousarray(x, np.float32)
+        y = out if out is not None else np.empty(self.n, np.float32)
+        lib.mio_q8_gemv_f32(self.raw.ctypes.data, x.ctypes.data,
+                            self.n, self.k, y.ctypes.data,
+                            self._q.ctypes.data, self._s.ctypes.data,
+                            n_threads)
+        return y
+
+
+def q8_quantize_weights(w: np.ndarray) -> np.ndarray:
+    """f32 [N, K] -> raw Q8_0 block bytes (synthetic/converted models; real
+    MioTTS GGUFs carry Q8_0 payloads already)."""
+    n, k = w.shape
+    assert k % 32 == 0
+    blocks = w.reshape(n, k // 32, 32).astype(np.float32)
+    amax = np.abs(blocks).max(axis=2)
+    d = (amax / 127.0).astype(np.float32)
+    inv = np.where(d > 0, 1.0 / np.where(d == 0, 1, d), 0.0)
+    q = np.rint(blocks * inv[:, :, None]).astype(np.int8)
+    out = np.empty((n, k // 32, 34), np.uint8)
+    out[:, :, :2] = d.astype(np.float16).view(np.uint8).reshape(n, k // 32, 2)
+    out[:, :, 2:] = q.view(np.uint8)
+    return out.reshape(-1)
+
+
+def q8_row_dequant(raw: np.ndarray, row: int, k: int) -> np.ndarray:
+    lib = _load()
+    out = np.empty(k, np.float32)
+    lib.mio_q8_row_dequant(raw.ctypes.data, row, k, out.ctypes.data)
+    return out

@@ -241,6 +241,161 @@ void mio_peak_normalize(float* audio, int64_t n) {
     for (int64_t i = 0; i < n; ++i) audio[i] *= inv;
 }
 
-int mio_runtime_abi_version(void) { return 1; }
+// ---------------------------------------------------------------------------
+// int8 CPU decode kernels (the local real-time text->speech path)
+//
+// The reference's core promise is LOCAL inference: llama.cpp's int8 CPU
+// gemv decodes the 0.1B in real time on a laptop (mio-tts-lib.cpp:814 via
+// the llama.cpp submodule). XLA:CPU runs while_loop-body gemvs strided and
+// single-threaded (~2-3 tok/s, DESIGN.md "Local CPU fallback"), so the CPU
+// decode path keeps weights as GGUF Q8_0 blocks (32 int8 + f16 scale) and
+// runs llama.cpp-style block-int8 dots: activations quantize to the same
+// 32-block int8 layout, each block contributes (int32 dot) * d_w * d_x.
+// Rows parallelize over threads (memory-bandwidth-bound: ~1 byte/weight).
+// ---------------------------------------------------------------------------
+
+// per-32-block activation quantization (llama.cpp quantize_row_q8_0)
+void mio_q8_quantize_act(const float* x, int64_t k, int8_t* q, float* s) {
+    const int64_t nb = k / 32;
+    for (int64_t b = 0; b < nb; ++b) {
+        const float* xb = x + b * 32;
+        float amax = 0.0f;
+        for (int i = 0; i < 32; ++i) amax = std::max(amax, std::fabs(xb[i]));
+        const float d = amax / 127.0f;
+        const float inv = d > 0.0f ? 1.0f / d : 0.0f;
+        s[b] = d;
+        int8_t* qb = q + b * 32;
+        for (int i = 0; i < 32; ++i)
+            qb[i] = (int8_t)std::lrintf(xb[i] * inv);
+    }
+}
+
+// one Q8_0 row (k/32 blocks of [f16 scale + 32 int8]) dot a quantized
+// activation
+#if defined(__AVX2__)
+#include <immintrin.h>
+static inline float q8_row_dot(const uint8_t* row, const int8_t* xq,
+                               const float* xs, int64_t nb) {
+    // llama.cpp-style s8*s8 dot: maddubs wants u8*s8, so fold the weight's
+    // sign into the activation (|w| * sign(x, w)); pair sums <= 2*127*127
+    // stay under the i16 saturation limit
+    __m256 accf = _mm256_setzero_ps();
+    __m256 accf2 = _mm256_setzero_ps();
+    const __m256i ones16 = _mm256_set1_epi16(1);
+    int64_t b = 0;
+    for (; b + 2 <= nb; b += 2) {
+        const uint8_t* blk = row + b * 34;
+        _mm_prefetch((const char*)(blk + 1024), _MM_HINT_T0);
+        uint16_t dh0, dh1;
+        std::memcpy(&dh0, blk, 2);
+        std::memcpy(&dh1, blk + 34, 2);
+        const __m256i wq0 = _mm256_loadu_si256((const __m256i*)(blk + 2));
+        const __m256i wq1 = _mm256_loadu_si256((const __m256i*)(blk + 36));
+        const __m256i xb0 = _mm256_loadu_si256((const __m256i*)(xq + b * 32));
+        const __m256i xb1 = _mm256_loadu_si256((const __m256i*)(xq + b * 32 + 32));
+        const __m256i p0 = _mm256_madd_epi16(
+            _mm256_maddubs_epi16(_mm256_sign_epi8(wq0, wq0),
+                                 _mm256_sign_epi8(xb0, wq0)), ones16);
+        const __m256i p1 = _mm256_madd_epi16(
+            _mm256_maddubs_epi16(_mm256_sign_epi8(wq1, wq1),
+                                 _mm256_sign_epi8(xb1, wq1)), ones16);
+        accf = _mm256_fmadd_ps(
+            _mm256_cvtepi32_ps(p0),
+            _mm256_set1_ps(fp16_to_fp32(dh0) * xs[b]), accf);
+        accf2 = _mm256_fmadd_ps(
+            _mm256_cvtepi32_ps(p1),
+            _mm256_set1_ps(fp16_to_fp32(dh1) * xs[b + 1]), accf2);
+    }
+    for (; b < nb; ++b) {
+        const uint8_t* blk = row + b * 34;
+        uint16_t dh;
+        std::memcpy(&dh, blk, 2);
+        const __m256i wq = _mm256_loadu_si256((const __m256i*)(blk + 2));
+        const __m256i xb = _mm256_loadu_si256((const __m256i*)(xq + b * 32));
+        const __m256i aw = _mm256_sign_epi8(wq, wq);
+        const __m256i sx = _mm256_sign_epi8(xb, wq);
+        const __m256i p16 = _mm256_maddubs_epi16(aw, sx);
+        const __m256i p32 = _mm256_madd_epi16(p16, ones16);
+        const float d = fp16_to_fp32(dh) * xs[b];
+        accf = _mm256_fmadd_ps(_mm256_cvtepi32_ps(p32),
+                               _mm256_set1_ps(d), accf);
+    }
+    accf = _mm256_add_ps(accf, accf2);
+    __m128 lo = _mm256_castps256_ps128(accf);
+    __m128 hi = _mm256_extractf128_ps(accf, 1);
+    lo = _mm_add_ps(lo, hi);
+    lo = _mm_hadd_ps(lo, lo);
+    lo = _mm_hadd_ps(lo, lo);
+    return _mm_cvtss_f32(lo);
+}
+#else
+static inline float q8_row_dot(const uint8_t* row, const int8_t* xq,
+                               const float* xs, int64_t nb) {
+    float acc = 0.0f;
+    for (int64_t b = 0; b < nb; ++b) {
+        const uint8_t* blk = row + b * 34;
+        uint16_t dh;
+        std::memcpy(&dh, blk, 2);
+        const int8_t* wq = (const int8_t*)(blk + 2);
+        const int8_t* xb = xq + b * 32;
+        int32_t isum = 0;
+        for (int i = 0; i < 32; ++i)
+            isum += (int32_t)wq[i] * (int32_t)xb[i];
+        acc += (float)isum * fp16_to_fp32(dh) * xs[b];
+    }
+    return acc;
+}
+#endif
+
+// y[N] = W[N, K] (raw Q8_0, row-major) @ x (pre-quantized); threaded rows
+void mio_q8_gemv(const uint8_t* w, const int8_t* xq, const float* xs,
+                 int64_t n, int64_t k, float* y, int n_threads) {
+    const int64_t nb = k / 32;
+    const int64_t row_bytes = nb * 34;
+    if (n_threads <= 1) {
+        for (int64_t r = 0; r < n; ++r)
+            y[r] = q8_row_dot(w + r * row_bytes, xq, xs, nb);
+        return;
+    }
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+        const int64_t chunk = 64;
+        for (;;) {
+            const int64_t r0 = next.fetch_add(chunk);
+            if (r0 >= n) break;
+            const int64_t r1 = std::min(n, r0 + chunk);
+            for (int64_t r = r0; r < r1; ++r)
+                y[r] = q8_row_dot(w + r * row_bytes, xq, xs, nb);
+        }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 1; t < n_threads; ++t) pool.emplace_back(worker);
+    worker();
+    for (auto& th : pool) th.join();
+}
+
+// convenience: quantize activation then gemv (one call per matmul)
+void mio_q8_gemv_f32(const uint8_t* w, const float* x, int64_t n, int64_t k,
+                     float* y, int8_t* scratch_q, float* scratch_s,
+                     int n_threads) {
+    mio_q8_quantize_act(x, k, scratch_q, scratch_s);
+    mio_q8_gemv(w, scratch_q, scratch_s, n, k, y, n_threads);
+}
+
+// dequantize one Q8_0 row (embedding lookup)
+void mio_q8_row_dequant(const uint8_t* w, int64_t row, int64_t k, float* out) {
+    const int64_t nb = k / 32;
+    const uint8_t* r = w + row * nb * 34;
+    for (int64_t b = 0; b < nb; ++b) {
+        const uint8_t* blk = r + b * 34;
+        uint16_t dh;
+        std::memcpy(&dh, blk, 2);
+        const float d = fp16_to_fp32(dh);
+        const int8_t* q = (const int8_t*)(blk + 2);
+        for (int i = 0; i < 32; ++i) out[b * 32 + i] = d * (float)q[i];
+    }
+}
+
+int mio_runtime_abi_version(void) { return 2; }
 
 }  // extern "C"

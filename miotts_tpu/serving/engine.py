@@ -402,16 +402,25 @@ class ServingEngine:
         pieces: list[np.ndarray] = []
         pending: list[int] = []
         t_synth = 0.0
+        # MIOTTS_TTFA_DEBUG=1: stderr breakdown of the first-audio critical
+        # path (request start -> first token batch -> first feed ->
+        # first PCM) — the serve-level TTFA decomposition
+        marks = {"start": now_ms()} if os.environ.get(
+            "MIOTTS_TTFA_DEBUG") else None
 
         def emit_pending():
             nonlocal t_synth
             if not pending:
                 return
+            if marks is not None:
+                marks.setdefault("first_feed_start", now_ms())
             t0 = now_ms()
             pcm = ss.feed(pending)
             t_synth += now_ms() - t0
             pending.clear()
             if pcm.size:
+                if marks is not None:
+                    marks.setdefault("first_pcm", now_ms())
                 pieces.append(pcm)
                 if on_audio is not None:
                     on_audio(pcm)
@@ -423,6 +432,8 @@ class ServingEngine:
 
         def tok_cb(tok, index, is_eog):
             cont = True
+            if marks is not None:
+                marks.setdefault("first_token", now_ms())
             if on_token is not None:
                 cont = on_token(tok, index, is_eog)
             code = self.llm.token_to_code_or_none(tok) if self.llm else None
@@ -475,6 +486,13 @@ class ServingEngine:
             if on_audio is not None:
                 on_audio(tail)
 
+        if marks is not None and "first_pcm" in marks:
+            t0m = marks["start"]
+            print("ttfa_debug: "
+                  + " ".join(f"{k}={marks[k] - t0m:.1f}ms"
+                             for k in ("first_token", "first_feed_start",
+                                       "first_pcm") if k in marks),
+                  file=sys.stderr)
         audio = (np.concatenate(pieces) if pieces
                  else np.zeros(0, np.float32))
         sr = self.pipeline.sample_rate

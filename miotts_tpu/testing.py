@@ -242,6 +242,7 @@ def write_synthetic_llm_gguf(
     arch: str = "qwen2",
     n_filler_vocab: int = 0,
     audio_logit_scale: float = 1.0,
+    quant: str = "f32",
 ) -> None:
     """``audio_logit_scale > 1`` scales the output-head rows of the
     ``<|s_N|>`` audio tokens so sampled generations are code-dense like the
@@ -280,25 +281,29 @@ def write_synthetic_llm_gguf(
     w.add_uint32("tokenizer.ggml.bos_token_id", tokens.index("<|endoftext|>"))
     w.add_bool("tokenizer.ggml.add_bos_token", False)
 
+    # quant="q8_0": matmul weights as Q8_0 block payloads (the shipped
+    # MioTTS-0.1B-Q8_0 storage) — the native CPU engine then loads without
+    # a quantization pass, like a real download
+    mm = w.add_tensor_q8_0 if quant == "q8_0" else w.add_tensor
     w.add_tensor("token_embd.weight", rnd(vocab, dim))
     for i in range(n_layers):
         w.add_tensor(f"blk.{i}.attn_norm.weight", 1.0 + rnd(dim) * 0.05)
-        w.add_tensor(f"blk.{i}.attn_q.weight", rnd(n_heads * head_dim, dim))
+        mm(f"blk.{i}.attn_q.weight", rnd(n_heads * head_dim, dim))
         w.add_tensor(f"blk.{i}.attn_q.bias", rnd(n_heads * head_dim) * 0.05)
-        w.add_tensor(f"blk.{i}.attn_k.weight", rnd(n_kv_heads * head_dim, dim))
+        mm(f"blk.{i}.attn_k.weight", rnd(n_kv_heads * head_dim, dim))
         w.add_tensor(f"blk.{i}.attn_k.bias", rnd(n_kv_heads * head_dim) * 0.05)
-        w.add_tensor(f"blk.{i}.attn_v.weight", rnd(n_kv_heads * head_dim, dim))
+        mm(f"blk.{i}.attn_v.weight", rnd(n_kv_heads * head_dim, dim))
         w.add_tensor(f"blk.{i}.attn_v.bias", rnd(n_kv_heads * head_dim) * 0.05)
-        w.add_tensor(f"blk.{i}.attn_output.weight", rnd(dim, n_heads * head_dim))
+        mm(f"blk.{i}.attn_output.weight", rnd(dim, n_heads * head_dim))
         w.add_tensor(f"blk.{i}.ffn_norm.weight", 1.0 + rnd(dim) * 0.05)
-        w.add_tensor(f"blk.{i}.ffn_gate.weight", rnd(ffn, dim))
-        w.add_tensor(f"blk.{i}.ffn_up.weight", rnd(ffn, dim))
-        w.add_tensor(f"blk.{i}.ffn_down.weight", rnd(dim, ffn))
+        mm(f"blk.{i}.ffn_gate.weight", rnd(ffn, dim))
+        mm(f"blk.{i}.ffn_up.weight", rnd(ffn, dim))
+        mm(f"blk.{i}.ffn_down.weight", rnd(dim, ffn))
     w.add_tensor("output_norm.weight", 1.0 + rnd(dim) * 0.05)
     out_w = rnd(vocab, dim)
     if audio_logit_scale != 1.0:
         out_w[audio_lo:audio_hi] *= np.float32(audio_logit_scale)
-    w.add_tensor("output.weight", out_w)
+    mm("output.weight", out_w)
     w.write()
 
 
