@@ -82,10 +82,20 @@ def _geometry(k1: int, k2: int):
                 taps=taps, g_lo=g_lo, g_hi=g_hi, h_lo=h_lo, h_hi=h_hi)
 
 
+def _ablate_mode() -> str:
+    """Perf-experiment hook (scripts/bench_act1d_variants.py): "nosnake"
+    skips the ADAA snake (isolating FIR cost), "nofir" skips the polyphase
+    FIRs (isolating snake cost). NOT for production use — outputs are
+    wrong by construction."""
+    import os
+
+    return os.environ.get("MIOTTS_ACT1D_ABLATE", "full")
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k1", "k2", "block_t", "interpret"))
+    jax.jit, static_argnames=("k1", "k2", "block_t", "interpret", "ablate"))
 def _fused_call(x, lengths, fu, fd, a_vec, inv_vec, k1, k2, block_t,
-                interpret):
+                interpret, ablate="full"):
     B, T, C = x.shape
     g = _geometry(k1, k2)
     h_lo, h_hi = g["h_lo"], g["h_hi"]
@@ -147,16 +157,20 @@ def _fused_call(x, lengths, fu, fd, a_vec, inv_vec, k1, k2, block_t,
             # polyphase upsample: up_e[s] = up[2s], up_o[s] = up[2s+1]
             base_e = h_lo - (g_lo + 1) + g["a_e"]
             base_o = h_lo - (g_lo + 1) + g["a_o"]
-            up_e = jnp.zeros((gz, C), jnp.float32)
-            up_o = jnp.zeros((gz, C), jnp.float32)
-            for r in range(g["n_e"]):
-                up_e += (fu_ref[0, 2 * r + g["p0"]]
-                         * w[base_e - r:base_e - r + gz, :])
-            for r in range(g["n_o"]):
-                up_o += (fu_ref[0, 2 * r + g["p1"]]
-                         * w[base_o - r:base_o - r + gz, :])
-            up_e *= 2.0
-            up_o *= 2.0
+            if ablate == "nofir":
+                up_e = w[:gz, :]
+                up_o = w[1:gz + 1, :]
+            else:
+                up_e = jnp.zeros((gz, C), jnp.float32)
+                up_o = jnp.zeros((gz, C), jnp.float32)
+                for r in range(g["n_e"]):
+                    up_e += (fu_ref[0, 2 * r + g["p0"]]
+                             * w[base_e - r:base_e - r + gz, :])
+                for r in range(g["n_o"]):
+                    up_o += (fu_ref[0, 2 * r + g["p1"]]
+                             * w[base_o - r:base_o - r + gz, :])
+                up_e *= 2.0
+                up_o *= 2.0
 
             if edges:
                 s_glob = (t0 - g_lo
@@ -165,8 +179,12 @@ def _fused_call(x, lengths, fu, fd, a_vec, inv_vec, k1, k2, block_t,
                 prev_e = jnp.where(s_glob == 0, 0.0, up_o[:gz - 1, :])
             else:
                 prev_e = up_o[:gz - 1, :]
-            z_e = snake(up_e[1:, :], prev_e)
-            z_o = snake(up_o[1:, :], up_e[1:, :])
+            if ablate == "nosnake":
+                z_e = up_e[1:, :] + prev_e
+                z_o = up_o[1:, :] + up_e[1:, :]
+            else:
+                z_e = snake(up_e[1:, :], prev_e)
+                z_o = snake(up_o[1:, :], up_e[1:, :])
 
             if edges:
                 # replicate-extend z at the 2x-rate edges for the downsample
@@ -190,6 +208,10 @@ def _fused_call(x, lengths, fu, fd, a_vec, inv_vec, k1, k2, block_t,
                 tpos = t0 + jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0)
                 out = jnp.where(tpos < length, out, 0.0)
             return out.astype(o_ref.dtype)
+
+        if ablate == "copy":  # structure-floor measurement: window in, out
+            o_ref[0] = w_raw[h_lo:h_lo + bt, :].astype(o_ref.dtype)
+            return
 
         # interior tiles (everything they touch is strictly inside
         # [0, length)) skip the whole edge-clamp apparatus — ~11 fewer
@@ -248,5 +270,6 @@ def fused_activation1d(x, lengths, up_filter, alpha, beta, down_filter,
     fu = up_filter.astype(jnp.float32).reshape(1, -1)
     fd = down_filter.astype(jnp.float32).reshape(1, -1)
     y = _fused_call(x, lengths, fu, fd, a_vec, inv_vec,
-                    int(fu.shape[1]), int(fd.shape[1]), block_t, interpret)
+                    int(fu.shape[1]), int(fd.shape[1]), block_t, interpret,
+                    _ablate_mode())
     return y, lengths

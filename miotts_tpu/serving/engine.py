@@ -119,6 +119,7 @@ class ServingEngine:
         self.synth_ms_total = 0.0
         self._counter_lock = threading.Lock()
         self.reference_init_done = True  # jit warms lazily; no separate pool
+        self.warmup_bg_done = True  # set False while a warmup tail runs
 
         if cfg.reference_file_json:
             self._preload_references(cfg.reference_file_json)
@@ -132,7 +133,17 @@ class ServingEngine:
 
         Covers the codec buckets and LLM prompt buckets typical requests
         land in, not just the smallest — a cold larger bucket otherwise
-        costs the first matching request its full compile."""
+        costs the first matching request its full compile.
+
+        Even cache-warm, loading every executable through a slow device
+        relay takes minutes, so the warm is SPLIT: the buckets short/typical
+        requests hit (codec <= MIOTTS_WARMUP_FG_BUCKET, default 256, plus
+        the small prompt buckets and the chunk/attach executables) compile
+        in the foreground — the server listens after them — and the long
+        tail (768-bucket codec variants, big prompt buckets) continues on a
+        background thread. A long first request that races the tail merely
+        waits on its compile like it would have cold.
+        MIOTTS_WARMUP_BG=0 restores the all-foreground behavior."""
         from ..pipeline import pick_bucket
 
         t0 = time.perf_counter()
@@ -191,9 +202,17 @@ class ServingEngine:
             else:
                 self.codec_batcher.warm(bucket, **kw)
 
+        fg_bucket = int(os.environ.get("MIOTTS_WARMUP_FG_BUCKET", "256"))
+        bg_enabled = os.environ.get("MIOTTS_WARMUP_BG", "1") not in ("0", "off")
+        fg_calls = [bk for bk in warm_calls
+                    if bk[0] <= (fg_bucket if bk[1] is not None else 128)]
+        bg_calls = [bk for bk in warm_calls if bk not in fg_calls]
+        if not bg_enabled:
+            fg_calls, bg_calls = warm_calls, []
+
         width = int(os.environ.get("MIOTTS_WARMUP_POOL", "4"))
         with concurrent.futures.ThreadPoolExecutor(max(1, width)) as ex:
-            list(ex.map(do_warm, warm_calls))
+            list(ex.map(do_warm, fg_calls))
         if self.batcher is not None:
             from ..models.llm import SamplerParams
 
@@ -206,8 +225,23 @@ class ServingEngine:
                 n_predict=self.batcher.first_chunk + 2)
             for _ in handle.tokens():
                 pass
-        print(f"warmup: serving executables compiled in "
-              f"{time.perf_counter() - t0:.1f}s "
+        self.warmup_bg_done = not bg_calls
+        if bg_calls:
+            def bg_warm():
+                tb = time.perf_counter()
+                with concurrent.futures.ThreadPoolExecutor(max(1, width)) as ex:
+                    list(ex.map(do_warm, bg_calls))
+                self.warmup_bg_done = True
+                print(f"warmup: background tail ({len(bg_calls)} "
+                      f"executables) done in {time.perf_counter() - tb:.1f}s",
+                      file=sys.stderr)
+
+            self._warmup_bg_thread = threading.Thread(
+                target=bg_warm, daemon=True, name="warmup-bg")
+            self._warmup_bg_thread.start()
+        print(f"warmup: {len(fg_calls)} foreground executables in "
+              f"{time.perf_counter() - t0:.1f}s; "
+              f"{len(bg_calls)} warming in background "
               f"(codec buckets {warm_buckets})", file=sys.stderr)
 
     # -- counters ---------------------------------------------------------------

@@ -193,6 +193,7 @@ class MioTTSServer:
                                             if eng.mesh is not None else 1),
                         "llm_quant": (eng.llm.quantize if eng.llm is not None
                                       else ""),
+                        "warmup_complete": eng.warmup_bg_done,
                     })
                 elif path == "/metrics":
                     data = eng.metrics_text().encode()
