@@ -296,6 +296,24 @@ class WavLMExtractor:
         n_wav = max(1, round(n_src * self.config.sample_rate / source_rate))
         return self.config.conv_out_len(n_wav)
 
+    def preprocess_reference(self, audio_path: str, source_rate: int,
+                             max_seconds: float = 20.0) -> np.ndarray:
+        """Host side of reference processing: decode, peak-normalize
+        (wavlm-extractor.cpp:205-216), resample to the SSL rate."""
+        wav_src, _ = load_audio(audio_path, target_rate=source_rate,
+                                max_seconds=max_seconds if max_seconds > 0 else None)
+        if wav_src.size == 0:
+            raise ValueError("reference audio is empty")
+        wav_src = wav_src / (np.abs(wav_src).max() + 1e-8)
+        wav16k = resample_linear(wav_src, source_rate, self.config.sample_rate)
+        if wav16k.size == 0:
+            raise ValueError("resampling produced empty waveform")
+        return wav16k
+
+    def pick_wav_bucket(self, n: int) -> int:
+        return next((b for b in _WAV_BUCKETS if n <= b),
+                    ((n + 79999) // 80000) * 80000)
+
     def extract_ssl_features(
         self,
         audio_path: str,
@@ -304,16 +322,8 @@ class WavLMExtractor:
     ) -> tuple[np.ndarray, int]:
         """Returns (ssl [T, embed], n_frames). May substitute fallback
         features like the reference (which still returns success)."""
-        wav_src, _ = load_audio(audio_path, target_rate=source_rate,
-                                max_seconds=max_seconds if max_seconds > 0 else None)
-        if wav_src.size == 0:
-            raise ValueError("reference audio is empty")
-        # peak normalize (wavlm-extractor.cpp:205-216)
-        wav_src = wav_src / (np.abs(wav_src).max() + 1e-8)
-        wav16k = resample_linear(wav_src, source_rate, self.config.sample_rate)
-        if wav16k.size == 0:
-            raise ValueError("resampling produced empty waveform")
-        return self.extract_from_wav16k(wav16k)
+        return self.extract_from_wav16k(
+            self.preprocess_reference(audio_path, source_rate, max_seconds))
 
     def extract_from_wav16k(self, wav16k: np.ndarray) -> tuple[np.ndarray, int]:
         n = int(wav16k.size)

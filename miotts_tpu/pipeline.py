@@ -54,6 +54,30 @@ def _pack_audio_window(audio, n_samples, window, starts):
                             n_samples.astype(jnp.float32).reshape(-1)])
 
 
+def _reference_embedding_fused(codec_cfg, wavlm_cfg, codec_w, wavlm_w,
+                               wav, n):
+    """wav16k [1, bucket] -> packed [emb(adanorm_dim) | ssl_ok | pre_ok].
+
+    The whole reference chain on device: WavLM forward, the finite-fallback
+    choice between ssl and ssl_pre (checked over VALID frames only, like
+    the host ladder did), and the ConvNeXt global encoder — one dispatch,
+    one sub-KB fetch."""
+    from .models.miocodec import encode_global_embedding
+    from .models.wavlm import wavlm_forward
+
+    ssl, ssl_pre, fl = wavlm_forward(wavlm_cfg, wavlm_w, wav, n)
+    valid = (jnp.arange(ssl.shape[1])[None, :, None] < fl[:, None, None])
+    ssl_ok = jnp.all(jnp.isfinite(ssl) | ~valid)
+    pre_ok = jnp.all(jnp.isfinite(ssl_pre) | ~valid)
+    feats = jnp.where(ssl_ok, ssl, jnp.where(pre_ok, ssl_pre,
+                                             jnp.zeros_like(ssl)))
+    feats = jnp.where(valid, feats, 0.0)  # padded frames stay exactly 0
+    emb = encode_global_embedding(codec_cfg, codec_w, feats, fl)
+    return jnp.concatenate([
+        emb[0].astype(jnp.float32),
+        jnp.asarray([ssl_ok, pre_ok], jnp.float32)])
+
+
 def pick_bucket(n: int, buckets=DEFAULT_BUCKETS) -> int:
     for b in buckets:
         if n <= b:
@@ -106,6 +130,8 @@ class MioTTSPipeline:
             from .models.wavlm import WavLMExtractor
 
             self.wavlm = WavLMExtractor(str(wavlm_path))
+            self._ref_fused_fn = jax.jit(functools.partial(
+                _reference_embedding_fused, self.config, self.wavlm.config))
 
     # -- introspection (mio-tts-lib.h parity) --------------------------------
 
@@ -232,17 +258,34 @@ class MioTTSPipeline:
             raise ValueError("reference embedding requires global_encoder tensors in MioCodec GGUF")
         if self.wavlm is None:
             raise ValueError("WavLM model is not loaded")
-        ssl, n_frames = self.wavlm.extract_ssl_features(
-            reference_audio,
-            source_rate=self.config.sample_rate,
-            max_seconds=max_reference_seconds,
-        )
-        emb = self._encode_fn(
-            self.weights,
-            jnp.asarray(ssl)[None],
-            jnp.asarray([n_frames], jnp.int32),
-        )
-        return np.asarray(emb[0], dtype=np.float32)
+        # ONE device round trip: wavlm forward + the finite-fallback choice
+        # (ssl -> ssl_pre ladder, wavlm.py:305-333) + the global encoder run
+        # fused in-graph, fetching only [emb | flags] (~0.5 KB). The
+        # round-2 path fetched the [T, 768] SSL features to host for the
+        # finite check and re-uploaded them (~3 MB through a 12-36 MB/s
+        # relay — most of the measured 270 ms refgen latency).
+        wav16k = self.wavlm.preprocess_reference(
+            reference_audio, source_rate=self.config.sample_rate,
+            max_seconds=max_reference_seconds)
+        n = int(wav16k.size)
+        bucket = self.wavlm.pick_wav_bucket(n)
+        padded = np.zeros((1, bucket), np.float32)
+        padded[0, :n] = wav16k
+        packed = np.asarray(self._ref_fused_fn(
+            self.weights, self.wavlm.weights, jnp.asarray(padded),
+            jnp.asarray([n], jnp.int32)))
+        d = self.config.decoder_adanorm_dim
+        emb, ssl_ok, pre_ok = packed[:d], packed[d] > 0, packed[d + 1] > 0
+        if not ssl_ok and not pre_ok:
+            # both SSL feature sets non-finite: audio-stat fallback (host,
+            # rare — mirrors the reference's last-resort ladder rung)
+            from .models.wavlm import _audio_stat_fallback
+
+            fb = _audio_stat_fallback(wav16k, self.wavlm.config.embed_dim)
+            emb = np.asarray(self._encode_fn(
+                self.weights, jnp.asarray(fb)[None],
+                jnp.asarray([fb.shape[0]], jnp.int32))[0])
+        return np.asarray(emb, dtype=np.float32)
 
     # -- workspace estimates (mio_tts_estimate_workspace_bytes parity) -------------
 

@@ -103,8 +103,30 @@ class ServingEngine:
             )
         from .codec_batching import CodecMicroBatcher
 
+        # --codec-devices: codec synthesis on its own (dp-only) mesh,
+        # disjoint from the LLM devices — prefix re-decodes and full
+        # synthesis then run concurrently with LLM chunk steps instead of
+        # queueing behind them on the same chips
+        self.codec_mesh = self.mesh
+        if cfg.codec_devices:
+            from ..parallel.mesh import (
+                make_mesh, parse_backend_devices, replicate_tree,
+            )
+
+            cdevs = parse_backend_devices(cfg.codec_devices)
+            if self.mesh is not None:
+                llm_devs = set(self.mesh.devices.reshape(-1).tolist())
+                overlap = llm_devs & set(cdevs)
+                if overlap:
+                    print(f"warning: --codec-devices overlaps the LLM mesh "
+                          f"on {sorted(d.id for d in overlap)} — overlap "
+                          "synthesis will contend there", file=sys.stderr)
+            self.codec_mesh = make_mesh(cdevs, tp=1)
+            self.pipeline.weights = replicate_tree(self.codec_mesh,
+                                                   self.pipeline.weights)
         self.codec_batcher = CodecMicroBatcher(
-            self.pipeline, max_batch=max(1, cfg.n_parallel), mesh=self.mesh)
+            self.pipeline, max_batch=max(1, cfg.n_parallel),
+            mesh=self.codec_mesh)
         self.ref_cache = ReferenceCache()
         self.slots = SlotPool(max(1, cfg.n_parallel))
         n_ref = cfg.n_parallel_reference_generation or cfg.n_parallel

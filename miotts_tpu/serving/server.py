@@ -802,6 +802,10 @@ def build_arg_parser():
     p.add_argument("--llm-shared-context", default="on")
     p.add_argument("--parallel-reference-generation", type=int, default=0)
     p.add_argument("--mio-backend-devices", default="")
+    p.add_argument("--codec-devices", default="",
+                   help="run codec synthesis on its own device set, "
+                        "disjoint from the LLM mesh (overlap synthesis "
+                        "wins only with dedicated codec chips)")
     # TPU addition: megatron-style tensor parallelism for LLMs too big per
     # chip — shards QKV/gate/up column- and attn-out/down row-parallel over
     # this many chips of the --mio-backend-devices mesh (must divide the
@@ -859,6 +863,7 @@ def main(argv=None) -> int:
         llm_api_model=args.llm_api_model, llm_api_headers=args.llm_api_headers,
         llm_api_timeout=args.llm_api_timeout, llm_api_mode=args.llm_api_mode,
         mio_backend_devices=args.mio_backend_devices,
+        codec_devices=args.codec_devices,
         tensor_parallel=args.tensor_parallel,
         llm_quant=args.llm_quant,  # "" defers to MIOTTS_LLM_QUANT; "bf16" forces dense
         warmup=args.warmup == "on",

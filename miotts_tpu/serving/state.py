@@ -64,6 +64,12 @@ class ServerConfig:
     # --mio-backend-devices: dp fan-out over chips ("all", "0,2", or
     # platform:id names); lanes/micro-batches shard over the resulting mesh
     mio_backend_devices: str = ""
+    # --codec-devices: place codec synthesis on its OWN device set, disjoint
+    # from the LLM mesh — overlap/streaming prefix decodes then run on chips
+    # the LLM isn't using instead of serializing behind its chunk steps
+    # (measured: on ONE chip overlap loses 2x because the chip runs one
+    # kernel at a time; disjoint placement is the win condition)
+    codec_devices: str = ""
     warmup: bool = False  # compile serving executables at startup (TPU addition)
     # --overlap-synthesis on: default non-streaming text requests to
     # LLM-interleaved incremental synthesis (see RequestParams.overlap_synthesis)

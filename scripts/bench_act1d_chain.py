@@ -21,7 +21,7 @@ from miotts_tpu.ops.pallas import activation1d as mod  # noqa: E402
 B, T, C = 2, 245760, 128
 
 
-def run_chain(n, x, lengths, fu, alpha, beta, fd, ablate):
+def run_chain(n, x, lengths, fu, alpha, beta, fd, ablate, bt=512):
     fu2 = fu.reshape(1, -1)
     fd2 = fd.reshape(1, -1)
 
@@ -33,7 +33,7 @@ def run_chain(n, x, lengths, fu, alpha, beta, fd, ablate):
                                 jnp.exp(alpha).reshape(1, -1),
                                 (1.0 / (2.0 * (jnp.exp(beta) + 1e-9))
                                  ).reshape(1, -1),
-                                int(fu2.shape[1]), int(fd2.shape[1]), 512,
+                                int(fu2.shape[1]), int(fd2.shape[1]), bt,
                                 False, ablate)
             y = y * 0.99  # keep values bounded through deep chains
         return y[0, :1, :1]
@@ -59,12 +59,17 @@ def main():
     fu = jnp.asarray(f)
     fd = jnp.asarray(f)
     print(f"devices={jax.devices()} shape=[{B},{T},{C}] k={k}")
-    for ab in ("copy", "nosnake", "nofir", "full"):
-        t2 = run_chain(2, x, lengths, fu, alpha, beta, fd, ab)
-        t10 = run_chain(10, x, lengths, fu, alpha, beta, fd, ab)
-        per = (t10 - t2) / 8
-        print(f"{ab:10s} N=2 {t2 * 1e3:7.1f} ms  N=10 {t10 * 1e3:7.1f} ms "
-              f"-> {per * 1e3:6.2f} ms/call in-graph")
+    abls = os.environ.get("MIOTTS_CHAIN_ABLS", "copy,nosnake,nofir,full")
+    bts = [int(b) for b in os.environ.get(
+        "MIOTTS_CHAIN_BTS", "512").split(",")]
+    for bt in bts:
+        for ab in abls.split(","):
+            t2 = run_chain(2, x, lengths, fu, alpha, beta, fd, ab, bt)
+            t10 = run_chain(10, x, lengths, fu, alpha, beta, fd, ab, bt)
+            per = (t10 - t2) / 8
+            print(f"bt={bt:4d} {ab:10s} N=2 {t2 * 1e3:7.1f} ms  "
+                  f"N=10 {t10 * 1e3:7.1f} ms "
+                  f"-> {per * 1e3:6.2f} ms/call in-graph", flush=True)
 
 
 if __name__ == "__main__":

@@ -201,6 +201,46 @@ def test_tensor_parallel_streaming_request(assets):
     assert seq.index("audio") < seq.index("codes_done"), seq
 
 
+def test_codec_devices_disjoint_placement(assets):
+    """--codec-devices carves codec synthesis onto its own device set,
+    disjoint from the LLM mesh: micro-batches land only on those devices,
+    serial and overlap requests both work, and greedy codes stay identical
+    to a plain engine (placement must not change math)."""
+    d, emb_path, _ = assets
+    cfg = _mk_cfg(d, emb_path, "0,1,2,3", n_parallel=4)
+    cfg.codec_devices = "4,5"
+    eng = ServingEngine(cfg)
+    assert eng.mesh is not None and eng.mesh.devices.size == 4
+    assert eng.codec_mesh is not eng.mesh
+    codec_devs = {dev for dev in eng.codec_mesh.devices.reshape(-1)}
+    assert codec_devs == {jax.devices()[4], jax.devices()[5]}
+    # codec weights replicated onto the codec mesh only
+    leaf = jax.tree.leaves(eng.pipeline.weights)[0]
+    assert {s.device for s in leaf.addressable_shards} <= codec_devs
+
+    plain = ServingEngine(_mk_cfg(d, emb_path, ""))
+    body = {"text": "disjoint codec", "reference_key": "preset",
+            "n_predict": 24, "temp": 0.0, "seed": 9}
+    out_a: dict = {}
+    out_b: dict = {}
+    codes_a = eng._generate_codes(parse_request_json(body, eng.cfg), out_a)
+    codes_b = plain._generate_codes(parse_request_json(body, plain.cfg),
+                                    out_b)
+    assert codes_a == codes_b
+    # full request (codec on its own mesh) and overlap synthesis both green
+    rp = parse_request_json({"text": "serial", "reference_key": "preset",
+                             "n_predict": 16}, eng.cfg)
+    out: dict = {}
+    audio, sr = eng.run_tts_request(rp, out)
+    assert out["ok"] and audio.size > 0
+    rp = parse_request_json({"text": "overlapped", "reference_key": "preset",
+                             "n_predict": 48, "overlap_synthesis": True},
+                            eng.cfg)
+    out = {}
+    audio, sr = eng.run_tts_request(rp, out)
+    assert out["ok"] and audio.size > 0
+
+
 def test_reference_generation_under_mesh(assets, tmp_path):
     """Voice cloning on a dp/tp engine: WavLM + the mesh-replicated global
     encoder produce the same embedding as a single-device engine, and the
