@@ -222,6 +222,31 @@ def _act1d_impl() -> str:
     return os.environ.get("MIOTTS_ACT1D", "auto")
 
 
+def conv1d_same(x, lengths, w, b, dilation: int = 1, residual=None):
+    """mask_time(conv1d_zeropad(...)) [+ residual], dispatched to the
+    Pallas shifted-matmul kernel on TPU (XLA:TPU lowers these dilated convs
+    at ~4x the MXU roofline at waveform lengths — ops/pallas/conv1d.py);
+    the bias/residual/mask ride in the same kernel. MIOTTS_ACT1D gates both
+    this and activation1d (they ship as one TPU fast path)."""
+    impl = _act1d_impl()
+    k = int(w.shape[-1])
+    if impl != "xla" and k % 2 == 1:
+        from ..ops.attention import _pallas_available
+        from ..ops.pallas.conv1d import conv1d_same_pallas
+
+        if impl in ("pallas", "interpret") or (
+                impl == "auto" and _pallas_available()):
+            return conv1d_same_pallas(x, lengths, w, b, dilation,
+                                      residual=residual,
+                                      interpret=(impl == "interpret"))
+    y = mask_time(conv1d_zeropad(x, w, b, dilation, (k * dilation
+                                                     - dilation) // 2),
+                  lengths)
+    if residual is not None:
+        y = y + residual
+    return y
+
+
 def activation1d(x, lengths, act: Pytree):
     """Anti-aliased snake: 2x upsample -> ADAA snake-beta -> 2x downsample.
 
@@ -378,8 +403,7 @@ def vocoder_decode(cfg, w, mel: jnp.ndarray, lengths: jnp.ndarray):
 
         y0 = zero_stuff(mask_time(x0, x0_len), upp)
         y0_len = x0_len * upp
-        y0 = conv1d_zeropad(y0, up["noise_w"], up["noise_b"], 1, 3)
-        y0 = mask_time(y0, y0_len)
+        y0 = conv1d_same(y0, y0_len, up["noise_w"], up["noise_b"], 1)
         y0 = highpass(y0, y0_len, 0.5 / scale)
 
         y = zero_stuff(mask_time(x, cur_len), scale)
@@ -401,19 +425,13 @@ def vocoder_decode(cfg, w, mel: jnp.ndarray, lengths: jnp.ndarray):
                 for kk in range(3):
                     r_in = r
                     r, r_len = activation1d(r, r_len, rb["acts"][2 * kk])
-                    k1 = rb["convs1"][kk]["w"].shape[-1]
-                    d = dilations[kk]
-                    r = conv1d_zeropad(r, rb["convs1"][kk]["w"],
-                                       rb["convs1"][kk]["b"],
-                                       d, (k1 * d - d) // 2)
-                    r = mask_time(r, r_len)
+                    r = conv1d_same(r, r_len, rb["convs1"][kk]["w"],
+                                    rb["convs1"][kk]["b"], dilations[kk])
                     r, r_len = activation1d(r, r_len, rb["acts"][2 * kk + 1])
-                    k2 = rb["convs2"][kk]["w"].shape[-1]
-                    r = conv1d_zeropad(r, rb["convs2"][kk]["w"],
-                                       rb["convs2"][kk]["b"],
-                                       1, (k2 - 1) // 2)
-                    r = mask_time(r, r_len)
-                    r = r + r_in  # activation1d round-trip preserves length
+                    # conv2 + residual + mask fused in one kernel
+                    # (activation1d round-trip preserves length)
+                    r = conv1d_same(r, r_len, rb["convs2"][kk]["w"],
+                                    rb["convs2"][kk]["b"], 1, residual=r_in)
                 xs = xs + r
             x = xs * (1.0 / max(1, num_k))
 

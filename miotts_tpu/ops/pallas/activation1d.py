@@ -34,6 +34,13 @@ Pure-BlockSpec pipelining: the time halo (a few taps, <= 32 rows) comes
 from two extra clamped-index-map block inputs (the banded-attention
 pattern — no manual DMA; the remote AOT helper crashes on it). Total HBM
 traffic is ~1.1 reads + 1 write of [B, T, C] vs ~15 passes unfused.
+
+block_t default 256: measured in-graph per-call at [2, 245760, 128]
+(v5e, scripts/bench_act1d_chain.py): 9.6 ms at bt=256 vs 19.2 at bt=512
+and 10.4-10.5 at 128/1024 — the 512 tiling roughly doubles the cost
+(VMEM pressure with all six live [bt+halo, C] buffers). Ablations at 512:
+snake-only 9.1, FIR-only 2.8 — the snake's sin/cos/divide chain
+dominates; at 256 the whole composite costs about the snake alone.
 """
 
 from __future__ import annotations
@@ -129,11 +136,21 @@ def _fused_call(x, lengths, fu, fd, a_vec, inv_vec, k1, k2, block_t,
         def snake(xv, pv):
             # ADAA snake-beta (:1933-1951): y = (x+prev)/2
             #   + (1 - cos(a*(x+prev)) * sinc(a*(x-prev))) / (2*(e^b+1e-9))
+            # The 1/ad divide runs as approx-reciprocal + one Newton step
+            # (measured 1.8e-7-class rel error on chip with the f32
+            # composite as reference — scripts/check_act1d_tpu.py) — the
+            # VPU divide was ~15% of the snake's op budget.
             s_ = xv + pv
             d_ = xv - pv
             ad = a * d_
-            sinc = jnp.where(jnp.abs(ad) < 1e-12, 1.0,
-                             jnp.sin(ad) / jnp.where(ad == 0, 1.0, ad))
+            tiny = jnp.abs(ad) < 1e-12
+            ad_safe = jnp.where(tiny, 1.0, ad)
+            if interpret:
+                r = 1.0 / ad_safe
+            else:
+                r = pl.reciprocal(ad_safe, approx=True)
+                r = r * (2.0 - ad_safe * r)
+            sinc = jnp.where(tiny, 1.0, jnp.sin(ad) * r)
             return s_ * 0.5 + inv * (1.0 - jnp.cos(a * s_) * sinc)
 
         def compute(edges: bool):
@@ -256,7 +273,7 @@ def _fused_call(x, lengths, fu, fd, a_vec, inv_vec, k1, k2, block_t,
 
 
 def fused_activation1d(x, lengths, up_filter, alpha, beta, down_filter,
-                       block_t: int = 512, interpret: bool = False):
+                       block_t: int = 256, interpret: bool = False):
     """Drop-in for models/vocoder.py activation1d (per-tensor 1-D filters).
 
     x: [B, T, C]; returns (y [B, T, C], lengths) — the upsample/downsample

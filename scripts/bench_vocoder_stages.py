@@ -24,7 +24,7 @@ from miotts_tpu.models.vocoder import (  # noqa: E402
 
 B = 2
 CH = 128
-MEL_T = 256
+MEL_T = 512
 RATES = (5, 4, 4, 3, 2)
 
 

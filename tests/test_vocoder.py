@@ -163,6 +163,36 @@ def test_fused_activation1d_matches_composite(k1, k2, T, C, B, bt):
                                rtol=1e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("cin,cout,k,d,res", [
+    (16, 24, 3, 1, False), (16, 16, 3, 5, True), (32, 32, 7, 1, True),
+])
+def test_pallas_conv1d_matches_composite(cin, cout, k, d, res):
+    """The Pallas shifted-matmul conv (interpret mode on CPU) reproduces
+    mask_time(conv1d_zeropad(...)) [+ residual] including dilations,
+    ragged lengths, and the zero-pad boundary."""
+    from miotts_tpu.models.vocoder import conv1d_zeropad
+    from miotts_tpu.ops.masking import mask_time
+    from miotts_tpu.ops.pallas.conv1d import conv1d_same_pallas
+
+    rng = np.random.RandomState(cin + k + d)
+    B, T = 2, 300
+    lengths = np.asarray([T, rng.randint(1, T)], np.int32)
+    x = mask_time(jnp.asarray(rng.randn(B, T, cin).astype(np.float32)),
+                  jnp.asarray(lengths))
+    w = jnp.asarray((rng.randn(cout, cin, k) * 0.1).astype(np.float32))
+    b = jnp.asarray((rng.randn(cout) * 0.05).astype(np.float32))
+    r = (mask_time(jnp.asarray(rng.randn(B, T, cout).astype(np.float32)),
+                   jnp.asarray(lengths)) if res else None)
+    ref = mask_time(conv1d_zeropad(x, w, b, d, (k * d - d) // 2),
+                    jnp.asarray(lengths))
+    if res:
+        ref = ref + r
+    got = conv1d_same_pallas(x, jnp.asarray(lengths), w, b, d, residual=r,
+                             block_t=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_vocoder_fused_act1d_end_to_end(mel_model, monkeypatch):
     """Full vocoder forward with the fused Activation1d kernel active at
     every call site matches the default XLA composite path."""
