@@ -128,3 +128,25 @@ def test_worker_survives_chunk_failure(batcher, monkeypatch):
         assert len(toks) > 0
     finally:
         b.shutdown()
+
+
+def test_from_arrays_engine_through_batcher(tmp_path):
+    """LLMEngine.from_arrays (the llm1bserve path: in-memory stretch
+    configs served without a GGUF round-trip) drives the continuous
+    batcher like a loaded engine and matches it token-for-token."""
+    path = tmp_path / "llm.gguf"
+    write_synthetic_llm_gguf(str(path), n_audio=64, seed=3)
+    loaded = LLMEngine(str(path), dtype=jnp.float32)
+    mem = LLMEngine.from_arrays(loaded.config, loaded.weights,
+                                loaded.tokenizer, quantize="bf16")
+    assert mem.token_to_code == loaded.token_to_code
+    b1 = ContinuousBatcher(loaded, n_lanes=2, max_ctx=96, chunk=8)
+    b2 = ContinuousBatcher(mem, n_lanes=2, max_ctx=96, chunk=8)
+    try:
+        sp = SamplerParams(temp=0.0, seed=1)
+        t1 = b1.submit("serve me", sp, n_predict=16).collect()
+        t2 = b2.submit("serve me", sp, n_predict=16).collect()
+        assert t1 == t2 and len(t1) > 0
+    finally:
+        b1.shutdown()
+        b2.shutdown()
