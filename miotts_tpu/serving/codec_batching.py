@@ -20,28 +20,63 @@ from ..pipeline import MioTTSPipeline, SynthesisResult, pick_bucket
 
 
 def _jit_packers():
+    import functools
+
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def pack_f32(audio, n):
-        # n_samples rides in the same transfer (exact as f32: counts < 2^24)
-        return jnp.concatenate([audio.reshape(-1).astype(jnp.float32),
-                                n.astype(jnp.float32)])
+    # ``n_lanes`` (static) slices the fetch to the active lanes: the forward
+    # always runs at the fixed lane count (one executable per bucket), but
+    # the device->host transfer is the serving bottleneck (12-36 MB/s relay
+    # here), so fetching 8 padded lanes for a single request multiplied the
+    # latency-critical bytes by 8. Active requests occupy lanes 0..k-1, so a
+    # prefix slice is exact; lane counts are rounded up to a power of two to
+    # bound the executable variants at log2(max_batch)+1 per mode.
 
-    @jax.jit
-    def pack_pcm16(audio, n):
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def pack_f32(audio, n, n_lanes):
+        # n_samples rides in the same transfer (exact as f32: counts < 2^24)
+        return jnp.concatenate([audio[:n_lanes].reshape(-1).astype(jnp.float32),
+                                n[:n_lanes].astype(jnp.float32)])
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def pack_pcm16(audio, n, n_lanes):
         # device-side 16-bit quantization, bit-identical to
         # audio_io.encode_pcm16 (clip to [-1,1], round-half-even x 32767)
-        pcm = jnp.rint(jnp.clip(audio, -1.0, 1.0) * 32767.0).astype(jnp.int16)
-        n16 = jax.lax.bitcast_convert_type(n.astype(jnp.int32),
+        pcm = jnp.rint(jnp.clip(audio[:n_lanes], -1.0, 1.0)
+                       * 32767.0).astype(jnp.int16)
+        n16 = jax.lax.bitcast_convert_type(n[:n_lanes].astype(jnp.int32),
                                            jnp.int16).reshape(-1)
         return jnp.concatenate([pcm.reshape(-1), n16])
 
-    return pack_f32, pack_pcm16
+    @functools.partial(jax.jit, static_argnums=(3, 4, 5))
+    def pack_window(audio, n_samples, starts, window, n_lanes, pcm16):
+        # per-lane slice audio[b, starts[b]:starts[b]+window] (zeros beyond
+        # the row) + valid counts, optionally PCM16-quantized on device: a
+        # streaming feed emits a tiny slice of the decode, so this is the
+        # only data that needs to cross the relay
+        audio = audio[:n_lanes]
+        starts = starts[:n_lanes].astype(jnp.int32)
+        n = n_samples[:n_lanes].astype(jnp.int32)
+        T = audio.shape[1]
+        idx = starts[:, None] + jnp.arange(window, dtype=jnp.int32)[None, :]
+        win = jnp.take_along_axis(audio, jnp.clip(idx, 0, T - 1), axis=1)
+        win = jnp.where(idx < T, win, 0.0)
+        if pcm16:
+            pcm = jnp.rint(jnp.clip(win, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+            n16 = jax.lax.bitcast_convert_type(n, jnp.int16).reshape(-1)
+            return jnp.concatenate([pcm.reshape(-1), n16])
+        return jnp.concatenate([win.reshape(-1).astype(jnp.float32),
+                                n.astype(jnp.float32)])
+
+    return pack_f32, pack_pcm16, pack_window
 
 
-_pack_f32, _pack_pcm16 = _jit_packers()
+_pack_f32, _pack_pcm16, _pack_window = _jit_packers()
+
+
+def _pow2_lanes(n_active: int, max_batch: int) -> int:
+    return min(max_batch, 1 << max(0, n_active - 1).bit_length())
 
 
 class CodecMicroBatcher:
@@ -94,7 +129,8 @@ class CodecMicroBatcher:
              interp_anchor: int | None = None,
              peak_normalize: bool = True,
              pcm16: bool = False,
-             wlen: int | None = None) -> None:
+             wlen: int | None = None,
+             lanes: tuple[int, ...] | None = None) -> None:
         """Compile/load the exact executables ``_run_group`` uses for this
         (bucket, opts) — the batched forward at [max_batch, bucket] plus the
         matching packer — WITHOUT going through the gather queue. Warmup
@@ -123,16 +159,20 @@ class CodecMicroBatcher:
             self.pipeline.weights, tokens_j, lengths_j, cond_j,
             interp_anchor_tokens=interp_anchor,
             peak_normalize=peak_normalize)
-        if wlen is not None:
-            from ..pipeline import _pack_audio_window
-
-            np.asarray(_pack_audio_window(
-                audio, n_samples, int(wlen),
-                jnp.asarray(np.zeros(B, np.int32))))
-        elif pcm16:
-            np.asarray(_pack_pcm16(audio, n_samples))
-        else:
-            np.asarray(_pack_f32(audio, n_samples))
+        # the pack executable additionally varies by active-lane count
+        # (conc=1 fetches a single lane); warm the single-lane and
+        # full-batch variants — mid ladder steps compile on first use and
+        # persist in the compile cache
+        for n_lanes in (lanes if lanes is not None
+                        else sorted({1, B})):
+            if wlen is not None:
+                np.asarray(_pack_window(
+                    audio, n_samples, jnp.asarray(np.zeros(B, np.int32)),
+                    int(wlen), n_lanes, bool(pcm16)))
+            elif pcm16:
+                np.asarray(_pack_pcm16(audio, n_samples, n_lanes))
+            else:
+                np.asarray(_pack_f32(audio, n_samples, n_lanes))
 
     def shutdown(self) -> None:
         self._q.put(None)
@@ -205,8 +245,10 @@ class CodecMicroBatcher:
                 cond_j = jnp.asarray(cond)
             else:
                 cond_j = None
+            import os
             import time as _t
 
+            t_up = _t.perf_counter()
             tokens_j = jnp.asarray(tokens)
             lengths_j = jnp.asarray(lengths, jnp.int32)
             if self._data_sharding is not None:
@@ -221,19 +263,38 @@ class CodecMicroBatcher:
                 self.pipeline.weights, tokens_j, lengths_j, cond_j,
                 interp_anchor_tokens=interp_anchor,
                 peak_normalize=peak_normalize)
+            t_disp = _t.perf_counter()
             # one packed device->host transfer for (audio, n_samples):
             # each np.asarray pays a full relay round trip; pcm16 halves
-            # the audio bytes and window fetches move only the slice the
-            # caller will emit (the device link is the serving bottleneck
-            # at 12-36 MB/s in this environment)
+            # the audio bytes, window fetches move only the slice the
+            # caller will emit, and the lane slice drops the padded idle
+            # lanes (the device link is the serving bottleneck at
+            # 12-36 MB/s in this environment)
+            Bp = _pow2_lanes(len(batch), B)
             if wlen is not None:
-                from ..pipeline import _pack_audio_window
-
-                packed = np.asarray(_pack_audio_window(
-                    audio, n_samples, int(wlen), jnp.asarray(starts)))
-                win_np = packed[: B * wlen].reshape(B, wlen)
-                n_np = packed[B * wlen:].astype(np.int32)
+                packed = np.asarray(_pack_window(
+                    audio, n_samples, jnp.asarray(starts), int(wlen), Bp,
+                    bool(pcm16)))
+                win_np = packed[: Bp * wlen].reshape(Bp, wlen)
+                if pcm16:
+                    # pcm16 here is a TRANSFER encoding: callers (streaming
+                    # prefix re-decodes) crossfade in float, so dequantize
+                    # host-side — the noise (~3e-5) is the same quantization
+                    # the WAV16 wire applies anyway
+                    win_np = win_np.astype(np.float32) / 32767.0
+                    n_np = packed[Bp * wlen:].view(np.int32)
+                else:
+                    n_np = packed[Bp * wlen:].astype(np.int32)
                 decode_ms = (_t.perf_counter() - t0) * 1e3
+                if os.environ.get("MIOTTS_TTFA_DEBUG"):
+                    import sys
+
+                    print(f"codec_group: bucket={bucket} wlen={wlen} "
+                          f"lanes={Bp} pcm16={pcm16} bytes={packed.nbytes} "
+                          f"up={(t0 - t_up) * 1e3:.1f}ms "
+                          f"disp={(t_disp - t0) * 1e3:.1f}ms "
+                          f"fetch={decode_ms - (t_disp - t0) * 1e3:.1f}ms",
+                          file=sys.stderr)
                 for i, item in enumerate(batch):
                     codes, fut, start = item[0], item[3], int(starts[i])
                     n_valid = int(n_np[i])
@@ -247,14 +308,24 @@ class CodecMicroBatcher:
                         n_total=n_valid,
                     ))
                 return
-            packed = np.asarray(_pack_pcm16(audio, n_samples) if pcm16
-                                else _pack_f32(audio, n_samples))
+            packed = np.asarray(_pack_pcm16(audio, n_samples, Bp) if pcm16
+                                else _pack_f32(audio, n_samples, Bp))
+            if os.environ.get("MIOTTS_TTFA_DEBUG"):
+                import sys
+
+                print(f"codec_group: bucket={bucket} wlen=None "
+                      f"lanes={Bp} pcm16={pcm16} bytes={packed.nbytes} "
+                      f"up={(t0 - t_up) * 1e3:.1f}ms "
+                      f"disp={(t_disp - t0) * 1e3:.1f}ms "
+                      f"fetch={(_t.perf_counter() - t_disp) * 1e3:.1f}ms",
+                      file=sys.stderr)
+            lane_size = Bp * audio.shape[1]
             if pcm16:
-                audio_np = packed[: audio.size].reshape(audio.shape)
-                n_np = packed[audio.size:].view(np.int32)
+                audio_np = packed[:lane_size].reshape(Bp, audio.shape[1])
+                n_np = packed[lane_size:].view(np.int32)
             else:
-                audio_np = packed[: audio.size].reshape(audio.shape)
-                n_np = packed[audio.size:].astype(np.int32)
+                audio_np = packed[:lane_size].reshape(Bp, audio.shape[1])
+                n_np = packed[lane_size:].astype(np.int32)
             decode_ms = (_t.perf_counter() - t0) * 1e3
             for i, item in enumerate(batch):
                 codes, fut = item[0], item[3]

@@ -191,15 +191,14 @@ class ServingEngine:
             # the streaming prefix re-decode variant compiles separately
             # (interp_anchor/peak_normalize are static args) and a stream
             # sweeps every bucket up to its final length — warm both its
-            # fetch shapes: the per-feed window (used once the bucket
-            # outgrows it; see StreamingSynthesizer._decode_window) and the
-            # full-decode fallback (small buckets, oversized finalize tails)
-            if (bucket * self.pipeline.config.samples_per_token
-                    > StreamingSynthesizer.WINDOW_SAMPLES):
-                warm_calls.append((bucket, dict(
-                    interp_anchor=StreamingSynthesizer.INTERP_ANCHOR,
-                    peak_normalize=False,
-                    wlen=StreamingSynthesizer.WINDOW_SAMPLES)))
+            # fetch shapes: the pcm16 per-feed window (every feed whose
+            # emission fits one window, incl. the TTFA-critical first feed;
+            # see StreamingSynthesizer._decode_window) and the f32
+            # full-decode fallback (oversized finalize tails)
+            warm_calls.append((bucket, dict(
+                interp_anchor=StreamingSynthesizer.INTERP_ANCHOR,
+                peak_normalize=False, pcm16=True,
+                wlen=StreamingSynthesizer.WINDOW_SAMPLES)))
             warm_calls.append((bucket, dict(
                 interp_anchor=StreamingSynthesizer.INTERP_ANCHOR,
                 peak_normalize=False)))
@@ -332,7 +331,7 @@ class ServingEngine:
     # -- codes acquisition --------------------------------------------------------
 
     def _generate_codes(self, rp: RequestParams, out: dict,
-                        on_token=None) -> list[int]:
+                        on_token=None, marks: dict | None = None) -> list[int]:
         t0 = now_ms()
         if self.cfg.llm_api_enabled:
             from ..runtime.llm_api import generate_audio_codes_external_cfg
@@ -352,6 +351,8 @@ class ServingEngine:
             try:
                 handle = self.batcher.submit(rp.text, sampler=sampler,
                                              n_predict=rp.n_predict)
+                if marks is not None:
+                    marks.setdefault("submit_done", now_ms())
             except ValueError as e:
                 if "prompt is too long" in str(e):
                     # prompt exceeds the batcher's fixed KV budget: fall back
@@ -437,7 +438,8 @@ class ServingEngine:
     def run_streaming_request(self, rp: RequestParams, out: dict,
                               on_token=None, on_audio=None,
                               on_codes=None,
-                              embedding: np.ndarray | None = None
+                              embedding: np.ndarray | None = None,
+                              t_begin: float | None = None,
                               ) -> tuple[np.ndarray, int]:
         """Incremental synthesis: token generation (continuous-batcher lane)
         interleaved with prefix re-decodes, so PCM leaves the server while
@@ -454,15 +456,20 @@ class ServingEngine:
             embedding = self._resolve_embedding(rp)
         ss = StreamingSynthesizer(
             self.pipeline, embedding,
-            synth_fn=self.codec_batcher.synthesize)
+            synth_fn=self.codec_batcher.synthesize,
+            transfer_pcm16=True)
         pieces: list[np.ndarray] = []
         pending: list[int] = []
         t_synth = 0.0
         # MIOTTS_TTFA_DEBUG=1: stderr breakdown of the first-audio critical
         # path (request start -> first token batch -> first feed ->
         # first PCM) — the serve-level TTFA decomposition
-        marks = {"start": now_ms()} if os.environ.get(
-            "MIOTTS_TTFA_DEBUG") else None
+        marks = None
+        if os.environ.get("MIOTTS_TTFA_DEBUG"):
+            # "start" = HTTP request arrival when the handler passes its
+            # t_begin — so the printed deltas cover the full served path
+            marks = {"start": t_begin if t_begin is not None else now_ms(),
+                     "engine_enter": now_ms()}
 
         def emit_pending():
             nonlocal t_synth
@@ -480,6 +487,8 @@ class ServingEngine:
                 pieces.append(pcm)
                 if on_audio is not None:
                     on_audio(pcm)
+                    if marks is not None:
+                        marks.setdefault("first_write_done", now_ms())
 
         token_chunk = 16
         # first audio as early as the lookahead window allows (TTFA), then
@@ -514,7 +523,7 @@ class ServingEngine:
                 raise RequestError(f"mio_tts_codes_load failed: {e}")
             out["codes"] = len(codes)
         elif rp.text:
-            codes = self._generate_codes(rp, out, on_token=tok_cb)
+            codes = self._generate_codes(rp, out, on_token=tok_cb, marks=marks)
             out["codes"] = len(codes)
         else:
             raise RequestError("either text/prompt, codes, or codes_in is required")
@@ -546,8 +555,11 @@ class ServingEngine:
             t0m = marks["start"]
             print("ttfa_debug: "
                   + " ".join(f"{k}={marks[k] - t0m:.1f}ms"
-                             for k in ("first_token", "first_feed_start",
-                                       "first_pcm") if k in marks),
+                             for k in ("engine_enter", "submit_done",
+                                       "first_token", "first_feed_start",
+                                       "first_pcm", "first_write_done")
+                             if k in marks)
+                  + f" abs_start={t0m:.1f}",
                   file=sys.stderr)
         audio = (np.concatenate(pieces) if pieces
                  else np.zeros(0, np.float32))

@@ -135,6 +135,11 @@ class MioTTSServer:
 
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"
+            # TCP_NODELAY: the streaming paths interleave many small chunked
+            # writes (SSE token events) with the latency-critical first
+            # audio chunk — Nagle holding the partial trailing segment for a
+            # delayed ACK adds tens of ms to the served TTFA
+            disable_nagle_algorithm = True
 
             def log_message(self, fmt, *args):  # route to stderr quietly
                 pass
@@ -438,7 +443,8 @@ class MioTTSServer:
 
                             audio, sr = eng.run_streaming_request(
                                 rp, out, on_token=on_token, on_audio=on_audio,
-                                on_codes=on_codes, embedding=emb)
+                                on_codes=on_codes, embedding=emb,
+                                t_begin=t_begin)
                             total_ms = now_ms() - t_begin
                             sse("audio_meta", json.dumps({
                                 "sample_rate": sr,
@@ -550,7 +556,8 @@ class MioTTSServer:
 
                     try:
                         audio, _sr = eng.run_streaming_request(
-                            rp, out, on_audio=on_audio, embedding=emb)
+                            rp, out, on_audio=on_audio, embedding=emb,
+                            t_begin=t_begin)
                         ok = True
                     except Exception as e:
                         # headers are gone (any failure here, including

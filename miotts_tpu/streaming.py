@@ -42,6 +42,7 @@ class StreamingSynthesizer:
         min_decode_tokens: int = 4,
         synth_fn=None,
         window_samples: int | None = None,
+        transfer_pcm16: bool = False,
     ):
         self.pipeline = pipeline
         self.embedding = embedding
@@ -49,6 +50,11 @@ class StreamingSynthesizer:
         self.crossfade = max(0, crossfade_samples)
         self.min_decode = max(1, min_decode_tokens)
         self.window = window_samples or self.WINDOW_SAMPLES
+        # pcm16 window transfers: halve the fetched bytes when the output
+        # is served as WAV16/PCM16 anyway (the CodecMicroBatcher dequantizes
+        # host-side, so emissions stay f32; requires a synth_fn that accepts
+        # the pcm16 kwarg — pipeline.synthesize does not)
+        self.transfer_pcm16 = bool(transfer_pcm16)
         self.codes: list[int] = []
         self.emitted = 0  # samples already returned
         self._prev_win: np.ndarray | None = None
@@ -65,24 +71,21 @@ class StreamingSynthesizer:
         covers [start, start + len(win)) of the decode and ``n_total`` is its
         total valid sample count. Fetches only a fixed window — the emission
         is a tiny slice of the decode, and the device link is slow — unless
-        the caller needs more than one window (then fetch the full tail) or
-        the prefix's bucket is already no bigger than the window (a full
-        fetch costs the same bytes and reuses the plain executable)."""
-        from .pipeline import pick_bucket
-
-        bucket_samples = (pick_bucket(len(self.codes), self.pipeline.buckets)
-                          * self.pipeline.samples_per_token)
-        if (need + self.crossfade > self.window
-                or bucket_samples <= self.window):
+        the caller needs more than one window (then fetch the full tail).
+        Small prefixes use the window executable too: the micro-batcher pads
+        idle lanes, so a "full" fetch moves max_batch x bucket bytes while
+        the window path slices both the lanes and the samples."""
+        if need + self.crossfade > self.window:
             result = self._synth(self.codes, self.embedding,
                                  interp_anchor=self.INTERP_ANCHOR,
                                  peak_normalize=False)
             total = int(result.audio.size)
             return np.asarray(result.audio[start:], np.float32), total
+        kw = {"pcm16": True} if self.transfer_pcm16 else {}
         result = self._synth(self.codes, self.embedding,
                              interp_anchor=self.INTERP_ANCHOR,
                              peak_normalize=False,
-                             window=(start, self.window))
+                             window=(start, self.window), **kw)
         total = result.n_total if result.n_total is not None else int(
             start + result.audio.size)
         return np.asarray(result.audio, np.float32), int(total)

@@ -16,6 +16,7 @@ import argparse
 import concurrent.futures
 import csv
 import json
+import os
 import statistics
 import sys
 import time
@@ -57,7 +58,11 @@ def one_sse_request(url: str, payload: bytes) -> tuple[bool, float, float, float
         with urllib.request.urlopen(req, timeout=300) as r:
             buf = b""
             while True:
-                chunk = r.read(4096)
+                # read1: return as soon as bytes are available — read(n)
+                # on a chunked response blocks until it fills n bytes
+                # ACROSS chunk boundaries, which holds small early SSE
+                # events hostage to later ones and inflates measured TTFA
+                chunk = r.read1(4096)
                 if not chunk:
                     break
                 buf += chunk
@@ -72,6 +77,11 @@ def one_sse_request(url: str, payload: bytes) -> tuple[bool, float, float, float
                         got_audio = True
                         if first_audio != first_audio:
                             first_audio = time.perf_counter() - t0
+                            if os.environ.get("MIOTTS_TTFA_DEBUG"):
+                                print(f"client_ttfa: abs_t0={t0 * 1e3:.1f} "
+                                      f"abs_first_audio="
+                                      f"{(t0 + first_audio) * 1e3:.1f}",
+                                      file=sys.stderr)
                     elif ev == "generation_complete":
                         try:
                             llm_ms = float(json.loads(data).get("llm_ms"))
