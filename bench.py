@@ -316,9 +316,13 @@ def main() -> int:
         r.close()
         cfg1b, w1b = _build_1b_llm(log, vocab_size=len(tok1b.tokens))
         conc = int(os.environ.get("MIOTTS_BENCH_SERVE_CONC", "8"))
+        # n_ctx must cover prompt + generation: parse_request_json clamps
+        # n_predict to min(n_predict, n_ctx) (serving/state.py), so an
+        # undersized ctx silently shortens every request and the round
+        # measures fixed per-request cost instead of steady-state decode.
         scfg = ServerConfig(model_vocoder=codec_path, model="",
                             output_dir=tmp, n_parallel=conc,
-                            n_predict=n_gen, n_ctx=64)
+                            n_predict=n_gen, n_ctx=64 + n_gen)
         eng = ServingEngine(scfg)
         eng.llm = LLMEngine.from_arrays(
             cfg1b, w1b, tok1b,
@@ -349,6 +353,14 @@ def main() -> int:
                 t.join()
             return sum(results), time.perf_counter() - t0
 
+        # the burst prefill coalescer compiles one executable per pow2
+        # group size; drain timing makes group sizes nondeterministic, so
+        # warm the whole ladder up front (a server's warmup does the same)
+        # or round timings measure stray compiles instead of serving
+        n = 1
+        while n <= conc:
+            eng.batcher.warm_prefill(32, n_lanes=n)
+            n *= 2
         log(f"bench: warm round ({conc} concurrent requests, first "
             "compiles take minutes)...")
         t0 = time.perf_counter()

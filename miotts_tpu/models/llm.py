@@ -348,19 +348,24 @@ def _layer_ffn(cfg: LLMConfig, blk, x):
     return _mm(jax.nn.silu(gate) * up, blk["w_down"])[..., : cfg.dim]
 
 
-def llm_prefill(
+def llm_prefill_kv(
     cfg: LLMConfig,
     w: Pytree,
     tokens: jnp.ndarray,
     lengths: jnp.ndarray,
-    cache_k: jnp.ndarray,
-    cache_v: jnp.ndarray,
     start_pos: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Process padded prompts [B, T]; fill KV cache at [start, start+T) and
-    return logits of the last valid token per lane, plus updated caches."""
+    """Process padded prompts [B, T]; return (last-valid-token logits [B, V],
+    prompt K [L, B, T, KVH, HD], prompt V) WITHOUT touching a KV cache.
+
+    The cache-free form is what the continuous batcher's submit path wants:
+    it scatters the prompt K/V straight into the batched GenState lane
+    (``attach_lanes``) instead of allocating a throwaway [L, 1, max_ctx]
+    cache per request and copying it in whole. Rows at t >= lengths[b] carry
+    garbage K/V — harmless downstream, because decode attention masks keys
+    at positions > pos and every position is overwritten before pos reaches
+    it (llm_decode_step's kmask)."""
     B, T = tokens.shape
-    S = cache_k.shape[2]
     if start_pos is None:
         start_pos = jnp.zeros((B,), jnp.int32)
     positions = start_pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
@@ -395,27 +400,50 @@ def llm_prefill(
         x = x + _mm(att, blk["wo"])[..., : cfg.dim]
         x = x + _layer_ffn(cfg, blk, x)
 
-    # write prompt K/V into the cache at per-lane offsets
     new_k = jnp.stack(new_k_layers)  # [L, B, T, KVH, HD]
     new_v = jnp.stack(new_v_layers)
+
+    xn = rms_norm(x, w["output_norm"], cfg.rms_eps)
+    # only the LAST valid position's logits are ever used — gather the
+    # hidden state first so the vocab matmul is [B, D] @ [D, V], not
+    # [B, T, D] @ [D, V] (at a [32, 512] burst the full-T logits would be
+    # a 9 GB f32 intermediate; at B=1 it still wastes T x the matmul)
+    xn_last = jnp.take_along_axis(
+        xn, jnp.maximum(lengths - 1, 0)[:, None, None].astype(jnp.int32),
+        axis=1)
+    last = _logits_matmul(cfg, w, xn_last)[:, 0]
+    return last, new_k, new_v
+
+
+def llm_prefill(
+    cfg: LLMConfig,
+    w: Pytree,
+    tokens: jnp.ndarray,
+    lengths: jnp.ndarray,
+    cache_k: jnp.ndarray,
+    cache_v: jnp.ndarray,
+    start_pos: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Process padded prompts [B, T]; fill KV cache at [start, start+T) and
+    return logits of the last valid token per lane, plus updated caches."""
+    B, T = tokens.shape
+    S = cache_k.shape[2]
+    if start_pos is None:
+        start_pos = jnp.zeros((B,), jnp.int32)
+    last, new_k, new_v = llm_prefill_kv(cfg, w, tokens, lengths, start_pos)
     s_idx = start_pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]  # [B, T]
     in_range = (jnp.arange(T)[None, :] < lengths[:, None])
     s_idx = jnp.where(in_range, s_idx, S)  # out-of-range writes are dropped
     b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
     cache_k = cache_k.at[:, b_idx, s_idx].set(new_k.astype(cache_k.dtype), mode="drop")
     cache_v = cache_v.at[:, b_idx, s_idx].set(new_v.astype(cache_v.dtype), mode="drop")
-
-    xn = rms_norm(x, w["output_norm"], cfg.rms_eps)
-    logits = _logits_matmul(cfg, w, xn)  # [B, T, V]
-    last = jnp.take_along_axis(
-        logits, jnp.maximum(lengths - 1, 0)[:, None, None].astype(jnp.int32), axis=1
-    )[:, 0]
     return last, cache_k, cache_v
 
 
-# jitted entry for host-side callers (the continuous batcher's submit-time
+# jitted entries for host-side callers (the continuous batcher's submit-time
 # prefill); llm_generate/llm_start trace llm_prefill inside their own jits
 llm_prefill_jit = functools.partial(jax.jit, static_argnums=0)(llm_prefill)
+llm_prefill_kv_jit = functools.partial(jax.jit, static_argnums=0)(llm_prefill_kv)
 
 
 def llm_decode_step(
@@ -657,6 +685,37 @@ def attach_lane(state: GenState, lane, logits1, ck1, cv1, pos1, seed) -> GenStat
         ring_idx=state.ring_idx,
         done=state.done.at[lane].set(False),
         key=state.key.at[lane].set(jax.random.PRNGKey(seed)),
+    )
+
+
+@jax.jit
+def attach_lanes(state: GenState, lanes, logits_k, new_k, new_v, lengths,
+                 seeds) -> GenState:
+    """Install k freshly prefilled requests in ONE device call.
+
+    ``lanes`` [k] are the target lane indices (pad rows use an
+    out-of-range index — their writes drop); ``logits_k`` [k, V] /
+    ``new_k``/``new_v`` [L, k, T, KVH, HD] / ``lengths`` [k] / ``seeds``
+    [k] come from ``llm_prefill_kv``. Only the prompt span [0, T) of the
+    lane's cache is written; stale cache beyond it is never attended
+    (decode masks keys at positions > pos and overwrites each position
+    before pos reaches it). A burst of simultaneous submits previously
+    paid one full-cache-copy attach dispatch PER request; this is one
+    scatter for the whole group."""
+    T = new_k.shape[2]
+    keys = jax.vmap(jax.random.PRNGKey)(seeds)
+    return GenState(
+        logits=state.logits.at[lanes].set(
+            logits_k.astype(state.logits.dtype), mode="drop"),
+        cache_k=state.cache_k.at[:, lanes, :T].set(
+            new_k.astype(state.cache_k.dtype), mode="drop"),
+        cache_v=state.cache_v.at[:, lanes, :T].set(
+            new_v.astype(state.cache_v.dtype), mode="drop"),
+        pos=state.pos.at[lanes].set(lengths.astype(jnp.int32), mode="drop"),
+        ring=state.ring.at[lanes].set(-1, mode="drop"),
+        ring_idx=state.ring_idx,
+        done=state.done.at[lanes].set(False, mode="drop"),
+        key=state.key.at[lanes].set(keys, mode="drop"),
     )
 
 

@@ -24,9 +24,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.llm import (
-    CHAT_TEMPLATE, LLMEngine, attach_lane, fetch_chunk_result,
-    init_batched_state, init_kv_cache, llm_generate_chunk_batched,
-    llm_prefill_jit, set_lane_done,
+    CHAT_TEMPLATE, LLMEngine, attach_lanes, fetch_chunk_result,
+    init_batched_state, llm_generate_chunk_batched, llm_prefill_kv_jit,
+    set_lane_done,
 )
 from ..models.sampling import MAX_TOP_K, BatchSamplerParams, SamplerParams
 
@@ -116,8 +116,15 @@ class ContinuousBatcher:
         self.lanes: list[_Lane | None] = [None] * n_lanes
         # attaches are queued and applied only by the worker loop, so the
         # post-chunk state write-back can never clobber a concurrent attach:
-        # (lane_idx, prefill logits, cache_k, cache_v, prompt_len, seed)
-        self._pending: list[tuple[int, object, object, object, int, int]] = []
+        # (host lane list, attach_lanes device args)
+        self._pending: list[tuple[list[int], tuple]] = []
+        # submits enqueue tokenized prompts here; a dedicated worker drains
+        # the queue and prefills simultaneous arrivals as ONE batched
+        # forward per prompt bucket (see _prefill_loop)
+        self._prefill_q: "queue.Queue[tuple | None]" = queue.Queue()
+        self._prefill_thread = threading.Thread(
+            target=self._prefill_loop, daemon=True, name="batcher-prefill")
+        self._prefill_thread.start()
         # per-lane sampler knobs mirrored host-side
         self._temps = np.full(n_lanes, 0.8, np.float32)
         self._top_ks = np.full(n_lanes, 50, np.int32)
@@ -143,15 +150,7 @@ class ContinuousBatcher:
         bucket = next((b for b in _PROMPT_BUCKETS if T <= b),
                       ((T + 127) // 128) * 128)
         bucket = min(bucket, self.max_ctx)
-        toks = np.zeros((1, bucket), np.int32)
-        toks[0, :T] = ids
         n_predict = min(n_predict, self.max_ctx - T - 1)
-
-        # prefill outside the lock (own arrays; safe alongside the chunk loop)
-        ck1, cv1 = init_kv_cache(self.cfg, 1, self.max_ctx)
-        logits1, ck1, cv1 = llm_prefill_jit(
-            self.cfg, self.engine.weights, jnp.asarray(toks),
-            jnp.asarray([T], jnp.int32), ck1, cv1)
 
         handle = GenerationHandle()
         with self._cv:
@@ -163,23 +162,93 @@ class ContinuousBatcher:
             self._top_ks[lane_idx] = min(sampler.top_k, MAX_TOP_K) if sampler.top_k > 0 else 0
             self._top_ps[lane_idx] = sampler.top_p
             self._pens[lane_idx] = sampler.repeat_penalty
-            self._pending.append((lane_idx, logits1, ck1, cv1, T, sampler.seed))
-            self._cv.notify_all()
+        self._prefill_q.put((lane_idx, ids, T, bucket, sampler.seed))
         return handle
 
-    def warm_prefill(self, bucket: int) -> None:
+    # -- batched prefill --------------------------------------------------------
+
+    def _prefill_loop(self) -> None:
+        """Drain-style coalescing: the first queued prompt is taken
+        blocking, then whatever else is already waiting joins its batch
+        (zero added latency for a lone request; a burst that arrives while
+        a prefill is in flight accumulates and runs as one forward). A
+        32-request burst previously paid 32 serialized B=1 prefills — each
+        streaming ALL model weights — plus 32 full-cache attach copies;
+        now it's one prefill per prompt bucket and one scatter per group
+        (measured: the 1.63B int8 serving round, `bench.py llm1bserve`)."""
+        while True:
+            item = self._prefill_q.get()
+            if item is None:
+                return
+            items = [item]
+            while True:
+                try:
+                    nxt = self._prefill_q.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._prefill_q.put(None)  # re-post shutdown
+                    break
+                items.append(nxt)
+            groups: dict[int, list[tuple]] = {}
+            for it in items:
+                groups.setdefault(it[3], []).append(it)
+            for bucket in sorted(groups):
+                self._prefill_group(bucket, groups[bucket])
+
+    def _prefill_group(self, bucket: int, group: list[tuple]) -> None:
+        # pad the lane count to a power of two so executable variants stay
+        # at (prompt buckets) x log2(n_lanes); pad rows carry an
+        # out-of-range lane index, so their attach writes drop
+        kp = 1 << max(0, len(group) - 1).bit_length()
+        toks = np.zeros((kp, bucket), np.int32)
+        lens = np.ones(kp, np.int32)
+        lanes = np.full(kp, self.n_lanes, np.int32)
+        seeds = np.zeros(kp, np.uint32)
+        for i, (lane_idx, ids, T, _b, seed) in enumerate(group):
+            toks[i, :T] = ids
+            lens[i] = T
+            lanes[i] = lane_idx
+            seeds[i] = np.uint32(int(seed) & 0xFFFFFFFF)
+        try:
+            logits, new_k, new_v = llm_prefill_kv_jit(
+                self.cfg, self.engine.weights, jnp.asarray(toks),
+                jnp.asarray(lens))
+        except Exception as e:  # fail this group's requests; keep serving
+            import sys
+
+            print(f"mio: batched prefill failed: {e!r}", file=sys.stderr)
+            with self._cv:
+                for lane_idx, *_ in group:
+                    lane = self.lanes[lane_idx]
+                    if lane is not None and not lane.started:
+                        lane.handle.error = e
+                        lane.handle._q.put(None)
+                        self.lanes[lane_idx] = None
+                        self._pens[lane_idx] = 1.0
+                self._cv.notify_all()
+            return
+        with self._cv:
+            self._pending.append((
+                [it[0] for it in group],
+                (jnp.asarray(lanes), logits, new_k, new_v,
+                 jnp.asarray(lens), jnp.asarray(seeds)),
+            ))
+            self._cv.notify_all()
+
+    def warm_prefill(self, bucket: int, n_lanes: int = 1) -> None:
         """Compile/load the submit-time prefill executable for this prompt
-        bucket without running a generation. Thread-safe (jit dispatch on
-        immutable weights, own cache arrays) — ServingEngine.warmup calls
-        this from a pool so the per-bucket compiles overlap in the backend
-        instead of serializing through token-generating submits."""
+        bucket (at the given pow2 lane count) without running a generation.
+        Thread-safe (jit dispatch on immutable weights) — ServingEngine
+        .warmup calls this from a pool so the per-bucket compiles overlap
+        in the backend instead of serializing through token-generating
+        submits."""
         bucket = min(bucket, self.max_ctx)
-        ck1, cv1 = init_kv_cache(self.cfg, 1, self.max_ctx)
-        logits1, _, _ = llm_prefill_jit(
+        logits, _, _ = llm_prefill_kv_jit(
             self.cfg, self.engine.weights,
-            jnp.asarray(np.ones((1, bucket), np.int32)),
-            jnp.asarray([min(4, bucket)], jnp.int32), ck1, cv1)
-        np.asarray(logits1[:, :1])  # force execution through the relay
+            jnp.asarray(np.ones((n_lanes, bucket), np.int32)),
+            jnp.asarray([min(4, bucket)] * n_lanes, jnp.int32))
+        np.asarray(logits[:, :1])  # force execution through the relay
 
     def _free_lane(self) -> int | None:
         for i, l in enumerate(self.lanes):
@@ -188,10 +257,12 @@ class ContinuousBatcher:
         return None
 
     def shutdown(self) -> None:
+        self._prefill_q.put(None)
         with self._cv:
             self._shutdown = True
             self._cv.notify_all()
         self._thread.join(timeout=5)
+        self._prefill_thread.join(timeout=5)
 
     def _fail_active_lanes(self, snapshot: list[int], exc: Exception) -> None:
         """Deliver a device failure to every in-flight request and rebuild
@@ -236,13 +307,12 @@ class ContinuousBatcher:
                     self._cv.wait()
                 if self._shutdown:
                     return
-                for lane_idx, logits1, ck1, cv1, T, seed in self._pending:
-                    self.state = attach_lane(self.state, jnp.int32(lane_idx),
-                                             logits1, ck1, cv1, jnp.int32(T),
-                                             jnp.uint32(seed))
-                    lane = self.lanes[lane_idx]
-                    if lane is not None:
-                        lane.started = True
+                for lane_list, attach_args in self._pending:
+                    self.state = attach_lanes(self.state, *attach_args)
+                    for lane_idx in lane_list:
+                        lane = self.lanes[lane_idx]
+                        if lane is not None:
+                            lane.started = True
                 self._pending.clear()
                 sampler = BatchSamplerParams.make(
                     self._temps, self._top_ks, self._top_ps, self._pens)

@@ -215,18 +215,36 @@ class ServingEngine:
             llm_buckets = ([b for b in _PROMPT_BUCKETS if b <= max_prompt]
                            or [max(8, max_prompt)])
             warm_calls += [(b, None) for b in llm_buckets]
+            # simultaneous submits coalesce into one multi-lane prefill
+            # (pow2 lane ladder, batching._prefill_group); warm the
+            # full-burst variant for the small buckets in the background —
+            # intermediate lane counts compile on first use and persist
+            burst = 1 << max(0, self.batcher.n_lanes - 1).bit_length()
+            if burst > 1:
+                warm_calls += [(b, {"prefill_lanes": burst})
+                               for b in llm_buckets if b <= 128]
 
         def do_warm(bk):
             bucket, kw = bk
             if kw is None:
                 self.batcher.warm_prefill(bucket)
+            elif "prefill_lanes" in kw:
+                self.batcher.warm_prefill(bucket, n_lanes=kw["prefill_lanes"])
             else:
                 self.codec_batcher.warm(bucket, **kw)
 
         fg_bucket = int(os.environ.get("MIOTTS_WARMUP_FG_BUCKET", "256"))
         bg_enabled = os.environ.get("MIOTTS_WARMUP_BG", "1") not in ("0", "off")
-        fg_calls = [bk for bk in warm_calls
-                    if bk[0] <= (fg_bucket if bk[1] is not None else 128)]
+
+        def is_fg(bk):
+            bucket, kw = bk
+            if kw is None:
+                return bucket <= 128  # interactive B=1 prompt prefills
+            if "prefill_lanes" in kw:
+                return False  # burst variants only matter under load
+            return bucket <= fg_bucket
+
+        fg_calls = [bk for bk in warm_calls if is_fg(bk)]
         bg_calls = [bk for bk in warm_calls if bk not in fg_calls]
         if not bg_enabled:
             fg_calls, bg_calls = warm_calls, []

@@ -60,6 +60,29 @@ def test_concurrent_mixed_requests(batcher):
     assert results[0] == expect[:len(results[0])]
 
 
+def test_burst_submits_coalesce_and_match_single_path(batcher):
+    """A simultaneous burst (barrier-released) flows through the batched
+    prefill worker — possibly as one grouped forward, possibly split by
+    drain timing — and greedy results must equal the single-request path
+    either way. Mixed prompt lengths also cross prompt-bucket groups."""
+    import threading
+
+    eng, b = batcher
+    texts = ["a", "bb longer prompt that still fits", "ccc", "d" * 40]
+    barrier = threading.Barrier(len(texts))
+
+    def one(text):
+        barrier.wait()
+        return b.submit(text, SamplerParams(temp=0.0), n_predict=10).collect()
+
+    with concurrent.futures.ThreadPoolExecutor(len(texts)) as ex:
+        results = list(ex.map(one, texts))
+    for text, got in zip(texts, results):
+        expect = eng.generate_audio_tokens(
+            text, n_predict=10, n_ctx=64, sampler=SamplerParams(temp=0.0))
+        assert got == expect, text
+
+
 def test_lane_reuse_after_completion(batcher):
     eng, b = batcher
     for round_ in range(3):

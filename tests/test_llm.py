@@ -129,6 +129,65 @@ def test_batched_decode_lanes_independent(tiny_llm):
     np.testing.assert_allclose(np.array(both[0]), np.array(one[0]), rtol=1e-5, atol=1e-6)
 
 
+def test_prefill_kv_attach_matches_single_lane(tiny_llm):
+    """The batched submit path (llm_prefill_kv + attach_lanes) must install
+    exactly the state the legacy path (llm_prefill into a B=1 cache +
+    attach_lane) did: same lane logits, same cache content over the prompt
+    span, and pad rows (out-of-range lane index) must drop."""
+    from miotts_tpu.models.llm import (
+        attach_lane, attach_lanes, init_batched_state, llm_prefill_kv,
+    )
+
+    _, cfg, w, tok, raw = tiny_llm
+    n_lanes, max_ctx = 4, 32
+    prompts = [np.array([5, 200, 17], np.int32),
+               np.array([260, 9, 92, 33, 7], np.int32),
+               np.array([42, 3], np.int32)]
+    T = 8  # prompt bucket
+    toks = np.zeros((4, T), np.int32)  # padded to pow2 lanes (3 -> 4)
+    lens = np.ones(4, np.int32)
+    for i, p in enumerate(prompts):
+        toks[i, :len(p)] = p
+        lens[i] = len(p)
+    lanes = np.array([2, 0, 3, n_lanes], np.int32)  # pad row -> OOB drop
+    seeds = np.array([7, 8, 9, 0], np.uint32)
+
+    kv_fwd = jax.jit(llm_prefill_kv, static_argnums=0)
+    logits_k, new_k, new_v = kv_fwd(cfg, w, jnp.asarray(toks),
+                                    jnp.asarray(lens))
+    state = init_batched_state(cfg, n_lanes, max_ctx, seed=0)
+    state = attach_lanes(state, jnp.asarray(lanes), logits_k, new_k, new_v,
+                         jnp.asarray(lens), jnp.asarray(seeds))
+
+    ref = init_batched_state(cfg, n_lanes, max_ctx, seed=0)
+    fwd = jax.jit(llm_prefill, static_argnums=0)
+    for i, p in enumerate(prompts):
+        ck1, cv1 = init_kv_cache(cfg, 1, max_ctx, dtype=ref.cache_k.dtype)
+        row = np.zeros((1, T), np.int32)
+        row[0, :len(p)] = p
+        l1, ck1, cv1 = fwd(cfg, w, jnp.asarray(row),
+                           jnp.asarray([len(p)], jnp.int32), ck1, cv1)
+        ref = attach_lane(ref, jnp.int32(lanes[i]), l1, ck1, cv1,
+                          jnp.int32(len(p)), jnp.uint32(seeds[i]))
+
+    np.testing.assert_allclose(np.asarray(state.logits),
+                               np.asarray(ref.logits), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(state.pos), np.asarray(ref.pos))
+    np.testing.assert_array_equal(np.asarray(state.done),
+                                  np.asarray(ref.done))
+    np.testing.assert_array_equal(np.asarray(state.key), np.asarray(ref.key))
+    # cache must agree over each attached lane's prompt span (beyond it the
+    # batched path leaves stale values that decode can never attend)
+    ck = np.asarray(state.cache_k)
+    ck_ref = np.asarray(ref.cache_k)
+    for i, p in enumerate(prompts):
+        lane, n = int(lanes[i]), len(p)
+        np.testing.assert_allclose(ck[:, lane, :n], ck_ref[:, lane, :n],
+                                   rtol=1e-5, atol=1e-6)
+    # untouched lane (1) stays zero; the pad row wrote nowhere
+    assert not np.any(ck[:, 1])
+
+
 def test_engine_generate_and_codes(tiny_llm):
     path, cfg, w, tok, raw = tiny_llm
     eng = LLMEngine(path, dtype=jnp.float32)
