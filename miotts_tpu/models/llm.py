@@ -660,6 +660,29 @@ def _pack_chunk_result(out, n_new, done):
         [n_new[:, None], done.astype(jnp.int32)[:, None], out], axis=1)
 
 
+def start_chunk_fetch(out, n_new, state):
+    """Dispatch the device-side result pack and START the d2h copy.
+
+    Calling this at chunk-DISPATCH time (before the next chunk is queued)
+    puts the transfer ahead of the next chunk's compute in the device
+    queue, so on transports that serialize d2h behind queued work the
+    fetch fires the moment this chunk finishes instead of waiting out the
+    whole pipeline. Pair with ``finish_chunk_fetch``."""
+    packed = _pack_chunk_result(out, n_new, state.done)
+    try:
+        packed.copy_to_host_async()
+    except Exception:
+        pass  # best-effort hint; finish_chunk_fetch blocks regardless
+    return packed
+
+
+def finish_chunk_fetch(packed):
+    """Block for a transfer started by ``start_chunk_fetch``; returns
+    (out_np, n_new_np, done_np)."""
+    arr = np.asarray(packed)
+    return arr[:, 2:], arr[:, 0], arr[:, 1].astype(bool)
+
+
 def fetch_chunk_result(out, n_new, state):
     """One blocking device->host transfer per chunk instead of three.
 
@@ -667,8 +690,7 @@ def fetch_chunk_result(out, n_new, state):
     a TPU relay), and the streaming/batching loops need (tokens, n_new,
     done) after every chunk — packing them device-side cuts ~2 RTTs per
     chunk off time-to-first-audio. Returns (out_np, n_new_np, done_np)."""
-    packed = np.asarray(_pack_chunk_result(out, n_new, state.done))
-    return packed[:, 2:], packed[:, 0], packed[:, 1].astype(bool)
+    return finish_chunk_fetch(start_chunk_fetch(out, n_new, state))
 
 
 @jax.jit

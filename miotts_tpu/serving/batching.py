@@ -24,9 +24,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.llm import (
-    CHAT_TEMPLATE, LLMEngine, attach_lanes, fetch_chunk_result,
+    CHAT_TEMPLATE, LLMEngine, attach_lanes, finish_chunk_fetch,
     init_batched_state, llm_generate_chunk_batched, llm_prefill_kv_jit,
-    set_lane_done,
+    set_lane_done, start_chunk_fetch,
 )
 from ..models.sampling import MAX_TOP_K, BatchSamplerParams, SamplerParams
 
@@ -86,6 +86,11 @@ class ContinuousBatcher:
         # codes) so the first audio feed fires right after chunk one.
         # Costs one extra (smaller) executable and an occasional short
         # chunk for already-running lanes when a new request attaches.
+        # MIOTTS_CHUNK_STEPS overrides the chunk size (tuning knob: larger
+        # chunks amortize the per-chunk fetch RTT — the dominant serving
+        # overhead on a high-latency device link — at the cost of coarser
+        # token-delivery/attach granularity)
+        chunk = int(os.environ.get("MIOTTS_CHUNK_STEPS", chunk))
         if first_chunk is None:
             first_chunk = int(os.environ.get("MIOTTS_FIRST_CHUNK", "12"))
         self.first_chunk = max(1, min(first_chunk or chunk, chunk))
@@ -210,10 +215,20 @@ class ContinuousBatcher:
             lens[i] = T
             lanes[i] = lane_idx
             seeds[i] = np.uint32(int(seed) & 0xFFFFFFFF)
+        import os
+        import time as _t
+
+        t0 = _t.perf_counter()
         try:
             logits, new_k, new_v = llm_prefill_kv_jit(
                 self.cfg, self.engine.weights, jnp.asarray(toks),
                 jnp.asarray(lens))
+            if os.environ.get("MIOTTS_BATCH_DEBUG"):
+                import sys
+
+                print(f"prefill_group: bucket={bucket} k={len(group)} "
+                      f"kp={kp} dispatch={( _t.perf_counter() - t0) * 1e3:.1f}ms",
+                      file=sys.stderr)
         except Exception as e:  # fail this group's requests; keep serving
             import sys
 
@@ -291,17 +306,31 @@ class ContinuousBatcher:
     # -- worker loop ---------------------------------------------------------------
 
     def _run(self) -> None:
-        # one-deep dispatch-ahead: chunk k+1 is dispatched BEFORE chunk k's
-        # results are fetched, so the fetch round trip (tens of ms through a
-        # device relay) overlaps chunk k+1's on-device compute. Costs: a new
-        # request attaches one chunk later under saturation, and lane
-        # freeing lags one chunk — the budget guard below skips the
-        # speculative dispatch when no lane can outlive the in-flight chunk
-        # (EOG-finished lanes make the speculative chunk exit in-graph).
-        inflight: tuple | None = None  # (out, n_new, state_k, snapshot_k)
+        # depth-N dispatch-ahead: the GenState chain lives on device, so
+        # chunk k+2 does not need chunk k+1's host-visible results — up to
+        # `depth` chunks stay in flight and the oldest is fetched only once
+        # the pipeline is full. One-deep overlap (round 2) still serialized
+        # compute + fetch RTT per chunk (measured at 1.63B/32 lanes: 118 ms
+        # compute + ~60 ms relay RTT = 180 ms per 32-step chunk); at depth 2
+        # the fetch rides the NEXT chunk's compute. Costs: a lane may decode
+        # up to depth*chunk steps past its budget (the delivery clamp drops
+        # them; all-done chunks exit in-graph via EOG), and lane freeing
+        # lags the pipeline depth under saturation.
+        import os
+        import time as _t
+        from collections import deque
+
+        # depth default 1: on THIS sandbox's relay, d2h fetches serialize
+        # behind all queued compute, so a fetch issued with 2 chunks queued
+        # waits for both (measured 180 -> 300 ms per chunk at depth 2,
+        # 1.63B/32 lanes). On a direct-attached PJRT host transfers overlap
+        # execution and depth 2 hides the fetch entirely — raise it there.
+        depth = max(1, int(os.environ.get("MIOTTS_CHUNK_DEPTH", "1")))
+        dbg = os.environ.get("MIOTTS_BATCH_DEBUG")
+        inflight: deque = deque()  # (out, n_new, state_k, snapshot_k, size)
         while True:
             with self._cv:
-                while (inflight is None and not self._shutdown
+                while (not inflight and not self._shutdown
                        and not self._pending and all(
                            l is None or not l.started for l in self.lanes)):
                     self._cv.wait()
@@ -324,16 +353,20 @@ class ContinuousBatcher:
                 # chunk (the stale chunk's output for that lane is dropped)
                 snapshot = [(i, l) for i, l in enumerate(self.lanes)
                             if l is not None and l.started]
-                inflight_set = ({i for i, _ in inflight[3]}
-                                if inflight is not None else set())
-                inflight_steps = inflight[4] if inflight is not None else 0
-                # would any lane still have token budget after the chunk(s)
+                # steps already in flight per lane OBJECT (an index may have
+                # been re-attached; the new request owes nothing for the old
+                # one's in-flight steps)
+                steps_inflight: dict[int, int] = {}
+                for chk in inflight:
+                    for _i, lobj in chk[1]:
+                        steps_inflight[id(lobj)] = (
+                            steps_inflight.get(id(lobj), 0) + chk[2])
+                # would any lane still have token budget after the chunks
                 # already in flight? If not, a speculative dispatch can only
                 # produce tokens the budget clamp drops.
                 worth_dispatching = any(
-                    (l.generated + (inflight_steps if i in inflight_set else 0))
-                    < l.n_predict
-                    for i, l in snapshot)
+                    (l.generated + steps_inflight.get(id(l), 0)) < l.n_predict
+                    for _i, l in snapshot)
                 # first-chunk ramp: any fresh lane in this dispatch -> small
                 # chunk (its first tokens surface ~(chunk-first_chunk) steps
                 # earlier)
@@ -341,7 +374,8 @@ class ContinuousBatcher:
                         if any(l.dispatched == 0 for _, l in snapshot)
                         else self.chunk)
 
-            dispatched: tuple | None = None
+            t0 = _t.perf_counter()
+            dispatched = False
             if snapshot and worth_dispatching:
                 for _, l in snapshot:
                     l.dispatched += size
@@ -351,32 +385,50 @@ class ContinuousBatcher:
                         size, sampler, state)
                     with self._cv:
                         self.state = state
-                    dispatched = (out, n_new, state, snapshot, size)
+                    # start the d2h copy NOW, before anything else enters
+                    # the device queue — the transfer then fires as soon as
+                    # this chunk's compute finishes
+                    packed = start_chunk_fetch(out, n_new, state)
+                    inflight.append((packed, snapshot, size))
+                    dispatched = True
                 except Exception as e:  # tracing/dispatch failure
-                    self._fail_active_lanes([i for i, _ in snapshot], e)
-                    inflight = None
+                    affected = sorted({i for i, _ in snapshot}
+                                      | {i for chk in inflight
+                                         for i, _ in chk[1]})
+                    self._fail_active_lanes(affected, e)
+                    inflight.clear()
                     continue
+            t1 = _t.perf_counter()
 
-            if inflight is not None:
-                out_k, n_new_k, state_k, snap_k, _size_k = inflight
+            # fetch the oldest chunk once the pipeline is full — or when
+            # nothing new was dispatched (no compute left to hide the RTT
+            # behind, so drain)
+            if inflight and (len(inflight) > depth or not dispatched):
+                packed_k, snap_k, _size_k = inflight.popleft()
                 try:
                     # single packed fetch: three separate np.asarray calls
                     # pay three device round trips per chunk
-                    out_np, n_np, done_np = fetch_chunk_result(
-                        out_k, n_new_k, state_k)
+                    out_np, n_np, done_np = finish_chunk_fetch(packed_k)
                 except Exception as e:  # device failure: fail the affected
                     # requests and reset the batch state — the worker must
                     # keep serving (a dead loop would hang every submit),
-                    # and the speculatively dispatched chunk built on the
-                    # poisoned state is discarded with it
+                    # and the speculatively dispatched chunks built on the
+                    # poisoned state are discarded with it
                     affected = sorted({i for i, _ in snap_k}
-                                      | ({i for i, _ in dispatched[3]}
-                                         if dispatched else set()))
+                                      | {i for chk in inflight
+                                         for i, _ in chk[1]})
                     self._fail_active_lanes(affected, e)
-                    inflight = None
+                    inflight.clear()
                     continue
                 self._deliver_chunk(out_np, n_np, done_np, snap_k)
-            inflight = dispatched
+            if dbg and (snapshot or inflight):
+                import sys
+
+                print(f"chunk: size={size} active={len(snapshot)} "
+                      f"depth={len(inflight)} "
+                      f"dispatch={(t1 - t0) * 1e3:.1f}ms "
+                      f"fetch+deliver={(_t.perf_counter() - t1) * 1e3:.1f}ms",
+                      file=sys.stderr)
 
     def _deliver_chunk(self, out_np, n_np, done_np, snapshot) -> None:
         with self._cv:
