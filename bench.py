@@ -189,7 +189,7 @@ def main() -> int:
     def dispatch_codec():
         # async: returns the packed device array without blocking
         audio, n = synth(cw, codes_j, clen, cond)
-        return _pack_pcm16(audio, n)
+        return _pack_pcm16(audio, n, audio.shape[0])
 
     def fetch_codec(packed):
         flat = np.asarray(packed)  # real device->host fetch (relay barrier)
@@ -417,7 +417,7 @@ def main() -> int:
 
         def dispatch_voc():
             audio, n = msynth(mw, mcodes, mlen, mcond)
-            return _pack_pcm16(audio, n)
+            return _pack_pcm16(audio, n, audio.shape[0])
 
         def fetch_voc(packed):
             np.asarray(packed)
