@@ -93,10 +93,11 @@ def _apply_platform_env() -> None:
 
 
 def _make_llm_engine(args):
-    """LLM engine selection: the XLA engine by default; the native int8 CPU
-    engine (models/llm_cpu.py) on CPU-only hosts for local real-time decode
-    — "auto" picks it when the backend is CPU and the GGUF already carries
-    Q8_0 matmul weights (the shipped MioTTS-0.1B-Q8_0 format)."""
+    """LLM engine selection: the XLA engine by default; the native int8/int4
+    CPU engine (models/llm_cpu.py) on CPU-only hosts for local real-time
+    decode — "auto" picks it when the backend is CPU and the GGUF already
+    carries Q8_0 or Q4_0 matmul weights (the shipped MioTTS-0.1B-Q8_0
+    format, or a standard llama.cpp 4-bit export)."""
     from .models.llm import LLMEngine
 
     mode = getattr(args, "cpu_native", "auto")
@@ -105,9 +106,11 @@ def _make_llm_engine(args):
 
         if jax.default_backend() == "cpu":
             try:
-                from .models.llm_cpu import NativeCpuLLMEngine, gguf_llm_is_q8
+                from .models.llm_cpu import (
+                    NativeCpuLLMEngine, gguf_llm_cpu_native_ok,
+                )
 
-                if mode == "on" or gguf_llm_is_q8(args.model):
+                if mode == "on" or gguf_llm_cpu_native_ok(args.model):
                     return NativeCpuLLMEngine(args.model)
             except Exception:
                 if mode == "on":

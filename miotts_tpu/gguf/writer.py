@@ -111,6 +111,25 @@ class GGUFWriter:
 
         self._tensors.append((name, _Q8Blob, GGMLType.Q8_0))
 
+    def add_tensor_q4_0(self, name: str, array: np.ndarray) -> None:
+        """Write a 2-D f32 weight as Q4_0 blocks (the standard llama.cpp
+        4-bit export: per-32 f16 scale + 16 nibble bytes, +8 bias)."""
+        from ..runtime.native import q4_quantize_weights
+
+        arr = np.ascontiguousarray(array, np.float32)
+        assert arr.ndim == 2 and arr.shape[1] % 32 == 0, arr.shape
+        raw = q4_quantize_weights(arr)
+
+        class _Q4Blob:
+            shape = arr.shape
+            ndim = 2
+
+            @staticmethod
+            def tobytes() -> bytes:
+                return raw.tobytes()
+
+        self._tensors.append((name, _Q4Blob, GGMLType.Q4_0))
+
     # -- write ----------------------------------------------------------------
 
     def write(self) -> None:

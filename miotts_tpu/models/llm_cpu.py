@@ -1,16 +1,18 @@
-"""Native int8 CPU LLM engine — local real-time text->speech.
+"""Native int8/int4 CPU LLM engine — local real-time text->speech.
 
 The reference's core promise is LOCAL inference: llama.cpp's int8 CPU gemv
 decodes the 0.1B MioTTS in real time on a laptop (mio-tts-lib.cpp:814 and
 the WASM/mobile apps it powers). XLA:CPU runs the jitted while_loop decode
 at ~2-3 tok/s (strided single-threaded gemvs against jit parameters —
 DESIGN.md "Local CPU fallback"), so this engine keeps the matmul weights as
-GGUF Q8_0 blocks and drives the native block-int8 gemv kernels
+GGUF Q8_0/Q4_0 blocks and drives the native block-quant gemv kernels
 (runtime/native/miotts_runtime.cpp: AVX2 maddubs dot per 32-quant block,
 threaded rows) from a numpy-orchestrated decode step. The matmuls are
 ~99.8% of the per-token FLOPs; rmsnorm/RoPE/attention at dim 768 stay
-numpy. Weight traffic is ~1.06 bytes/param/token, the same arithmetic
-llama.cpp performs — the decode is memory-bandwidth-bound.
+numpy. Weight traffic is ~1.06 bytes/param/token at Q8_0 and ~0.56 at
+Q4_0, the same arithmetic llama.cpp performs — the decode is
+memory-bandwidth-bound, so Q4_0 is ~2x tokens/s (MIOTTS_CPU_QUANT=q4_0
+forces it for any GGUF; Q4_0 payloads run natively without requantizing).
 
 Exposes the LLMEngine generation API (generate_audio_tokens[_streaming]),
 so the CLI can swap it in on CPU-only hosts (MIOTTS_CPU_NATIVE=1 or
@@ -25,24 +27,33 @@ import numpy as np
 
 from ..gguf import GGUFReader
 from ..gguf.quants import GGMLType, dequantize
-from ..runtime.native import Q8Gemv, q8_available, q8_quantize_weights, q8_row_dequant
+from ..runtime.native import (
+    Q4Gemv, Q8Gemv, q4_available, q4_quantize_weights, q4_row_dequant,
+    q8_available, q8_quantize_weights, q8_row_dequant,
+)
 from ..runtime.tokenizer import BPETokenizer
 from .llm import CHAT_TEMPLATE, LLMEngine
 from .sampling import PENALTY_LAST_N, SamplerParams
 
 
-def gguf_llm_is_q8(path: str) -> bool:
-    """True when the GGUF's matmul weights are already Q8_0 (the shipped
-    MioTTS-0.1B-Q8_0 format) — the cheap signal that the native CPU engine
-    can load it without a quantization pass."""
+def gguf_llm_cpu_native_ok(path: str) -> bool:
+    """True when the GGUF's matmul weights are a block format the native
+    CPU gemv runs directly (Q8_0 — the shipped MioTTS-0.1B-Q8_0 format —
+    or Q4_0, the standard llama.cpp 4-bit export) — the cheap signal that
+    the native CPU engine can load it without a quantization pass."""
     try:
         r = GGUFReader(path)
         info = r.tensors.get("blk.0.attn_q.weight")
-        ok = info is not None and info.ggml_type == GGMLType.Q8_0
+        ok = info is not None and info.ggml_type in (
+            GGMLType.Q8_0, GGMLType.Q4_0)
         r.close()
         return ok
     except Exception:
         return False
+
+
+# back-compat alias (pre-Q4 name)
+gguf_llm_is_q8 = gguf_llm_cpu_native_ok
 
 
 def _softmax(x: np.ndarray) -> np.ndarray:
@@ -85,22 +96,45 @@ class NativeCpuLLMEngine(LLMEngine):
         self.rope_neox = arch not in ("llama",)
         self.tokenizer = BPETokenizer.from_gguf_kv(r.kv)
         self.vocab_size = len(self.tokenizer.tokens)
-        self.quantize = "q8_0-cpu"
+        # MIOTTS_CPU_QUANT: auto (default) runs each block payload on its
+        # native kernel (Q8_0/Q4_0 pass through; f32/f16 quantize to q8_0);
+        # q4_0 / q8_0 force-requantize everything to that width. q4_0 halves
+        # weight traffic (the bandwidth-bound gemv runs ~2x tokens/s) at
+        # llama.cpp-Q4_0 quality — the same trade the reference exposes by
+        # shipping llama.cpp, which serves any quant the GGUF carries.
+        force = os.environ.get("MIOTTS_CPU_QUANT", "auto").lower()
+        if force in ("", "auto"):
+            force = None
+        elif force not in ("q4_0", "q8_0"):
+            raise ValueError(f"MIOTTS_CPU_QUANT={force!r} "
+                             "(want auto|q4_0|q8_0)")
+        if force == "q4_0" and not q4_available():
+            raise RuntimeError("native q4 runtime unavailable "
+                               "(rebuild with runtime/build_native.py)")
+        self._kinds: set[str] = set()
 
-        def q8(name):
-            """Matmul weight [N, K] as raw Q8_0 block bytes (native layout:
-            GGUF rows are K-contiguous). f32/f16 tensors (synthetic models)
-            quantize on load; Q8_0 payloads pass through untouched."""
+        def mm(name):
+            """Matmul weight [N, K] as raw quant block bytes (native layout:
+            GGUF rows are K-contiguous). Q8_0/Q4_0 payloads pass through
+            untouched; anything else dequantizes then requantizes to the
+            forced width (default q8_0)."""
             info = r.tensors[name]
             n, k = info.shape  # torch convention [out, in]
-            if info.ggml_type == GGMLType.Q8_0:
-                raw = r.tensor_raw(name).view(np.uint8).copy()  # detach mmap
-            else:
-                flat = dequantize(r.tensor_raw(name), info.ggml_type,
-                                  info.n_elements)
-                raw = q8_quantize_weights(
-                    np.ascontiguousarray(flat.reshape(n, k)))
-            return Q8Gemv(raw, n, k)
+            gt = info.ggml_type
+            if gt == GGMLType.Q8_0 and force in (None, "q8_0"):
+                self._kinds.add("q8_0")
+                return Q8Gemv(r.tensor_raw(name).view(np.uint8).copy(), n, k)
+            if gt == GGMLType.Q4_0 and force in (None, "q4_0") \
+                    and q4_available():
+                self._kinds.add("q4_0")
+                return Q4Gemv(r.tensor_raw(name).view(np.uint8).copy(), n, k)
+            flat = dequantize(r.tensor_raw(name), gt, info.n_elements)
+            w = np.ascontiguousarray(flat.reshape(n, k))
+            if force == "q4_0":
+                self._kinds.add("q4_0")
+                return Q4Gemv(q4_quantize_weights(w), n, k)
+            self._kinds.add("q8_0")
+            return Q8Gemv(q8_quantize_weights(w), n, k)
 
         def f32(name, optional=False):
             if optional and not r.has_tensor(name):
@@ -111,39 +145,55 @@ class NativeCpuLLMEngine(LLMEngine):
         for i in range(self.n_layers):
             L = _Layer()
             L.attn_norm = f32(f"blk.{i}.attn_norm.weight")
-            L.wq = q8(f"blk.{i}.attn_q.weight")
-            L.wk = q8(f"blk.{i}.attn_k.weight")
-            L.wv = q8(f"blk.{i}.attn_v.weight")
-            L.wo = q8(f"blk.{i}.attn_output.weight")
+            L.wq = mm(f"blk.{i}.attn_q.weight")
+            L.wk = mm(f"blk.{i}.attn_k.weight")
+            L.wv = mm(f"blk.{i}.attn_v.weight")
+            L.wo = mm(f"blk.{i}.attn_output.weight")
             L.bq = f32(f"blk.{i}.attn_q.bias", optional=True)
             L.bk = f32(f"blk.{i}.attn_k.bias", optional=True)
             L.bv = f32(f"blk.{i}.attn_v.bias", optional=True)
             L.q_norm = f32(f"blk.{i}.attn_q_norm.weight", optional=True)
             L.k_norm = f32(f"blk.{i}.attn_k_norm.weight", optional=True)
             L.ffn_norm = f32(f"blk.{i}.ffn_norm.weight")
-            L.w_gate = q8(f"blk.{i}.ffn_gate.weight")
-            L.w_up = q8(f"blk.{i}.ffn_up.weight")
-            L.w_down = q8(f"blk.{i}.ffn_down.weight")
+            L.w_gate = mm(f"blk.{i}.ffn_gate.weight")
+            L.w_up = mm(f"blk.{i}.ffn_up.weight")
+            L.w_down = mm(f"blk.{i}.ffn_down.weight")
             self.layers.append(L)
         self.output_norm = f32("output_norm.weight")
         self.tie = not r.has_tensor("output.weight")
-        self.output = None if self.tie else q8("output.weight")
+        self.output = None if self.tie else mm("output.weight")
         # embedding rows dequantize on demand (the [V, D] table is the
         # biggest tensor; only one row is read per token)
         einfo = r.tensors["token_embd.weight"]
-        if einfo.ggml_type == GGMLType.Q8_0:
+        self._embd_kind = "q8_0"
+        if einfo.ggml_type == GGMLType.Q8_0 and force in (None, "q8_0"):
             self._embd_raw = r.tensor_raw("token_embd.weight").view(
                 np.uint8).copy()  # detach mmap
             self._embd_f32 = None
+        elif einfo.ggml_type == GGMLType.Q4_0 and force in (None, "q4_0") \
+                and q4_available():
+            self._embd_raw = r.tensor_raw("token_embd.weight").view(
+                np.uint8).copy()  # detach mmap
+            self._embd_f32 = None
+            self._embd_kind = "q4_0"
         else:
             flat = dequantize(r.tensor_raw("token_embd.weight"),
                               einfo.ggml_type, einfo.n_elements)
             self._embd_f32 = flat.reshape(einfo.shape).astype(np.float32)
-            self._embd_raw = (q8_quantize_weights(self._embd_f32)
-                              if self.tie else None)
+            if not self.tie:
+                self._embd_raw = None
+            elif force == "q4_0":
+                self._embd_raw = q4_quantize_weights(self._embd_f32)
+                self._embd_kind = "q4_0"
+            else:
+                self._embd_raw = q8_quantize_weights(self._embd_f32)
             del flat  # drop the mmap view so close() can release the map
         if self.tie:
-            self.output = Q8Gemv(self._embd_raw, self.vocab_size, self.dim)
+            tied_gemv = Q4Gemv if self._embd_kind == "q4_0" else Q8Gemv
+            self.output = tied_gemv(self._embd_raw, self.vocab_size, self.dim)
+            self._kinds.add(self._embd_kind)
+        self.quantize = ("mixed-cpu" if len(self._kinds) > 1
+                         else f"{next(iter(self._kinds))}-cpu")
         r.close()
 
         # RoPE tables filled lazily per max position
@@ -157,6 +207,8 @@ class NativeCpuLLMEngine(LLMEngine):
     def _embd_row(self, token: int) -> np.ndarray:
         if self._embd_f32 is not None:
             return self._embd_f32[token].copy()
+        if self._embd_kind == "q4_0":
+            return q4_row_dequant(self._embd_raw, token, self.dim)
         return q8_row_dequant(self._embd_raw, token, self.dim)
 
     def _rms(self, x: np.ndarray, w: np.ndarray) -> np.ndarray:

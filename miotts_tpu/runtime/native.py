@@ -42,7 +42,7 @@ def _load():
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.mio_runtime_abi_version.restype = ctypes.c_int
         abi = lib.mio_runtime_abi_version()
-        if abi < 2:
+        if abi < 3:
             # stale library from an older checkout: rebuild once in place
             try:
                 from .build_native import build
@@ -82,6 +82,17 @@ def _load():
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_int]
             lib.mio_q8_row_dequant.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p]
+        if abi >= 3:  # int4 (Q4_0) CPU decode kernels
+            lib.mio_q4_gemv.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int]
+            lib.mio_q4_gemv_f32.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int]
+            lib.mio_q4_row_dequant.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_void_p]
         _lib = lib
@@ -188,4 +199,70 @@ def q8_row_dequant(raw: np.ndarray, row: int, k: int) -> np.ndarray:
     lib = _load()
     out = np.empty(k, np.float32)
     lib.mio_q8_row_dequant(raw.ctypes.data, row, k, out.ctypes.data)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# int4 (Q4_0) CPU decode — W4A8, half the weight traffic of Q8_0. The gemv
+# is memory-bandwidth-bound, so this is ~2x tokens/s on low-bandwidth hosts
+# (the llama.cpp Q4_0 story; block layout matches gguf.quants._dequant_q4_0).
+# ---------------------------------------------------------------------------
+
+def q4_available() -> bool:
+    lib = _load()
+    return lib is not None and lib.mio_runtime_abi_version() >= 3
+
+
+class Q4Gemv:
+    """One Q4_0 weight matrix [N, K] (raw GGUF block bytes: per-32 f16
+    scale + 16 nibble bytes) with reusable activation scratch; y = W @ x."""
+
+    def __init__(self, raw: np.ndarray, n: int, k: int):
+        assert k % 32 == 0, k
+        self.raw = np.ascontiguousarray(raw.reshape(-1).view(np.uint8))
+        assert self.raw.size == n * (k // 32) * 18, (self.raw.size, n, k)
+        self.n = n
+        self.k = k
+        self._q = np.empty(k, np.int8)
+        self._s = np.empty(k // 32, np.float32)
+
+    def __call__(self, x: np.ndarray, out: np.ndarray | None = None,
+                 n_threads: int = 1) -> np.ndarray:
+        lib = _load()
+        x = np.ascontiguousarray(x, np.float32)
+        y = out if out is not None else np.empty(self.n, np.float32)
+        lib.mio_q4_gemv_f32(self.raw.ctypes.data, x.ctypes.data,
+                            self.n, self.k, y.ctypes.data,
+                            self._q.ctypes.data, self._s.ctypes.data,
+                            n_threads)
+        return y
+
+
+def q4_quantize_weights(w: np.ndarray) -> np.ndarray:
+    """f32 [N, K] -> raw Q4_0 block bytes (llama.cpp quantize_row_q4_0
+    arithmetic: scale from the max-|x| element SIGNED value / -8, nibbles
+    biased +8)."""
+    n, k = w.shape
+    assert k % 32 == 0
+    blocks = w.reshape(n, k // 32, 32).astype(np.float32)
+    # value (signed) at the position of max |x| per block
+    idx = np.abs(blocks).argmax(axis=2)
+    vmax = np.take_along_axis(blocks, idx[:, :, None], axis=2)[:, :, 0]
+    d = (vmax / -8.0).astype(np.float32)
+    # store/read the scale as f16 exactly as the kernel will see it
+    d16 = d.astype(np.float16)
+    df = d16.astype(np.float32)
+    inv = np.where(df != 0, 1.0 / np.where(df == 0, 1, df), 0.0)
+    q = np.clip(np.floor(blocks * inv[:, :, None] + 8.5), 0, 15).astype(
+        np.uint8)
+    out = np.empty((n, k // 32, 18), np.uint8)
+    out[:, :, :2] = d16.view(np.uint8).reshape(n, k // 32, 2)
+    out[:, :, 2:] = q[:, :, :16] | (q[:, :, 16:] << 4)
+    return out.reshape(-1)
+
+
+def q4_row_dequant(raw: np.ndarray, row: int, k: int) -> np.ndarray:
+    lib = _load()
+    out = np.empty(k, np.float32)
+    lib.mio_q4_row_dequant(raw.ctypes.data, row, k, out.ctypes.data)
     return out

@@ -396,6 +396,162 @@ void mio_q8_row_dequant(const uint8_t* w, int64_t row, int64_t k, float* out) {
     }
 }
 
-int mio_runtime_abi_version(void) { return 2; }
+// ---------------------------------------------------------------------------
+// Q4_0 decode kernels (W4A8 local path — half the weight traffic of Q8_0)
+//
+// Q4_0 block = f16 scale + 16 bytes of nibbles: element i in 0..15 is the
+// LOW nibble of byte i, element i+16 the HIGH nibble, each biased by +8
+// (llama.cpp ggml block_q4_0; same layout gguf/quants.py:_dequant_q4_0
+// reads). Activations reuse the per-32-block int8 quantization above, so
+// one quantize pass feeds both Q8_0 and Q4_0 matmuls in a mixed model.
+// Memory traffic is ~0.56 bytes/weight — on the bandwidth-bound gemv this
+// is ~2x Q8_0 tokens/s, which is what clears real time on low-bandwidth
+// hosts (DESIGN.md "Local CPU fallback" roofline).
+// ---------------------------------------------------------------------------
+
+#if defined(__AVX2__)
+static inline float q4_row_dot(const uint8_t* row, const int8_t* xq,
+                               const float* xs, int64_t nb) {
+    // nibbles unpack to w in [-8, 7]; fold w's sign into the activation so
+    // maddubs sees u8*s8. Pair sums <= 2*8*127 = 2032 — no i16 saturation.
+    __m256 accf = _mm256_setzero_ps();
+    __m256 accf2 = _mm256_setzero_ps();
+    const __m256i ones16 = _mm256_set1_epi16(1);
+    const __m128i lo_mask = _mm_set1_epi8(0x0F);
+    const __m256i bias8 = _mm256_set1_epi8(8);
+    int64_t b = 0;
+    for (; b + 2 <= nb; b += 2) {
+        const uint8_t* blk = row + b * 18;
+        _mm_prefetch((const char*)(blk + 512), _MM_HINT_T0);
+        uint16_t dh0, dh1;
+        std::memcpy(&dh0, blk, 2);
+        std::memcpy(&dh1, blk + 18, 2);
+        const __m128i qs0 = _mm_loadu_si128((const __m128i*)(blk + 2));
+        const __m128i qs1 = _mm_loadu_si128((const __m128i*)(blk + 20));
+        const __m256i w0 = _mm256_sub_epi8(
+            _mm256_set_m128i(
+                _mm_and_si128(_mm_srli_epi16(qs0, 4), lo_mask),
+                _mm_and_si128(qs0, lo_mask)),
+            bias8);
+        const __m256i w1 = _mm256_sub_epi8(
+            _mm256_set_m128i(
+                _mm_and_si128(_mm_srli_epi16(qs1, 4), lo_mask),
+                _mm_and_si128(qs1, lo_mask)),
+            bias8);
+        const __m256i xb0 = _mm256_loadu_si256((const __m256i*)(xq + b * 32));
+        const __m256i xb1 = _mm256_loadu_si256((const __m256i*)(xq + b * 32 + 32));
+        const __m256i p0 = _mm256_madd_epi16(
+            _mm256_maddubs_epi16(_mm256_sign_epi8(w0, w0),
+                                 _mm256_sign_epi8(xb0, w0)), ones16);
+        const __m256i p1 = _mm256_madd_epi16(
+            _mm256_maddubs_epi16(_mm256_sign_epi8(w1, w1),
+                                 _mm256_sign_epi8(xb1, w1)), ones16);
+        accf = _mm256_fmadd_ps(
+            _mm256_cvtepi32_ps(p0),
+            _mm256_set1_ps(fp16_to_fp32(dh0) * xs[b]), accf);
+        accf2 = _mm256_fmadd_ps(
+            _mm256_cvtepi32_ps(p1),
+            _mm256_set1_ps(fp16_to_fp32(dh1) * xs[b + 1]), accf2);
+    }
+    for (; b < nb; ++b) {
+        const uint8_t* blk = row + b * 18;
+        uint16_t dh;
+        std::memcpy(&dh, blk, 2);
+        const __m128i qs = _mm_loadu_si128((const __m128i*)(blk + 2));
+        const __m256i w = _mm256_sub_epi8(
+            _mm256_set_m128i(
+                _mm_and_si128(_mm_srli_epi16(qs, 4), lo_mask),
+                _mm_and_si128(qs, lo_mask)),
+            bias8);
+        const __m256i xb = _mm256_loadu_si256((const __m256i*)(xq + b * 32));
+        const __m256i p32 = _mm256_madd_epi16(
+            _mm256_maddubs_epi16(_mm256_sign_epi8(w, w),
+                                 _mm256_sign_epi8(xb, w)), ones16);
+        accf = _mm256_fmadd_ps(_mm256_cvtepi32_ps(p32),
+                               _mm256_set1_ps(fp16_to_fp32(dh) * xs[b]), accf);
+    }
+    accf = _mm256_add_ps(accf, accf2);
+    __m128 lo = _mm256_castps256_ps128(accf);
+    __m128 hi = _mm256_extractf128_ps(accf, 1);
+    lo = _mm_add_ps(lo, hi);
+    lo = _mm_hadd_ps(lo, lo);
+    lo = _mm_hadd_ps(lo, lo);
+    return _mm_cvtss_f32(lo);
+}
+#else
+static inline float q4_row_dot(const uint8_t* row, const int8_t* xq,
+                               const float* xs, int64_t nb) {
+    float acc = 0.0f;
+    for (int64_t b = 0; b < nb; ++b) {
+        const uint8_t* blk = row + b * 18;
+        uint16_t dh;
+        std::memcpy(&dh, blk, 2);
+        const uint8_t* qs = blk + 2;
+        const int8_t* xb = xq + b * 32;
+        int32_t isum = 0;
+        for (int i = 0; i < 16; ++i) {
+            isum += ((int32_t)(qs[i] & 0x0F) - 8) * (int32_t)xb[i];
+            isum += ((int32_t)(qs[i] >> 4) - 8) * (int32_t)xb[i + 16];
+        }
+        acc += (float)isum * fp16_to_fp32(dh) * xs[b];
+    }
+    return acc;
+}
+#endif
+
+// y[N] = W[N, K] (raw Q4_0, row-major) @ x (pre-quantized); threaded rows
+void mio_q4_gemv(const uint8_t* w, const int8_t* xq, const float* xs,
+                 int64_t n, int64_t k, float* y, int n_threads) {
+    const int64_t nb = k / 32;
+    const int64_t row_bytes = nb * 18;
+    if (n_threads <= 1) {
+        for (int64_t r = 0; r < n; ++r)
+            y[r] = q4_row_dot(w + r * row_bytes, xq, xs, nb);
+        return;
+    }
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+        const int64_t chunk = 64;
+        for (;;) {
+            const int64_t r0 = next.fetch_add(chunk);
+            if (r0 >= n) break;
+            const int64_t r1 = std::min(n, r0 + chunk);
+            for (int64_t r = r0; r < r1; ++r)
+                y[r] = q4_row_dot(w + r * row_bytes, xq, xs, nb);
+        }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 1; t < n_threads; ++t) pool.emplace_back(worker);
+    worker();
+    for (auto& th : pool) th.join();
+}
+
+// convenience: quantize activation then gemv (one call per matmul)
+void mio_q4_gemv_f32(const uint8_t* w, const float* x, int64_t n, int64_t k,
+                     float* y, int8_t* scratch_q, float* scratch_s,
+                     int n_threads) {
+    mio_q8_quantize_act(x, k, scratch_q, scratch_s);
+    mio_q4_gemv(w, scratch_q, scratch_s, n, k, y, n_threads);
+}
+
+// dequantize one Q4_0 row (tied-embedding lookup)
+void mio_q4_row_dequant(const uint8_t* w, int64_t row, int64_t k, float* out) {
+    const int64_t nb = k / 32;
+    const uint8_t* r = w + row * nb * 18;
+    for (int64_t b = 0; b < nb; ++b) {
+        const uint8_t* blk = r + b * 18;
+        uint16_t dh;
+        std::memcpy(&dh, blk, 2);
+        const float d = fp16_to_fp32(dh);
+        const uint8_t* qs = blk + 2;
+        float* o = out + b * 32;
+        for (int i = 0; i < 16; ++i) {
+            o[i] = d * (float)((int)(qs[i] & 0x0F) - 8);
+            o[i + 16] = d * (float)((int)(qs[i] >> 4) - 8);
+        }
+    }
+}
+
+int mio_runtime_abi_version(void) { return 3; }
 
 }  // extern "C"

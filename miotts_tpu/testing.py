@@ -281,10 +281,12 @@ def write_synthetic_llm_gguf(
     w.add_uint32("tokenizer.ggml.bos_token_id", tokens.index("<|endoftext|>"))
     w.add_bool("tokenizer.ggml.add_bos_token", False)
 
-    # quant="q8_0": matmul weights as Q8_0 block payloads (the shipped
-    # MioTTS-0.1B-Q8_0 storage) — the native CPU engine then loads without
-    # a quantization pass, like a real download
-    mm = w.add_tensor_q8_0 if quant == "q8_0" else w.add_tensor
+    # quant="q8_0"/"q4_0": matmul weights as quant block payloads (the
+    # shipped MioTTS-0.1B-Q8_0 storage, or a llama.cpp 4-bit export) — the
+    # native CPU engine then loads without a quantization pass, like a real
+    # download
+    mm = {"q8_0": w.add_tensor_q8_0,
+          "q4_0": w.add_tensor_q4_0}.get(quant, w.add_tensor)
     w.add_tensor("token_embd.weight", rnd(vocab, dim))
     for i in range(n_layers):
         w.add_tensor(f"blk.{i}.attn_norm.weight", 1.0 + rnd(dim) * 0.05)

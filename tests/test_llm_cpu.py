@@ -150,3 +150,101 @@ def test_cli_cpu_native_flag(tmp_path, engines):
     Args.cpu_native = "auto"  # f32 gguf -> XLA engine
     eng2 = _make_llm_engine(Args)
     assert not isinstance(eng2, NativeCpuLLMEngine)
+
+
+# ---------------------------------------------------------------------------
+# Q4_0 (W4A8) path — half the weight traffic of Q8_0 on the bandwidth-bound
+# gemv; kernel layout must match the repo's own GGUF Q4_0 dequant exactly.
+# ---------------------------------------------------------------------------
+
+from miotts_tpu.runtime.native import (  # noqa: E402
+    Q4Gemv, q4_available, q4_quantize_weights, q4_row_dequant,
+)
+
+q4mark = pytest.mark.skipif(
+    not q4_available(), reason="native q4 runtime unavailable")
+
+
+def _q4_oracle(w: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Independent reference: weights through the package's own Q4_0
+    dequant (gguf.quants), activations per-32-block int8 like the kernel."""
+    from miotts_tpu.gguf.quants import GGMLType, dequantize
+
+    n, k = w.shape
+    wd = dequantize(q4_quantize_weights(w), GGMLType.Q4_0, n * k).reshape(n, k)
+    bx = x.reshape(k // 32, 32)
+    dx = (np.abs(bx).max(1) / 127.0).astype(np.float32)
+    inv = np.where(dx > 0, 1.0 / np.where(dx == 0, 1, dx), 0.0)
+    qx = np.rint(bx * inv[:, None]).astype(np.int8)
+    return (wd @ (qx * dx[:, None]).reshape(k)).astype(np.float32)
+
+
+@q4mark
+@pytest.mark.parametrize("n,k", [(64, 64), (256, 768), (768, 2048), (33, 96)])
+def test_q4_gemv_matches_oracle(n, k):
+    rng = np.random.RandomState(n * 7 + k)
+    w = rng.randn(n, k).astype(np.float32)
+    x = rng.randn(k).astype(np.float32)
+    g = Q4Gemv(q4_quantize_weights(w), n, k)
+    got = g(x)
+    ref = _q4_oracle(w, x)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=2e-3)
+    np.testing.assert_array_equal(got, g(x, n_threads=4))
+
+
+@q4mark
+def test_q4_row_dequant_matches_gguf_dequant():
+    from miotts_tpu.gguf.quants import GGMLType, dequantize
+
+    rng = np.random.RandomState(3)
+    w = rng.randn(9, 128).astype(np.float32)
+    raw = q4_quantize_weights(w)
+    wd = dequantize(raw, GGMLType.Q4_0, w.size).reshape(w.shape)
+    for row in (0, 4, 8):
+        np.testing.assert_allclose(q4_row_dequant(raw, row, 128), wd[row],
+                                   rtol=1e-6, atol=0)
+
+
+@q4mark
+def test_q4_0_gguf_roundtrip_both_engines(tmp_path):
+    """A GGUF written with Q4_0 matmul payloads (a llama.cpp 4-bit export)
+    loads in BOTH engines — the XLA loader dequantizes, the native engine
+    runs the raw blocks — auto-detection flags it, and greedy generations
+    agree (identical effective weights; only activation quantization
+    differs, same as the Q8_0 case)."""
+    from miotts_tpu.models.llm import LLMEngine
+    from miotts_tpu.models.llm_cpu import (
+        NativeCpuLLMEngine, gguf_llm_cpu_native_ok,
+    )
+    from miotts_tpu.models.sampling import SamplerParams
+    from miotts_tpu.testing import write_synthetic_llm_gguf
+
+    path = tmp_path / "llm_q4.gguf"
+    write_synthetic_llm_gguf(str(path), n_audio=96, seed=4, quant="q4_0")
+    assert gguf_llm_cpu_native_ok(str(path))
+    cpu = NativeCpuLLMEngine(str(path))
+    assert cpu.quantize == "q4_0-cpu"
+    xla = LLMEngine(str(path))
+    sp = SamplerParams(temp=0.0, top_k=50, seed=1)
+    got = cpu.generate_audio_tokens("hello", n_predict=16, sampler=sp)
+    ref = xla.generate_audio_tokens("hello", n_predict=16, sampler=sp)
+    assert got == ref
+
+
+@q4mark
+def test_cpu_quant_force_q4(tmp_path, monkeypatch):
+    """MIOTTS_CPU_QUANT=q4_0 requantizes an f32 GGUF to int4 on load and
+    the decode stays deterministic and audio-token-valid."""
+    from miotts_tpu.models.llm_cpu import NativeCpuLLMEngine
+    from miotts_tpu.models.sampling import SamplerParams
+    from miotts_tpu.testing import write_synthetic_llm_gguf
+
+    path = tmp_path / "llm_f32.gguf"
+    write_synthetic_llm_gguf(str(path), n_audio=96, seed=5)
+    monkeypatch.setenv("MIOTTS_CPU_QUANT", "q4_0")
+    cpu = NativeCpuLLMEngine(str(path))
+    assert cpu.quantize == "q4_0-cpu"
+    sp = SamplerParams(temp=0.8, top_k=40, seed=9)
+    a = cpu.generate_audio_tokens("force q4", n_predict=12, sampler=sp)
+    b = cpu.generate_audio_tokens("force q4", n_predict=12, sampler=sp)
+    assert a == b and len(a) > 0
