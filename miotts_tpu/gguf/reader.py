@@ -117,6 +117,11 @@ class GGUFReader:
             key = self._read_str()
             vtype = self._read("<I")
             self.kv[key] = self._read_value(vtype)
+        # byte span of the serialized KV section (starts right after the
+        # 24-byte header) — lets tools rewrite tensor payloads while copying
+        # the metadata verbatim (convert/quantize.py)
+        self.n_kv = n_kv
+        self.kv_end = self._pos
 
         infos = []
         for _ in range(n_tensors):

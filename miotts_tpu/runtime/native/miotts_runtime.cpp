@@ -270,12 +270,96 @@ void mio_q8_quantize_act(const float* x, int64_t k, int8_t* q, float* s) {
     }
 }
 
+// per-32-block activation sums (for the unsigned-offset dot tricks below:
+// sum((w+128)*x) = dot + 128*bsum for Q8_0, sum((q-8)*x) = dot - 8*bsum for
+// Q4_0 nibbles). Shared across all rows of a gemv call.
+static void act_block_sums(const int8_t* xq, int64_t nb, int32_t* bs) {
+    for (int64_t b = 0; b < nb; ++b) {
+        const int8_t* xb = xq + b * 32;
+        int32_t s = 0;
+        for (int i = 0; i < 32; ++i) s += xb[i];
+        bs[b] = s;
+    }
+}
+
 // one Q8_0 row (k/32 blocks of [f16 scale + 32 int8]) dot a quantized
-// activation
-#if defined(__AVX2__)
+// activation.
+// ISA selection: AVX2 is the default even where AVX-512 VNNI exists —
+// measured on this class of cloud vCPU the 512-bit dpbusd path is SLOWER
+// (throttled/split 512-bit units): q4 large-N gemv 8.6-9.5 ms AVX2 vs
+// 11.4-15.7 ms VNNI, q8 within noise. Build with -DMIOTTS_VNNI to opt in
+// on hardware with full-rate AVX-512.
+#if defined(__AVX512VNNI__) && defined(__AVX512BW__) && defined(MIOTTS_VNNI)
 #include <immintrin.h>
 static inline float q8_row_dot(const uint8_t* row, const int8_t* xq,
-                               const float* xs, int64_t nb) {
+                               const float* xs, const int32_t* bsums,
+                               int64_t nb) {
+    // VPDPBUSD wants u8*s8: bias the weight to unsigned (w+128 = w^0x80)
+    // and correct with -128*sum(x) per block. The 4-product i32 adds
+    // cannot overflow (4*255*127 < 2^31); 2 blocks (64 weights) per step,
+    // two accumulators to hide FMA latency.
+    __m512 accf = _mm512_setzero_ps();
+    __m512 accf2 = _mm512_setzero_ps();
+    const __m512i bias = _mm512_set1_epi8((char)0x80);
+    const __m512i zero = _mm512_setzero_si512();
+    float corr = 0.0f;
+    int64_t b = 0;
+    for (; b + 4 <= nb; b += 4) {
+        const uint8_t* blk = row + b * 34;
+        _mm_prefetch((const char*)(blk + 1024), _MM_HINT_T0);
+        uint16_t dh0, dh1, dh2, dh3;
+        std::memcpy(&dh0, blk, 2);
+        std::memcpy(&dh1, blk + 34, 2);
+        std::memcpy(&dh2, blk + 68, 2);
+        std::memcpy(&dh3, blk + 102, 2);
+        const __m512i w01 = _mm512_inserti64x4(
+            _mm512_castsi256_si512(
+                _mm256_loadu_si256((const __m256i*)(blk + 2))),
+            _mm256_loadu_si256((const __m256i*)(blk + 36)), 1);
+        const __m512i w23 = _mm512_inserti64x4(
+            _mm512_castsi256_si512(
+                _mm256_loadu_si256((const __m256i*)(blk + 70))),
+            _mm256_loadu_si256((const __m256i*)(blk + 104)), 1);
+        const __m512i x01 = _mm512_loadu_si512(xq + b * 32);
+        const __m512i x23 = _mm512_loadu_si512(xq + b * 32 + 64);
+        const __m512i p01 = _mm512_dpbusd_epi32(
+            zero, _mm512_xor_si512(w01, bias), x01);
+        const __m512i p23 = _mm512_dpbusd_epi32(
+            zero, _mm512_xor_si512(w23, bias), x23);
+        const float s0 = fp16_to_fp32(dh0) * xs[b];
+        const float s1 = fp16_to_fp32(dh1) * xs[b + 1];
+        const float s2 = fp16_to_fp32(dh2) * xs[b + 2];
+        const float s3 = fp16_to_fp32(dh3) * xs[b + 3];
+        const __m512 sc01 = _mm512_insertf32x8(
+            _mm512_castps256_ps512(_mm256_set1_ps(s0)),
+            _mm256_set1_ps(s1), 1);
+        const __m512 sc23 = _mm512_insertf32x8(
+            _mm512_castps256_ps512(_mm256_set1_ps(s2)),
+            _mm256_set1_ps(s3), 1);
+        accf = _mm512_fmadd_ps(_mm512_cvtepi32_ps(p01), sc01, accf);
+        accf2 = _mm512_fmadd_ps(_mm512_cvtepi32_ps(p23), sc23, accf2);
+        corr += 128.0f * (s0 * (float)bsums[b] + s1 * (float)bsums[b + 1] +
+                          s2 * (float)bsums[b + 2] + s3 * (float)bsums[b + 3]);
+    }
+    float acc = _mm512_reduce_add_ps(_mm512_add_ps(accf, accf2)) - corr;
+    for (; b < nb; ++b) {
+        const uint8_t* blk = row + b * 34;
+        uint16_t dh;
+        std::memcpy(&dh, blk, 2);
+        const int8_t* wq = (const int8_t*)(blk + 2);
+        const int8_t* xb = xq + b * 32;
+        int32_t isum = 0;
+        for (int i = 0; i < 32; ++i)
+            isum += (int32_t)wq[i] * (int32_t)xb[i];
+        acc += (float)isum * fp16_to_fp32(dh) * xs[b];
+    }
+    return acc;
+}
+#elif defined(__AVX2__)
+#include <immintrin.h>
+static inline float q8_row_dot(const uint8_t* row, const int8_t* xq,
+                               const float* xs, const int32_t* /*bsums*/,
+                               int64_t nb) {
     // llama.cpp-style s8*s8 dot: maddubs wants u8*s8, so fold the weight's
     // sign into the activation (|w| * sign(x, w)); pair sums <= 2*127*127
     // stay under the i16 saturation limit
@@ -330,7 +414,8 @@ static inline float q8_row_dot(const uint8_t* row, const int8_t* xq,
 }
 #else
 static inline float q8_row_dot(const uint8_t* row, const int8_t* xq,
-                               const float* xs, int64_t nb) {
+                               const float* xs, const int32_t* /*bsums*/,
+                               int64_t nb) {
     float acc = 0.0f;
     for (int64_t b = 0; b < nb; ++b) {
         const uint8_t* blk = row + b * 34;
@@ -352,9 +437,12 @@ void mio_q8_gemv(const uint8_t* w, const int8_t* xq, const float* xs,
                  int64_t n, int64_t k, float* y, int n_threads) {
     const int64_t nb = k / 32;
     const int64_t row_bytes = nb * 34;
+    std::vector<int32_t> bsums((size_t)nb);
+    act_block_sums(xq, nb, bsums.data());
+    const int32_t* bs = bsums.data();
     if (n_threads <= 1) {
         for (int64_t r = 0; r < n; ++r)
-            y[r] = q8_row_dot(w + r * row_bytes, xq, xs, nb);
+            y[r] = q8_row_dot(w + r * row_bytes, xq, xs, bs, nb);
         return;
     }
     std::atomic<int64_t> next(0);
@@ -365,7 +453,7 @@ void mio_q8_gemv(const uint8_t* w, const int8_t* xq, const float* xs,
             if (r0 >= n) break;
             const int64_t r1 = std::min(n, r0 + chunk);
             for (int64_t r = r0; r < r1; ++r)
-                y[r] = q8_row_dot(w + r * row_bytes, xq, xs, nb);
+                y[r] = q8_row_dot(w + r * row_bytes, xq, xs, bs, nb);
         }
     };
     std::vector<std::thread> pool;
@@ -409,16 +497,90 @@ void mio_q8_row_dequant(const uint8_t* w, int64_t row, int64_t k, float* out) {
 // hosts (DESIGN.md "Local CPU fallback" roofline).
 // ---------------------------------------------------------------------------
 
-#if defined(__AVX2__)
+#if defined(__AVX512VNNI__) && defined(__AVX512BW__) && defined(MIOTTS_VNNI)
 static inline float q4_row_dot(const uint8_t* row, const int8_t* xq,
-                               const float* xs, int64_t nb) {
-    // nibbles unpack to w in [-8, 7]; fold w's sign into the activation so
-    // maddubs sees u8*s8. Pair sums <= 2*8*127 = 2032 — no i16 saturation.
+                               const float* xs, const int32_t* bsums,
+                               int64_t nb) {
+    // nibbles stay UNSIGNED [0,15] — exactly what VPDPBUSD wants on the u8
+    // side — and the +8 bias is corrected with -8*sum(x) per block. No
+    // sign-folding at all; 2 blocks (64 weights) per dpbusd.
+    __m512 accf = _mm512_setzero_ps();
+    __m512 accf2 = _mm512_setzero_ps();
+    const __m128i m4 = _mm_set1_epi8(0x0F);
+    const __m512i zero = _mm512_setzero_si512();
+    float corr = 0.0f;
+    int64_t b = 0;
+    for (; b + 4 <= nb; b += 4) {
+        const uint8_t* blk = row + b * 18;
+        _mm_prefetch((const char*)(blk + 512), _MM_HINT_T0);
+        uint16_t dh0, dh1, dh2, dh3;
+        std::memcpy(&dh0, blk, 2);
+        std::memcpy(&dh1, blk + 18, 2);
+        std::memcpy(&dh2, blk + 36, 2);
+        std::memcpy(&dh3, blk + 54, 2);
+        const __m128i n0 = _mm_loadu_si128((const __m128i*)(blk + 2));
+        const __m128i n1 = _mm_loadu_si128((const __m128i*)(blk + 20));
+        const __m128i n2 = _mm_loadu_si128((const __m128i*)(blk + 38));
+        const __m128i n3 = _mm_loadu_si128((const __m128i*)(blk + 56));
+        const __m512i w01 = _mm512_inserti64x4(
+            _mm512_castsi256_si512(_mm256_set_m128i(
+                _mm_and_si128(_mm_srli_epi16(n0, 4), m4),
+                _mm_and_si128(n0, m4))),
+            _mm256_set_m128i(_mm_and_si128(_mm_srli_epi16(n1, 4), m4),
+                             _mm_and_si128(n1, m4)), 1);
+        const __m512i w23 = _mm512_inserti64x4(
+            _mm512_castsi256_si512(_mm256_set_m128i(
+                _mm_and_si128(_mm_srli_epi16(n2, 4), m4),
+                _mm_and_si128(n2, m4))),
+            _mm256_set_m128i(_mm_and_si128(_mm_srli_epi16(n3, 4), m4),
+                             _mm_and_si128(n3, m4)), 1);
+        const __m512i x01 = _mm512_loadu_si512(xq + b * 32);
+        const __m512i x23 = _mm512_loadu_si512(xq + b * 32 + 64);
+        const __m512i p01 = _mm512_dpbusd_epi32(zero, w01, x01);
+        const __m512i p23 = _mm512_dpbusd_epi32(zero, w23, x23);
+        const float s0 = fp16_to_fp32(dh0) * xs[b];
+        const float s1 = fp16_to_fp32(dh1) * xs[b + 1];
+        const float s2 = fp16_to_fp32(dh2) * xs[b + 2];
+        const float s3 = fp16_to_fp32(dh3) * xs[b + 3];
+        const __m512 sc01 = _mm512_insertf32x8(
+            _mm512_castps256_ps512(_mm256_set1_ps(s0)),
+            _mm256_set1_ps(s1), 1);
+        const __m512 sc23 = _mm512_insertf32x8(
+            _mm512_castps256_ps512(_mm256_set1_ps(s2)),
+            _mm256_set1_ps(s3), 1);
+        accf = _mm512_fmadd_ps(_mm512_cvtepi32_ps(p01), sc01, accf);
+        accf2 = _mm512_fmadd_ps(_mm512_cvtepi32_ps(p23), sc23, accf2);
+        corr += 8.0f * (s0 * (float)bsums[b] + s1 * (float)bsums[b + 1] +
+                        s2 * (float)bsums[b + 2] + s3 * (float)bsums[b + 3]);
+    }
+    float acc = _mm512_reduce_add_ps(_mm512_add_ps(accf, accf2)) - corr;
+    for (; b < nb; ++b) {
+        const uint8_t* blk = row + b * 18;
+        uint16_t dh;
+        std::memcpy(&dh, blk, 2);
+        const uint8_t* qs = blk + 2;
+        const int8_t* xb = xq + b * 32;
+        int32_t isum = 0;
+        for (int i = 0; i < 16; ++i) {
+            isum += ((int32_t)(qs[i] & 0x0F) - 8) * (int32_t)xb[i];
+            isum += ((int32_t)(qs[i] >> 4) - 8) * (int32_t)xb[i + 16];
+        }
+        acc += (float)isum * fp16_to_fp32(dh) * xs[b];
+    }
+    return acc;
+}
+#elif defined(__AVX2__)
+static inline float q4_row_dot(const uint8_t* row, const int8_t* xq,
+                               const float* xs, const int32_t* bsums,
+                               int64_t nb) {
+    // nibbles stay UNSIGNED [0,15] so maddubs needs no sign-folding (pair
+    // sums <= 2*15*127 = 3810 — no i16 saturation); the +8 bias is
+    // corrected with -8*sum(x) per block.
     __m256 accf = _mm256_setzero_ps();
     __m256 accf2 = _mm256_setzero_ps();
     const __m256i ones16 = _mm256_set1_epi16(1);
     const __m128i lo_mask = _mm_set1_epi8(0x0F);
-    const __m256i bias8 = _mm256_set1_epi8(8);
+    float corr = 0.0f;
     int64_t b = 0;
     for (; b + 2 <= nb; b += 2) {
         const uint8_t* blk = row + b * 18;
@@ -428,47 +590,41 @@ static inline float q4_row_dot(const uint8_t* row, const int8_t* xq,
         std::memcpy(&dh1, blk + 18, 2);
         const __m128i qs0 = _mm_loadu_si128((const __m128i*)(blk + 2));
         const __m128i qs1 = _mm_loadu_si128((const __m128i*)(blk + 20));
-        const __m256i w0 = _mm256_sub_epi8(
-            _mm256_set_m128i(
-                _mm_and_si128(_mm_srli_epi16(qs0, 4), lo_mask),
-                _mm_and_si128(qs0, lo_mask)),
-            bias8);
-        const __m256i w1 = _mm256_sub_epi8(
-            _mm256_set_m128i(
-                _mm_and_si128(_mm_srli_epi16(qs1, 4), lo_mask),
-                _mm_and_si128(qs1, lo_mask)),
-            bias8);
+        const __m256i w0 = _mm256_set_m128i(
+            _mm_and_si128(_mm_srli_epi16(qs0, 4), lo_mask),
+            _mm_and_si128(qs0, lo_mask));
+        const __m256i w1 = _mm256_set_m128i(
+            _mm_and_si128(_mm_srli_epi16(qs1, 4), lo_mask),
+            _mm_and_si128(qs1, lo_mask));
         const __m256i xb0 = _mm256_loadu_si256((const __m256i*)(xq + b * 32));
         const __m256i xb1 = _mm256_loadu_si256((const __m256i*)(xq + b * 32 + 32));
         const __m256i p0 = _mm256_madd_epi16(
-            _mm256_maddubs_epi16(_mm256_sign_epi8(w0, w0),
-                                 _mm256_sign_epi8(xb0, w0)), ones16);
+            _mm256_maddubs_epi16(w0, xb0), ones16);
         const __m256i p1 = _mm256_madd_epi16(
-            _mm256_maddubs_epi16(_mm256_sign_epi8(w1, w1),
-                                 _mm256_sign_epi8(xb1, w1)), ones16);
-        accf = _mm256_fmadd_ps(
-            _mm256_cvtepi32_ps(p0),
-            _mm256_set1_ps(fp16_to_fp32(dh0) * xs[b]), accf);
-        accf2 = _mm256_fmadd_ps(
-            _mm256_cvtepi32_ps(p1),
-            _mm256_set1_ps(fp16_to_fp32(dh1) * xs[b + 1]), accf2);
+            _mm256_maddubs_epi16(w1, xb1), ones16);
+        const float s0 = fp16_to_fp32(dh0) * xs[b];
+        const float s1 = fp16_to_fp32(dh1) * xs[b + 1];
+        accf = _mm256_fmadd_ps(_mm256_cvtepi32_ps(p0),
+                               _mm256_set1_ps(s0), accf);
+        accf2 = _mm256_fmadd_ps(_mm256_cvtepi32_ps(p1),
+                                _mm256_set1_ps(s1), accf2);
+        corr += 8.0f * (s0 * (float)bsums[b] + s1 * (float)bsums[b + 1]);
     }
     for (; b < nb; ++b) {
         const uint8_t* blk = row + b * 18;
         uint16_t dh;
         std::memcpy(&dh, blk, 2);
         const __m128i qs = _mm_loadu_si128((const __m128i*)(blk + 2));
-        const __m256i w = _mm256_sub_epi8(
-            _mm256_set_m128i(
-                _mm_and_si128(_mm_srli_epi16(qs, 4), lo_mask),
-                _mm_and_si128(qs, lo_mask)),
-            bias8);
+        const __m256i w = _mm256_set_m128i(
+            _mm_and_si128(_mm_srli_epi16(qs, 4), lo_mask),
+            _mm_and_si128(qs, lo_mask));
         const __m256i xb = _mm256_loadu_si256((const __m256i*)(xq + b * 32));
         const __m256i p32 = _mm256_madd_epi16(
-            _mm256_maddubs_epi16(_mm256_sign_epi8(w, w),
-                                 _mm256_sign_epi8(xb, w)), ones16);
+            _mm256_maddubs_epi16(w, xb), ones16);
+        const float s = fp16_to_fp32(dh) * xs[b];
         accf = _mm256_fmadd_ps(_mm256_cvtepi32_ps(p32),
-                               _mm256_set1_ps(fp16_to_fp32(dh) * xs[b]), accf);
+                               _mm256_set1_ps(s), accf);
+        corr += 8.0f * s * (float)bsums[b];
     }
     accf = _mm256_add_ps(accf, accf2);
     __m128 lo = _mm256_castps256_ps128(accf);
@@ -476,11 +632,12 @@ static inline float q4_row_dot(const uint8_t* row, const int8_t* xq,
     lo = _mm_add_ps(lo, hi);
     lo = _mm_hadd_ps(lo, lo);
     lo = _mm_hadd_ps(lo, lo);
-    return _mm_cvtss_f32(lo);
+    return _mm_cvtss_f32(lo) - corr;
 }
 #else
 static inline float q4_row_dot(const uint8_t* row, const int8_t* xq,
-                               const float* xs, int64_t nb) {
+                               const float* xs, const int32_t* /*bsums*/,
+                               int64_t nb) {
     float acc = 0.0f;
     for (int64_t b = 0; b < nb; ++b) {
         const uint8_t* blk = row + b * 18;
@@ -504,9 +661,12 @@ void mio_q4_gemv(const uint8_t* w, const int8_t* xq, const float* xs,
                  int64_t n, int64_t k, float* y, int n_threads) {
     const int64_t nb = k / 32;
     const int64_t row_bytes = nb * 18;
+    std::vector<int32_t> bsums((size_t)nb);
+    act_block_sums(xq, nb, bsums.data());
+    const int32_t* bs = bsums.data();
     if (n_threads <= 1) {
         for (int64_t r = 0; r < n; ++r)
-            y[r] = q4_row_dot(w + r * row_bytes, xq, xs, nb);
+            y[r] = q4_row_dot(w + r * row_bytes, xq, xs, bs, nb);
         return;
     }
     std::atomic<int64_t> next(0);
@@ -517,7 +677,7 @@ void mio_q4_gemv(const uint8_t* w, const int8_t* xq, const float* xs,
             if (r0 >= n) break;
             const int64_t r1 = std::min(n, r0 + chunk);
             for (int64_t r = r0; r < r1; ++r)
-                y[r] = q4_row_dot(w + r * row_bytes, xq, xs, nb);
+                y[r] = q4_row_dot(w + r * row_bytes, xq, xs, bs, nb);
         }
     };
     std::vector<std::thread> pool;
