@@ -65,10 +65,30 @@ class MioTTSEngine:
             if self._llm is None:
                 if not self.llm_model_path:
                     raise ValueError("LLM model path is not configured")
-                from .models.llm import LLMEngine
-
-                self._llm = LLMEngine(self.llm_model_path)
+                self._llm = self._make_llm()
             return self._llm
+
+    def _make_llm(self):
+        """Engine selection mirrors the CLI (--cpu-native auto): on a
+        CPU-only backend a Q8_0/Q4_0 GGUF runs the native block-quant
+        engine — the embedded/mobile analog is exactly where the local
+        llama.cpp-class decode path matters (mio-tts-mobile-shared.hpp
+        wraps llama.cpp the same way)."""
+        import jax
+
+        if jax.default_backend() == "cpu":
+            try:
+                from .models.llm_cpu import (
+                    NativeCpuLLMEngine, gguf_llm_cpu_native_ok,
+                )
+
+                if gguf_llm_cpu_native_ok(self.llm_model_path):
+                    return NativeCpuLLMEngine(self.llm_model_path)
+            except Exception:
+                pass
+        from .models.llm import LLMEngine
+
+        return LLMEngine(self.llm_model_path)
 
     def unload_llm(self) -> None:
         with self._lock:

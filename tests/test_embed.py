@@ -69,3 +69,29 @@ def test_voice_clone_roundtrip(assets):
     assert wav[:4] == b"RIFF"
     assert eng.remove_reference("cloned")
     assert not eng.remove_reference("cloned")
+
+
+def test_engine_picks_native_cpu_for_quant_gguf(tmp_path):
+    """On a CPU backend a Q4_0 LLM GGUF routes through the native
+    block-quant engine (the mobile/local analog of CLI --cpu-native auto)."""
+    import pytest
+
+    from miotts_tpu.runtime.native import q4_available
+
+    if not q4_available():
+        pytest.skip("native q4 runtime unavailable")
+    from miotts_tpu.embed import MioTTSEngine
+    from miotts_tpu.models.llm_cpu import NativeCpuLLMEngine
+    from miotts_tpu.testing import (
+        tiny_codec_config, write_synthetic_llm_gguf,
+        write_synthetic_miocodec_gguf,
+    )
+
+    cfg = tiny_codec_config()
+    codec = tmp_path / "codec.gguf"
+    llm = tmp_path / "llm_q4.gguf"
+    write_synthetic_miocodec_gguf(str(codec), cfg, seed=0)
+    write_synthetic_llm_gguf(str(llm), n_audio=cfg.vocab_size, seed=1,
+                             quant="q4_0")
+    eng = MioTTSEngine(str(codec), llm_model=str(llm))
+    assert isinstance(eng._ensure_llm(), NativeCpuLLMEngine)
