@@ -50,10 +50,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--llm-quant", dest="llm_quant", default="",
                    choices=["", "bf16", "output", "q8_0", "int8"],
                    help="LLM weight numerics (default bf16; int8 = W8A8)")
-    p.add_argument("--cpu-native", dest="cpu_native", default="auto",
+    # env fallback MIOTTS_CPU_NATIVE=1/0 (the knob llm_cpu.py documents)
+    _cpu_native_env = {"1": "on", "on": "on", "0": "off", "off": "off"}.get(
+        os.environ.get("MIOTTS_CPU_NATIVE", "").lower(), "auto")
+    p.add_argument("--cpu-native", dest="cpu_native",
+                   default=_cpu_native_env,
                    choices=["auto", "on", "off"],
-                   help="native int8 CPU LLM decode on CPU-only hosts "
-                        "(auto: when the GGUF is Q8_0)")
+                   help="native int8/int4 CPU LLM decode on CPU-only hosts "
+                        "(auto: when the GGUF is Q8_0/Q4_0; env fallback "
+                        "MIOTTS_CPU_NATIVE=1)")
     p.add_argument("--tts-mio-codes", default="")
     p.add_argument("--tts-mio-codes-in", default="")
     p.add_argument("--tts-mio-codes-out", default="")

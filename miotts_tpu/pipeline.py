@@ -39,17 +39,26 @@ def _pack_audio(audio_row, n_samples):
 
 
 @functools.partial(jax.jit, static_argnums=2)
+def _window_slice(audio, starts, window):
+    """[B, window]: per-lane slice audio[b, starts[b]:starts[b]+window] with
+    zeros beyond each row. Shared by the B=1 pipeline packer below and the
+    batched serving packer (serving/codec_batching.pack_window) so the wire
+    window layout and masking rule cannot drift apart."""
+    T = audio.shape[1]
+    idx = (starts[:, None].astype(jnp.int32)
+           + jnp.arange(window, dtype=jnp.int32)[None, :])
+    win = jnp.take_along_axis(audio, jnp.clip(idx, 0, T - 1), axis=1)
+    return jnp.where(idx < T, win, 0.0)
+
+
 def _pack_audio_window(audio, n_samples, window, starts):
-    """[B*window + B] f32: per-lane slices audio[b, starts[b]:starts[b]+window]
-    (zeros beyond the row) followed by the valid-sample counts.
+    """[B*window + B] f32: per-lane window slices followed by the
+    valid-sample counts.
 
     Streaming prefix re-decodes only need the newly stabilized samples —
     fetching the full padded decode moved ~50x more bytes than the emission
     across a 12-36 MB/s device link (the dominant streaming cost)."""
-    B, T = audio.shape
-    idx = starts[:, None].astype(jnp.int32) + jnp.arange(window, dtype=jnp.int32)[None, :]
-    win = jnp.take_along_axis(audio, jnp.clip(idx, 0, T - 1), axis=1)
-    win = jnp.where(idx < T, win, 0.0).astype(jnp.float32)
+    win = _window_slice(audio, starts, window).astype(jnp.float32)
     return jnp.concatenate([win.reshape(-1),
                             n_samples.astype(jnp.float32).reshape(-1)])
 

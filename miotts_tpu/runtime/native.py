@@ -155,8 +155,11 @@ def q8_available() -> bool:
 
 
 class Q8Gemv:
-    """One Q8_0 weight matrix [N, K] (raw GGUF block bytes) with reusable
-    activation-quantization scratch; y = W @ x per call."""
+    """One Q8_0 weight matrix [N, K] (raw GGUF block bytes); y = W @ x per
+    call. Thread-safe: the activation-quantization scratch is allocated
+    per call (a few hundred bytes — noise next to the dot), so concurrent
+    generations on a shared engine never corrupt each other's
+    activations."""
 
     def __init__(self, raw: np.ndarray, n: int, k: int):
         assert k % 32 == 0, k
@@ -164,18 +167,17 @@ class Q8Gemv:
         assert self.raw.size == n * (k // 32) * 34, (self.raw.size, n, k)
         self.n = n
         self.k = k
-        self._q = np.empty(k, np.int8)
-        self._s = np.empty(k // 32, np.float32)
 
     def __call__(self, x: np.ndarray, out: np.ndarray | None = None,
                  n_threads: int = 1) -> np.ndarray:
         lib = _load()
         x = np.ascontiguousarray(x, np.float32)
         y = out if out is not None else np.empty(self.n, np.float32)
+        q = np.empty(self.k, np.int8)
+        s = np.empty(self.k // 32, np.float32)
         lib.mio_q8_gemv_f32(self.raw.ctypes.data, x.ctypes.data,
                             self.n, self.k, y.ctypes.data,
-                            self._q.ctypes.data, self._s.ctypes.data,
-                            n_threads)
+                            q.ctypes.data, s.ctypes.data, n_threads)
         return y
 
 
@@ -215,7 +217,8 @@ def q4_available() -> bool:
 
 class Q4Gemv:
     """One Q4_0 weight matrix [N, K] (raw GGUF block bytes: per-32 f16
-    scale + 16 nibble bytes) with reusable activation scratch; y = W @ x."""
+    scale + 16 nibble bytes); y = W @ x per call. Per-call scratch for
+    thread safety, same as Q8Gemv."""
 
     def __init__(self, raw: np.ndarray, n: int, k: int):
         assert k % 32 == 0, k
@@ -223,18 +226,17 @@ class Q4Gemv:
         assert self.raw.size == n * (k // 32) * 18, (self.raw.size, n, k)
         self.n = n
         self.k = k
-        self._q = np.empty(k, np.int8)
-        self._s = np.empty(k // 32, np.float32)
 
     def __call__(self, x: np.ndarray, out: np.ndarray | None = None,
                  n_threads: int = 1) -> np.ndarray:
         lib = _load()
         x = np.ascontiguousarray(x, np.float32)
         y = out if out is not None else np.empty(self.n, np.float32)
+        q = np.empty(self.k, np.int8)
+        s = np.empty(self.k // 32, np.float32)
         lib.mio_q4_gemv_f32(self.raw.ctypes.data, x.ctypes.data,
                             self.n, self.k, y.ctypes.data,
-                            self._q.ctypes.data, self._s.ctypes.data,
-                            n_threads)
+                            q.ctypes.data, s.ctypes.data, n_threads)
         return y
 
 

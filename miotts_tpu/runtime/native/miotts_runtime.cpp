@@ -11,10 +11,95 @@
 #include <algorithm>
 #include <atomic>
 #include <cmath>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <functional>
+#include <mutex>
 #include <thread>
 #include <vector>
+
+// ---------------------------------------------------------------------------
+// persistent gemv worker pool
+//
+// The decode step issues ~85 gemv calls per token; spawning and joining
+// std::threads per call costs more than the small dim-768 dots themselves
+// (llama.cpp keeps a persistent pool for the same reason). Workers park on
+// a condition variable between calls; every worker runs the posted body,
+// which claims row chunks from a shared atomic counter, so a run with any
+// worker count is correct. Lazily grown, joined at process exit.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+class GemvPool {
+  public:
+    static GemvPool& get() {
+        static GemvPool pool;
+        return pool;
+    }
+
+    // run `body` on the caller plus up to `extra` pool workers; returns
+    // when every participant has finished. `body` must be re-entrant
+    // (claim work via an atomic counter). Concurrent callers (two engine
+    // threads) serialize on run_m_ — the pool is one shared resource.
+    void run(int extra, const std::function<void()>& body) {
+        std::lock_guard<std::mutex> run_lk(run_m_);
+        {
+            std::unique_lock<std::mutex> lk(m_);
+            while ((int)workers_.size() < extra)
+                workers_.emplace_back(&GemvPool::worker_main, this);
+            body_ = &body;
+            busy_ = (int)workers_.size();
+            ++gen_;
+        }
+        cv_.notify_all();
+        body();
+        std::unique_lock<std::mutex> lk(m_);
+        done_cv_.wait(lk, [&] { return busy_ == 0; });
+        body_ = nullptr;
+    }
+
+    ~GemvPool() {
+        {
+            std::lock_guard<std::mutex> lk(m_);
+            stop_ = true;
+        }
+        cv_.notify_all();
+        for (auto& w : workers_) w.join();
+    }
+
+  private:
+    void worker_main() {
+        uint64_t seen = 0;
+        for (;;) {
+            const std::function<void()>* body;
+            {
+                std::unique_lock<std::mutex> lk(m_);
+                cv_.wait(lk, [&] { return stop_ || gen_ != seen; });
+                if (stop_) return;
+                seen = gen_;
+                body = body_;
+            }
+            (*body)();
+            {
+                std::lock_guard<std::mutex> lk(m_);
+                if (--busy_ == 0) done_cv_.notify_one();
+            }
+        }
+    }
+
+    std::mutex run_m_;
+    std::mutex m_;
+    std::condition_variable cv_, done_cv_;
+    std::vector<std::thread> workers_;
+    const std::function<void()>* body_ = nullptr;
+    uint64_t gen_ = 0;
+    int busy_ = 0;
+    bool stop_ = false;
+};
+
+}  // namespace
 
 extern "C" {
 
@@ -440,13 +525,14 @@ void mio_q8_gemv(const uint8_t* w, const int8_t* xq, const float* xs,
     std::vector<int32_t> bsums((size_t)nb);
     act_block_sums(xq, nb, bsums.data());
     const int32_t* bs = bsums.data();
-    if (n_threads <= 1) {
+    // below ~1M weights the condvar wake costs more than it buys
+    if (n_threads <= 1 || n * k < (int64_t)1 << 20) {
         for (int64_t r = 0; r < n; ++r)
             y[r] = q8_row_dot(w + r * row_bytes, xq, xs, bs, nb);
         return;
     }
     std::atomic<int64_t> next(0);
-    auto worker = [&]() {
+    GemvPool::get().run(n_threads - 1, [&]() {
         const int64_t chunk = 64;
         for (;;) {
             const int64_t r0 = next.fetch_add(chunk);
@@ -455,11 +541,7 @@ void mio_q8_gemv(const uint8_t* w, const int8_t* xq, const float* xs,
             for (int64_t r = r0; r < r1; ++r)
                 y[r] = q8_row_dot(w + r * row_bytes, xq, xs, bs, nb);
         }
-    };
-    std::vector<std::thread> pool;
-    for (int t = 1; t < n_threads; ++t) pool.emplace_back(worker);
-    worker();
-    for (auto& th : pool) th.join();
+    });
 }
 
 // convenience: quantize activation then gemv (one call per matmul)
@@ -664,13 +746,13 @@ void mio_q4_gemv(const uint8_t* w, const int8_t* xq, const float* xs,
     std::vector<int32_t> bsums((size_t)nb);
     act_block_sums(xq, nb, bsums.data());
     const int32_t* bs = bsums.data();
-    if (n_threads <= 1) {
+    if (n_threads <= 1 || n * k < (int64_t)1 << 20) {
         for (int64_t r = 0; r < n; ++r)
             y[r] = q4_row_dot(w + r * row_bytes, xq, xs, bs, nb);
         return;
     }
     std::atomic<int64_t> next(0);
-    auto worker = [&]() {
+    GemvPool::get().run(n_threads - 1, [&]() {
         const int64_t chunk = 64;
         for (;;) {
             const int64_t r0 = next.fetch_add(chunk);
@@ -679,11 +761,7 @@ void mio_q4_gemv(const uint8_t* w, const int8_t* xq, const float* xs,
             for (int64_t r = r0; r < r1; ++r)
                 y[r] = q4_row_dot(w + r * row_bytes, xq, xs, bs, nb);
         }
-    };
-    std::vector<std::thread> pool;
-    for (int t = 1; t < n_threads; ++t) pool.emplace_back(worker);
-    worker();
-    for (auto& th : pool) th.join();
+    });
 }
 
 // convenience: quantize activation then gemv (one call per matmul)

@@ -199,7 +199,16 @@ class ContinuousBatcher:
             for it in items:
                 groups.setdefault(it[3], []).append(it)
             for bucket in sorted(groups):
-                self._prefill_group(bucket, groups[bucket])
+                # a daemon that dies here leaks every reserved lane and
+                # hangs all future submits — fail the group, keep draining
+                try:
+                    self._prefill_group(bucket, groups[bucket])
+                except Exception as e:
+                    import sys
+
+                    print(f"mio: prefill group failed: {e!r}",
+                          file=sys.stderr)
+                    self._fail_unstarted([it[0] for it in groups[bucket]], e)
 
     def _prefill_group(self, bucket: int, group: list[tuple]) -> None:
         # pad the lane count to a power of two so executable variants stay
@@ -220,9 +229,14 @@ class ContinuousBatcher:
 
         t0 = _t.perf_counter()
         try:
+            # the host->device uploads sit inside the try too: a transient
+            # relay/device failure during them is the same failure class as
+            # a failed prefill dispatch and must not escape to the caller
             logits, new_k, new_v = llm_prefill_kv_jit(
                 self.cfg, self.engine.weights, jnp.asarray(toks),
                 jnp.asarray(lens))
+            attach = (jnp.asarray(lanes), logits, new_k, new_v,
+                      jnp.asarray(lens), jnp.asarray(seeds))
             if os.environ.get("MIOTTS_BATCH_DEBUG"):
                 import sys
 
@@ -233,22 +247,23 @@ class ContinuousBatcher:
             import sys
 
             print(f"mio: batched prefill failed: {e!r}", file=sys.stderr)
-            with self._cv:
-                for lane_idx, *_ in group:
-                    lane = self.lanes[lane_idx]
-                    if lane is not None and not lane.started:
-                        lane.handle.error = e
-                        lane.handle._q.put(None)
-                        self.lanes[lane_idx] = None
-                        self._pens[lane_idx] = 1.0
-                self._cv.notify_all()
+            self._fail_unstarted([it[0] for it in group], e)
             return
         with self._cv:
-            self._pending.append((
-                [it[0] for it in group],
-                (jnp.asarray(lanes), logits, new_k, new_v,
-                 jnp.asarray(lens), jnp.asarray(seeds)),
-            ))
+            self._pending.append(([it[0] for it in group], attach))
+            self._cv.notify_all()
+
+    def _fail_unstarted(self, lane_idxs: list[int], exc: Exception) -> None:
+        """Deliver a prefill/attach failure to not-yet-started lanes and
+        free them (started lanes belong to the chunk loop's failure path)."""
+        with self._cv:
+            for lane_idx in lane_idxs:
+                lane = self.lanes[lane_idx]
+                if lane is not None and not lane.started:
+                    lane.handle.error = exc
+                    lane.handle._q.put(None)
+                    self.lanes[lane_idx] = None
+                    self._pens[lane_idx] = 1.0
             self._cv.notify_all()
 
     def warm_prefill(self, bucket: int, n_lanes: int = 1) -> None:
@@ -337,7 +352,24 @@ class ContinuousBatcher:
                 if self._shutdown:
                     return
                 for lane_list, attach_args in self._pending:
-                    self.state = attach_lanes(self.state, *attach_args)
+                    # a failed attach (poisoned device arrays after a
+                    # fault, relay error) must not kill the worker thread —
+                    # fail just this group's requests and keep serving
+                    try:
+                        self.state = attach_lanes(self.state, *attach_args)
+                    except Exception as e:
+                        import sys
+
+                        print(f"mio: lane attach failed: {e!r}",
+                              file=sys.stderr)
+                        for lane_idx in lane_list:
+                            lane = self.lanes[lane_idx]
+                            if lane is not None and not lane.started:
+                                lane.handle.error = e
+                                lane.handle._q.put(None)
+                                self.lanes[lane_idx] = None
+                                self._pens[lane_idx] = 1.0
+                        continue
                     for lane_idx in lane_list:
                         lane = self.lanes[lane_idx]
                         if lane is not None:

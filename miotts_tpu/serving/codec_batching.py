@@ -51,17 +51,16 @@ def _jit_packers():
 
     @functools.partial(jax.jit, static_argnums=(3, 4, 5))
     def pack_window(audio, n_samples, starts, window, n_lanes, pcm16):
-        # per-lane slice audio[b, starts[b]:starts[b]+window] (zeros beyond
-        # the row) + valid counts, optionally PCM16-quantized on device: a
-        # streaming feed emits a tiny slice of the decode, so this is the
-        # only data that needs to cross the relay
-        audio = audio[:n_lanes]
-        starts = starts[:n_lanes].astype(jnp.int32)
+        # per-lane window slice (the shared pipeline._window_slice — one
+        # wire layout/masking rule for B=1 and batched paths) + valid
+        # counts, optionally PCM16-quantized on device: a streaming feed
+        # emits a tiny slice of the decode, so this is the only data that
+        # needs to cross the relay
+        from ..pipeline import _window_slice
+
         n = n_samples[:n_lanes].astype(jnp.int32)
-        T = audio.shape[1]
-        idx = starts[:, None] + jnp.arange(window, dtype=jnp.int32)[None, :]
-        win = jnp.take_along_axis(audio, jnp.clip(idx, 0, T - 1), axis=1)
-        win = jnp.where(idx < T, win, 0.0)
+        win = _window_slice(audio[:n_lanes],
+                            starts[:n_lanes].astype(jnp.int32), window)
         if pcm16:
             pcm = jnp.rint(jnp.clip(win, -1.0, 1.0) * 32767.0).astype(jnp.int16)
             n16 = jax.lax.bitcast_convert_type(n, jnp.int16).reshape(-1)

@@ -216,13 +216,21 @@ class ServingEngine:
                            or [max(8, max_prompt)])
             warm_calls += [(b, None) for b in llm_buckets]
             # simultaneous submits coalesce into one multi-lane prefill
-            # (pow2 lane ladder, batching._prefill_group); warm the
-            # full-burst variant for the small buckets in the background —
-            # intermediate lane counts compile on first use and persist
+            # (pow2 lane ladder, batching._prefill_group); warm the WHOLE
+            # pow2 ladder for the small buckets in the background — drain
+            # timing makes group sizes nondeterministic, so any un-warmed
+            # intermediate size (2, 4, ...) costs the first matching burst
+            # a cold compile through the relay (measured: conc=8 TTFA p50
+            # 4.7 s on the first round vs 358 ms steady)
             burst = 1 << max(0, self.batcher.n_lanes - 1).bit_length()
-            if burst > 1:
-                warm_calls += [(b, {"prefill_lanes": burst})
-                               for b in llm_buckets if b <= 128]
+            lanes_ladder = []
+            g = 2
+            while g <= burst:
+                lanes_ladder.append(g)
+                g *= 2
+            warm_calls += [(b, {"prefill_lanes": g})
+                           for b in llm_buckets if b <= 128
+                           for g in lanes_ladder]
 
         def do_warm(bk):
             bucket, kw = bk

@@ -173,3 +173,64 @@ def test_from_arrays_engine_through_batcher(tmp_path):
     finally:
         b1.shutdown()
         b2.shutdown()
+
+
+def test_prefill_thread_survives_group_failure(batcher, monkeypatch):
+    """An exception escaping _prefill_group (e.g. a failed host->device
+    upload — NOT the prefill dispatch the inner try already covers) must
+    fail that group's requests and leave the prefill daemon draining; a
+    dead daemon would leak the reserved lanes and hang every later
+    submit."""
+    from miotts_tpu.serving.batching import ContinuousBatcher
+
+    eng, _shared = batcher
+    b = ContinuousBatcher(eng, n_lanes=2, max_ctx=160, chunk=8, seed=0)
+    try:
+        real = b._prefill_group
+        calls = {"n": 0}
+
+        def boom(bucket, group):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected upload failure")
+            return real(bucket, group)
+
+        monkeypatch.setattr(b, "_prefill_group", boom)
+        h = b.submit("fail in prefill", n_predict=8)
+        with pytest.raises(RuntimeError, match="injected upload failure"):
+            h.collect()
+        # lane freed + daemon alive: a new request completes normally
+        h2 = b.submit("works again", n_predict=8)
+        assert len(h2.collect()) > 0
+        assert any(l is None for l in b.lanes)
+    finally:
+        b.shutdown()
+
+
+def test_worker_survives_attach_failure(batcher, monkeypatch):
+    """A failed attach_lanes in the worker loop (poisoned prefill arrays
+    after a device fault) must fail only that group and keep the worker
+    thread alive for subsequent requests."""
+    import miotts_tpu.serving.batching as bmod
+    from miotts_tpu.serving.batching import ContinuousBatcher
+
+    eng, _shared = batcher
+    b = ContinuousBatcher(eng, n_lanes=2, max_ctx=160, chunk=8, seed=0)
+    try:
+        real = bmod.attach_lanes
+        calls = {"n": 0}
+
+        def boom(state, *args):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected attach failure")
+            return real(state, *args)
+
+        monkeypatch.setattr(bmod, "attach_lanes", boom)
+        h = b.submit("fail in attach", n_predict=8)
+        with pytest.raises(RuntimeError, match="injected attach failure"):
+            h.collect()
+        h2 = b.submit("works again", n_predict=8)
+        assert len(h2.collect()) > 0
+    finally:
+        b.shutdown()

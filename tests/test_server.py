@@ -638,9 +638,17 @@ def test_warmup_covers_default_buckets(tmp_path):
         reference_file_json=json.dumps({"key": "p", "path": str(emb_path)}),
     )
     eng = ServingEngine(cfg)
+    # llm_prefill_KV_jit is the executable the serving path actually
+    # compiles (ContinuousBatcher.submit/warm_prefill) — monitoring the
+    # legacy llm_prefill_jit would leave this guard blind to cold prefills
     sizes = lambda: (eng.pipeline._synth_fn._cache_size(),
-                     llm_mod.llm_prefill_jit._cache_size(),
+                     llm_mod.llm_prefill_kv_jit._cache_size(),
                      llm_mod.llm_generate_chunk_batched._cache_size())
+    # the warmup tail (burst-prefill pow2 ladder) runs on a background
+    # thread — wait for it or the snapshot races the warm calls
+    if getattr(eng, "_warmup_bg_thread", None) is not None:
+        eng._warmup_bg_thread.join(timeout=120)
+    assert eng.warmup_bg_done
     warm = sizes()
     # every bucket <= the n_predict ceiling must be warm, including the
     # SMALLER ones (regression: concurrent warm calls once coalesced in the
