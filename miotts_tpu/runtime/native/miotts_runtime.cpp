@@ -440,6 +440,65 @@ static inline float q8_row_dot(const uint8_t* row, const int8_t* xq,
     }
     return acc;
 }
+#elif defined(__AVXVNNI__)
+#include <immintrin.h>
+// AVX-VNNI (256-bit dpbusd — Alder-Lake/Sapphire class, and NOT subject to
+// the 512-bit throttling that made the AVX-512 path lose above): one
+// vpdpbusd replaces the maddubs+madd pair. dpbusd wants u8*s8, so the
+// weight biases to unsigned (w^0x80 = w+128) and -128*sum(x) corrects per
+// block; the 4-product i32 adds cannot overflow (4*255*127 < 2^31).
+static inline float q8_row_dot(const uint8_t* row, const int8_t* xq,
+                               const float* xs, const int32_t* bsums,
+                               int64_t nb) {
+    __m256 accf = _mm256_setzero_ps();
+    __m256 accf2 = _mm256_setzero_ps();
+    const __m256i bias = _mm256_set1_epi8((char)0x80);
+    const __m256i zero = _mm256_setzero_si256();
+    float corr = 0.0f;
+    int64_t b = 0;
+    for (; b + 2 <= nb; b += 2) {
+        const uint8_t* blk = row + b * 34;
+        _mm_prefetch((const char*)(blk + 1024), _MM_HINT_T0);
+        uint16_t dh0, dh1;
+        std::memcpy(&dh0, blk, 2);
+        std::memcpy(&dh1, blk + 34, 2);
+        const __m256i w0 = _mm256_xor_si256(
+            _mm256_loadu_si256((const __m256i*)(blk + 2)), bias);
+        const __m256i w1 = _mm256_xor_si256(
+            _mm256_loadu_si256((const __m256i*)(blk + 36)), bias);
+        const __m256i x0 = _mm256_loadu_si256((const __m256i*)(xq + b * 32));
+        const __m256i x1 = _mm256_loadu_si256(
+            (const __m256i*)(xq + b * 32 + 32));
+        const __m256i p0 = _mm256_dpbusd_avx_epi32(zero, w0, x0);
+        const __m256i p1 = _mm256_dpbusd_avx_epi32(zero, w1, x1);
+        const float s0 = fp16_to_fp32(dh0) * xs[b];
+        const float s1 = fp16_to_fp32(dh1) * xs[b + 1];
+        accf = _mm256_fmadd_ps(_mm256_cvtepi32_ps(p0),
+                               _mm256_set1_ps(s0), accf);
+        accf2 = _mm256_fmadd_ps(_mm256_cvtepi32_ps(p1),
+                                _mm256_set1_ps(s1), accf2);
+        corr += 128.0f * (s0 * (float)bsums[b] + s1 * (float)bsums[b + 1]);
+    }
+    for (; b < nb; ++b) {
+        const uint8_t* blk = row + b * 34;
+        uint16_t dh;
+        std::memcpy(&dh, blk, 2);
+        const __m256i w = _mm256_xor_si256(
+            _mm256_loadu_si256((const __m256i*)(blk + 2)), bias);
+        const __m256i x = _mm256_loadu_si256((const __m256i*)(xq + b * 32));
+        const __m256i p = _mm256_dpbusd_avx_epi32(zero, w, x);
+        const float s = fp16_to_fp32(dh) * xs[b];
+        accf = _mm256_fmadd_ps(_mm256_cvtepi32_ps(p),
+                               _mm256_set1_ps(s), accf);
+        corr += 128.0f * s * (float)bsums[b];
+    }
+    accf = _mm256_add_ps(accf, accf2);
+    __m128 lo = _mm_add_ps(_mm256_castps256_ps128(accf),
+                           _mm256_extractf128_ps(accf, 1));
+    lo = _mm_hadd_ps(lo, lo);
+    lo = _mm_hadd_ps(lo, lo);
+    return _mm_cvtss_f32(lo) - corr;
+}
 #elif defined(__AVX2__)
 #include <immintrin.h>
 static inline float q8_row_dot(const uint8_t* row, const int8_t* xq,
@@ -650,6 +709,67 @@ static inline float q4_row_dot(const uint8_t* row, const int8_t* xq,
         acc += (float)isum * fp16_to_fp32(dh) * xs[b];
     }
     return acc;
+}
+#elif defined(__AVXVNNI__)
+static inline float q4_row_dot(const uint8_t* row, const int8_t* xq,
+                               const float* xs, const int32_t* bsums,
+                               int64_t nb) {
+    // unsigned nibbles feed vpdpbusd directly (u8 side); -8*sum(x)
+    // corrects the +8 bias per block. 256-bit VNNI: no 512-bit throttle.
+    __m256 accf = _mm256_setzero_ps();
+    __m256 accf2 = _mm256_setzero_ps();
+    const __m128i m4 = _mm_set1_epi8(0x0F);
+    const __m256i zero = _mm256_setzero_si256();
+    float corr = 0.0f;
+    int64_t b = 0;
+    for (; b + 2 <= nb; b += 2) {
+        const uint8_t* blk = row + b * 18;
+        _mm_prefetch((const char*)(blk + 512), _MM_HINT_T0);
+        uint16_t dh0, dh1;
+        std::memcpy(&dh0, blk, 2);
+        std::memcpy(&dh1, blk + 18, 2);
+        const __m128i qs0 = _mm_loadu_si128((const __m128i*)(blk + 2));
+        const __m128i qs1 = _mm_loadu_si128((const __m128i*)(blk + 20));
+        const __m256i w0 = _mm256_set_m128i(
+            _mm_and_si128(_mm_srli_epi16(qs0, 4), m4),
+            _mm_and_si128(qs0, m4));
+        const __m256i w1 = _mm256_set_m128i(
+            _mm_and_si128(_mm_srli_epi16(qs1, 4), m4),
+            _mm_and_si128(qs1, m4));
+        const __m256i x0 = _mm256_loadu_si256((const __m256i*)(xq + b * 32));
+        const __m256i x1 = _mm256_loadu_si256(
+            (const __m256i*)(xq + b * 32 + 32));
+        const __m256i p0 = _mm256_dpbusd_avx_epi32(zero, w0, x0);
+        const __m256i p1 = _mm256_dpbusd_avx_epi32(zero, w1, x1);
+        const float s0 = fp16_to_fp32(dh0) * xs[b];
+        const float s1 = fp16_to_fp32(dh1) * xs[b + 1];
+        accf = _mm256_fmadd_ps(_mm256_cvtepi32_ps(p0),
+                               _mm256_set1_ps(s0), accf);
+        accf2 = _mm256_fmadd_ps(_mm256_cvtepi32_ps(p1),
+                                _mm256_set1_ps(s1), accf2);
+        corr += 8.0f * (s0 * (float)bsums[b] + s1 * (float)bsums[b + 1]);
+    }
+    for (; b < nb; ++b) {
+        const uint8_t* blk = row + b * 18;
+        uint16_t dh;
+        std::memcpy(&dh, blk, 2);
+        const __m128i qs = _mm_loadu_si128((const __m128i*)(blk + 2));
+        const __m256i w = _mm256_set_m128i(
+            _mm_and_si128(_mm_srli_epi16(qs, 4), m4),
+            _mm_and_si128(qs, m4));
+        const __m256i x = _mm256_loadu_si256((const __m256i*)(xq + b * 32));
+        const __m256i p = _mm256_dpbusd_avx_epi32(zero, w, x);
+        const float s = fp16_to_fp32(dh) * xs[b];
+        accf = _mm256_fmadd_ps(_mm256_cvtepi32_ps(p),
+                               _mm256_set1_ps(s), accf);
+        corr += 8.0f * s * (float)bsums[b];
+    }
+    accf = _mm256_add_ps(accf, accf2);
+    __m128 lo = _mm_add_ps(_mm256_castps256_ps128(accf),
+                           _mm256_extractf128_ps(accf, 1));
+    lo = _mm_hadd_ps(lo, lo);
+    lo = _mm_hadd_ps(lo, lo);
+    return _mm_cvtss_f32(lo) - corr;
 }
 #elif defined(__AVX2__)
 static inline float q4_row_dot(const uint8_t* row, const int8_t* xq,
