@@ -679,3 +679,20 @@ def test_warmup_covers_default_buckets(tmp_path):
     eng.run_streaming_request(rp, out)
     assert out["ok"]
     assert sizes() == warm, f"cold executables compiled: {sizes()} != {warm}"
+    # a simultaneous burst coalesces into a multi-lane prefill group —
+    # every pow2 group size up to n_parallel must already be warm
+    # (regression: intermediate sizes compiled on first use, costing the
+    # first conc=8 burst 4.7 s TTFA p50 vs 358 ms steady on chip)
+    import concurrent.futures
+
+    def one(i):
+        o: dict = {}
+        r = parse_request_json({"text": f"burst {i}", "reference_key": "p",
+                                "n_predict": 16}, cfg)
+        eng.run_tts_request(r, o)
+        return o["ok"]
+
+    with concurrent.futures.ThreadPoolExecutor(cfg.n_parallel) as ex:
+        assert all(ex.map(one, range(cfg.n_parallel)))
+    assert sizes() == warm, (
+        f"burst compiled a cold prefill group: {sizes()} != {warm}")
