@@ -274,10 +274,25 @@ class ServingEngine:
                 pass
         self.warmup_bg_done = not bg_calls
         if bg_calls:
+            def do_warm_logged(bk):
+                # per-executable progress + failure isolation: one bad or
+                # hung warm call must be visible in the log (a silent bg
+                # tail once wedged with no way to tell which executable)
+                # and must not abort the rest of the tail
+                tw = time.perf_counter()
+                try:
+                    do_warm(bk)
+                    print(f"warmup: bg {bk} in "
+                          f"{time.perf_counter() - tw:.1f}s", file=sys.stderr)
+                except Exception as e:
+                    print(f"warmup: bg {bk} FAILED after "
+                          f"{time.perf_counter() - tw:.1f}s: {e!r}",
+                          file=sys.stderr)
+
             def bg_warm():
                 tb = time.perf_counter()
                 with concurrent.futures.ThreadPoolExecutor(max(1, width)) as ex:
-                    list(ex.map(do_warm, bg_calls))
+                    list(ex.map(do_warm_logged, bg_calls))
                 self.warmup_bg_done = True
                 print(f"warmup: background tail ({len(bg_calls)} "
                       f"executables) done in {time.perf_counter() - tb:.1f}s",
