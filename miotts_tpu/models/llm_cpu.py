@@ -284,6 +284,94 @@ class NativeCpuLLMEngine(LLMEngine):
         h = self._rms(x, self.output_norm)
         return self.output(h, n_threads=nt)
 
+    # -- batched prompt prefill -------------------------------------------------
+
+    PREFILL_BLOCK = 16
+
+    def _rope_block(self, x: np.ndarray, pos0: int) -> np.ndarray:
+        """x: [B, H, D] rotated at absolute positions pos0..pos0+B-1."""
+        B = x.shape[0]
+        cos, sin = self._rope_tables(pos0 + B)
+        c = cos[pos0:pos0 + B][:, None, :]
+        s = sin[pos0:pos0 + B][:, None, :]
+        half = self.head_dim // 2
+        if self.rope_neox:
+            x0, x1 = x[:, :, :half], x[:, :, half:]
+            return np.concatenate([x0 * c - x1 * s, x0 * s + x1 * c], axis=2)
+        xp = x.reshape(B, x.shape[1], half, 2)
+        y0 = xp[:, :, :, 0] * c - xp[:, :, :, 1] * s
+        y1 = xp[:, :, :, 0] * s + xp[:, :, :, 1] * c
+        return np.stack([y0, y1], axis=3).reshape(x.shape)
+
+    def _prefill_block(self, tokens: list[int], pos0: int, kc: np.ndarray,
+                       vc: np.ndarray) -> np.ndarray:
+        """B prompt tokens through all layers in ONE weight pass per matmul
+        (gemm: each weight row read once for all B rows — per-prompt-token
+        weight traffic drops ~B-fold vs the token-by-token _step, which is
+        what llama.cpp's batched prompt eval buys; tts-mio-cli.cpp prompt
+        decode goes through the same llama.cpp path). Fills kc/vc at
+        pos0..pos0+B-1 and returns the LAST token's f32 logits [V]."""
+        H, KV, HD = self.n_heads, self.n_kv, self.head_dim
+        nt = self.n_threads
+        B = len(tokens)
+        eps = self.rms_eps
+        x = np.stack([self._embd_row(int(t)) for t in tokens])  # [B, D]
+        # causal mask vs absolute key positions 0..pos0+B-1
+        kpos = np.arange(pos0 + B)
+        qpos = pos0 + np.arange(B)
+        causal = kpos[None, :] <= qpos[:, None]  # [B, S]
+        for li, L in enumerate(self.layers):
+            h = x * (1.0 / np.sqrt(
+                np.mean(x * x, axis=1, keepdims=True) + eps)) * L.attn_norm
+            q = L.wq.gemm(h, n_threads=nt)
+            k = L.wk.gemm(h, n_threads=nt)
+            v = L.wv.gemm(h, n_threads=nt)
+            if L.bq is not None:
+                q += L.bq
+                k += L.bk
+                v += L.bv
+            q = q.reshape(B, H, HD)
+            k = k.reshape(B, KV, HD)
+            if L.q_norm is not None:
+                q = q * (1.0 / np.sqrt(
+                    np.mean(q * q, axis=2, keepdims=True) + eps)) * L.q_norm
+                k = k * (1.0 / np.sqrt(
+                    np.mean(k * k, axis=2, keepdims=True) + eps)) * L.k_norm
+            q = self._rope_block(q, pos0)
+            k = self._rope_block(k, pos0)
+            kc[li, pos0:pos0 + B] = k
+            vc[li, pos0:pos0 + B] = v.reshape(B, KV, HD)
+            keys = kc[li, :pos0 + B]  # [S, KV, HD]
+            vals = vc[li, :pos0 + B]
+            group = H // KV
+            qg = q.reshape(B, KV, group, HD)
+            scores = np.einsum("bkgd,skd->bkgs", qg, keys) / np.sqrt(HD)
+            scores = np.where(causal[:, None, None, :], scores, -np.inf)
+            probs = _softmax(scores)
+            ctx = np.einsum("bkgs,skd->bkgd", probs, vals).reshape(B, H * HD)
+            x = x + L.wo.gemm(ctx.astype(np.float32), n_threads=nt)
+            h = x * (1.0 / np.sqrt(
+                np.mean(x * x, axis=1, keepdims=True) + eps)) * L.ffn_norm
+            gate = L.w_gate.gemm(h, n_threads=nt)
+            up = L.w_up.gemm(h, n_threads=nt)
+            act = gate / (1.0 + np.exp(-gate)) * up
+            x = x + L.w_down.gemm(act.astype(np.float32), n_threads=nt)
+        h = self._rms(x[-1], self.output_norm)
+        # only the LAST token's logits are sampled — one head gemv per
+        # prompt instead of one per prompt token (the head is the single
+        # biggest weight tensor)
+        return self.output(h, n_threads=nt)
+
+    def _prefill(self, ids, kc: np.ndarray, vc: np.ndarray) -> np.ndarray:
+        """Prompt ids through blocked prefill; returns final logits."""
+        logits = None
+        pos = 0
+        while pos < len(ids):
+            block = [int(t) for t in ids[pos:pos + self.PREFILL_BLOCK]]
+            logits = self._prefill_block(block, pos, kc, vc)
+            pos += len(block)
+        return logits
+
     # -- sampling (numpy mirror of sampling.sample_token) ---------------------
 
     def _sample(self, logits: np.ndarray, sampler: SamplerParams,
@@ -328,9 +416,7 @@ class NativeCpuLLMEngine(LLMEngine):
         kc = np.zeros((self.n_layers, S, self.n_kv, self.head_dim), np.float32)
         vc = np.zeros_like(kc)
         rng = np.random.default_rng(sampler.seed)
-        logits = None
-        for pos, tok in enumerate(ids):
-            logits = self._step(int(tok), pos, kc, vc)
+        logits = self._prefill(ids, kc, vc)
         out: list[int] = []
         ring: list[int] = []
         pos = len(ids)

@@ -42,7 +42,7 @@ def _load():
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.mio_runtime_abi_version.restype = ctypes.c_int
         abi = lib.mio_runtime_abi_version()
-        if abi < 3:
+        if abi < 4:
             # stale library from an older checkout: rebuild once in place
             try:
                 from .build_native import build
@@ -95,6 +95,12 @@ def _load():
             lib.mio_q4_row_dequant.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_void_p]
+        if abi >= 4:  # batched prompt-prefill gemm
+            for f in (lib.mio_q8_gemm_f32, lib.mio_q4_gemm_f32):
+                f.argtypes = [
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                    ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
         _lib = lib
     except OSError:
         return None
@@ -180,6 +186,21 @@ class Q8Gemv:
                             q.ctypes.data, s.ctypes.data, n_threads)
         return y
 
+    def gemm(self, x: np.ndarray, n_threads: int = 1) -> np.ndarray:
+        """[B, K] @ W^T -> [B, N]: each weight row is read once for all B
+        activation rows (batched prompt prefill — weight traffic per
+        prompt token drops ~B-fold vs per-token gemv)."""
+        lib = _load()
+        x = np.ascontiguousarray(x, np.float32)
+        batch = x.shape[0]
+        y = np.empty((batch, self.n), np.float32)
+        q = np.empty(batch * self.k, np.int8)
+        s = np.empty(batch * (self.k // 32), np.float32)
+        lib.mio_q8_gemm_f32(self.raw.ctypes.data, x.ctypes.data,
+                            self.n, self.k, batch, y.ctypes.data,
+                            q.ctypes.data, s.ctypes.data, n_threads)
+        return y
+
 
 def q8_quantize_weights(w: np.ndarray) -> np.ndarray:
     """f32 [N, K] -> raw Q8_0 block bytes (synthetic/converted models; real
@@ -236,6 +257,19 @@ class Q4Gemv:
         s = np.empty(self.k // 32, np.float32)
         lib.mio_q4_gemv_f32(self.raw.ctypes.data, x.ctypes.data,
                             self.n, self.k, y.ctypes.data,
+                            q.ctypes.data, s.ctypes.data, n_threads)
+        return y
+
+    def gemm(self, x: np.ndarray, n_threads: int = 1) -> np.ndarray:
+        """[B, K] @ W^T -> [B, N] (see Q8Gemv.gemm)."""
+        lib = _load()
+        x = np.ascontiguousarray(x, np.float32)
+        batch = x.shape[0]
+        y = np.empty((batch, self.n), np.float32)
+        q = np.empty(batch * self.k, np.int8)
+        s = np.empty(batch * (self.k // 32), np.float32)
+        lib.mio_q4_gemm_f32(self.raw.ctypes.data, x.ctypes.data,
+                            self.n, self.k, batch, y.ctypes.data,
                             q.ctypes.data, s.ctypes.data, n_threads)
         return y
 

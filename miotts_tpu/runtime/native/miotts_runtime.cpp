@@ -892,6 +892,78 @@ void mio_q4_gemv_f32(const uint8_t* w, const float* x, int64_t n, int64_t k,
     mio_q4_gemv(w, scratch_q, scratch_s, n, k, y, n_threads);
 }
 
+// ---------------------------------------------------------------------------
+// batched gemm: Y[B, N] = X[B, K] @ W[N, K]^T (prompt prefill)
+//
+// The decode gemv streams every weight byte per token; a prompt processed
+// token-by-token therefore pays the full model size per prompt token. Here
+// each weight ROW is read once and dotted against all B activation rows
+// while it sits in L1 — weight traffic per prompt token drops ~B-fold
+// (llama.cpp's batched prompt eval does the same). X is pre-quantized
+// per-row to the usual per-32 int8 blocks.
+// ---------------------------------------------------------------------------
+
+static void qgemm_rows(bool is_q4, const uint8_t* w, const int8_t* xq,
+                       const float* xs, const int32_t* bs, int64_t n,
+                       int64_t k, int64_t batch, float* y,
+                       int64_t r0, int64_t r1) {
+    const int64_t nb = k / 32;
+    const int64_t row_bytes = nb * (is_q4 ? 18 : 34);
+    const int64_t sb = nb;  // per-row scale/bsum stride
+    for (int64_t r = r0; r < r1; ++r) {
+        const uint8_t* row = w + r * row_bytes;
+        for (int64_t b = 0; b < batch; ++b) {
+            const float v = is_q4
+                ? q4_row_dot(row, xq + b * k, xs + b * sb, bs + b * sb, nb)
+                : q8_row_dot(row, xq + b * k, xs + b * sb, bs + b * sb, nb);
+            y[b * n + r] = v;
+        }
+    }
+}
+
+static void mio_qgemm(bool is_q4, const uint8_t* w, const int8_t* xq,
+                      const float* xs, int64_t n, int64_t k, int64_t batch,
+                      float* y, int n_threads) {
+    const int64_t nb = k / 32;
+    std::vector<int32_t> bsums((size_t)(nb * batch));
+    for (int64_t b = 0; b < batch; ++b)
+        act_block_sums(xq + b * k, nb, bsums.data() + b * nb);
+    const int32_t* bs = bsums.data();
+    if (n_threads <= 1 || n * k < (int64_t)1 << 20) {
+        qgemm_rows(is_q4, w, xq, xs, bs, n, k, batch, y, 0, n);
+        return;
+    }
+    std::atomic<int64_t> next(0);
+    GemvPool::get().run(n_threads - 1, [&]() {
+        const int64_t chunk = 32;
+        for (;;) {
+            const int64_t r0 = next.fetch_add(chunk);
+            if (r0 >= n) break;
+            qgemm_rows(is_q4, w, xq, xs, bs, n, k, batch, y,
+                       r0, std::min(n, r0 + chunk));
+        }
+    });
+}
+
+// quantize B activation rows then gemm; scratch_q [B*k], scratch_s [B*k/32]
+void mio_q8_gemm_f32(const uint8_t* w, const float* x, int64_t n, int64_t k,
+                     int64_t batch, float* y, int8_t* scratch_q,
+                     float* scratch_s, int n_threads) {
+    for (int64_t b = 0; b < batch; ++b)
+        mio_q8_quantize_act(x + b * k, k, scratch_q + b * k,
+                            scratch_s + b * (k / 32));
+    mio_qgemm(false, w, scratch_q, scratch_s, n, k, batch, y, n_threads);
+}
+
+void mio_q4_gemm_f32(const uint8_t* w, const float* x, int64_t n, int64_t k,
+                     int64_t batch, float* y, int8_t* scratch_q,
+                     float* scratch_s, int n_threads) {
+    for (int64_t b = 0; b < batch; ++b)
+        mio_q8_quantize_act(x + b * k, k, scratch_q + b * k,
+                            scratch_s + b * (k / 32));
+    mio_qgemm(true, w, scratch_q, scratch_s, n, k, batch, y, n_threads);
+}
+
 // dequantize one Q4_0 row (tied-embedding lookup)
 void mio_q4_row_dequant(const uint8_t* w, int64_t row, int64_t k, float* out) {
     const int64_t nb = k / 32;
@@ -910,6 +982,6 @@ void mio_q4_row_dequant(const uint8_t* w, int64_t row, int64_t k, float* out) {
     }
 }
 
-int mio_runtime_abi_version(void) { return 3; }
+int mio_runtime_abi_version(void) { return 4; }
 
 }  // extern "C"

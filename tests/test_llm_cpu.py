@@ -248,3 +248,44 @@ def test_cpu_quant_force_q4(tmp_path, monkeypatch):
     a = cpu.generate_audio_tokens("force q4", n_predict=12, sampler=sp)
     b = cpu.generate_audio_tokens("force q4", n_predict=12, sampler=sp)
     assert a == b and len(a) > 0
+
+
+def test_gemm_matches_gemv_rows():
+    """Batched gemm == per-row gemv bit-for-bit (same quantization and dot
+    per row; only the weight-streaming order differs)."""
+    from miotts_tpu.runtime.native import Q8Gemv, q8_quantize_weights
+
+    rng = np.random.RandomState(11)
+    n, k, B = 96, 128, 5
+    w = rng.randn(n, k).astype(np.float32)
+    X = rng.randn(B, k).astype(np.float32)
+    g8 = Q8Gemv(q8_quantize_weights(w), n, k)
+    got = g8.gemm(X)
+    ref = np.stack([g8(X[b]) for b in range(B)])
+    np.testing.assert_array_equal(got, ref)
+    np.testing.assert_array_equal(got, g8.gemm(X, n_threads=4))
+    if q4_available():
+        g4 = Q4Gemv(q4_quantize_weights(w), n, k)
+        got4 = g4.gemm(X)
+        ref4 = np.stack([g4(X[b]) for b in range(B)])
+        np.testing.assert_array_equal(got4, ref4)
+
+
+def test_blocked_prefill_matches_sequential_step(engines):
+    """_prefill (batched-gemm prompt eval) reproduces the token-by-token
+    _step chain: same final logits, same KV cache contents."""
+    cpu, _ = engines
+    rng = np.random.RandomState(3)
+    ids = rng.randint(0, cpu.vocab_size, 21).tolist()  # odd length: 16+5
+    S = len(ids) + 4
+    kc1 = np.zeros((cpu.n_layers, S, cpu.n_kv, cpu.head_dim), np.float32)
+    vc1 = np.zeros_like(kc1)
+    kc2 = np.zeros_like(kc1)
+    vc2 = np.zeros_like(vc1)
+    logits_seq = None
+    for pos, tok in enumerate(ids):
+        logits_seq = cpu._step(int(tok), pos, kc1, vc1)
+    logits_blk = cpu._prefill(ids, kc2, vc2)
+    np.testing.assert_allclose(logits_blk, logits_seq, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(kc2, kc1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(vc2, vc1, rtol=1e-5, atol=1e-6)
