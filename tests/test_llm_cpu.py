@@ -289,3 +289,16 @@ def test_blocked_prefill_matches_sequential_step(engines):
     np.testing.assert_allclose(logits_blk, logits_seq, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(kc2, kc1, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(vc2, vc1, rtol=1e-5, atol=1e-6)
+
+
+def test_cpu_native_env_fallback(monkeypatch):
+    """MIOTTS_CPU_NATIVE=1/0 sets the --cpu-native default (the env knob
+    the module docstring promises)."""
+    from miotts_tpu.cli import build_parser
+
+    monkeypatch.setenv("MIOTTS_CPU_NATIVE", "1")
+    assert build_parser().get_default("cpu_native") == "on"
+    monkeypatch.setenv("MIOTTS_CPU_NATIVE", "0")
+    assert build_parser().get_default("cpu_native") == "off"
+    monkeypatch.delenv("MIOTTS_CPU_NATIVE")
+    assert build_parser().get_default("cpu_native") == "auto"
