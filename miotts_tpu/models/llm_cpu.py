@@ -215,13 +215,18 @@ class NativeCpuLLMEngine(LLMEngine):
         return x * (1.0 / np.sqrt(np.mean(x * x) + self.rms_eps)) * w
 
     def _rope_tables(self, upto: int):
-        if self._rope_cos.shape[0] < upto:
+        # return the LOCALS, not the attributes: two threads extending
+        # concurrently may publish a shorter table after a longer one, and
+        # a caller re-reading the attribute could then slice short
+        cos, sin = self._rope_cos, self._rope_sin
+        if cos.shape[0] < upto:
             half = self.head_dim // 2
             inv = self.rope_base ** (np.arange(half) * (-2.0 / self.head_dim))
             ang = np.arange(upto)[:, None] * inv[None, :]
-            self._rope_cos = np.cos(ang).astype(np.float32)
-            self._rope_sin = np.sin(ang).astype(np.float32)
-        return self._rope_cos, self._rope_sin
+            cos = np.cos(ang).astype(np.float32)
+            sin = np.sin(ang).astype(np.float32)
+            self._rope_cos, self._rope_sin = cos, sin
+        return cos, sin
 
     def _rope(self, x: np.ndarray, pos: int) -> np.ndarray:
         """x: [H, D] -> rotated (NEOX half-split for qwen-family)."""

@@ -302,3 +302,27 @@ def test_cpu_native_env_fallback(monkeypatch):
     assert build_parser().get_default("cpu_native") == "off"
     monkeypatch.delenv("MIOTTS_CPU_NATIVE")
     assert build_parser().get_default("cpu_native") == "auto"
+
+
+def test_shared_engine_concurrent_generations(engines):
+    """Two threads generating on ONE engine (the embed.py shared-engine
+    pattern) produce exactly what single-threaded runs produce — per-call
+    gemm scratch and local-return rope tables make the engine
+    thread-safe."""
+    import concurrent.futures
+
+    from miotts_tpu.models.sampling import SamplerParams
+
+    cpu, _ = engines
+    prompts = ["thread one says", "thread two answers"]
+    sp = [SamplerParams(temp=0.8, top_k=40, seed=21),
+          SamplerParams(temp=0.8, top_k=40, seed=22)]
+    expect = [cpu.generate_audio_tokens(p, n_predict=12, sampler=s)
+              for p, s in zip(prompts, sp)]
+    for _ in range(3):  # a few rounds to give interleavings a chance
+        with concurrent.futures.ThreadPoolExecutor(2) as ex:
+            got = list(ex.map(
+                lambda a: cpu.generate_audio_tokens(a[0], n_predict=12,
+                                                    sampler=a[1]),
+                zip(prompts, sp)))
+        assert got == expect
