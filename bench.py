@@ -119,8 +119,8 @@ def main() -> int:
         full_codec_config, write_synthetic_llm_gguf, write_synthetic_miocodec_gguf,
     )
 
-    mode_early = os.environ.get("MIOTTS_BENCH_MODE", "all")
-    if mode_early == "localcpu":
+    mode = os.environ.get("MIOTTS_BENCH_MODE", "all")
+    if mode == "localcpu":
         # the local-inference story: force XLA:CPU BEFORE any backend
         # touch (the axon TPU plugin otherwise initializes — and BLOCKS
         # if another process holds the device)
@@ -134,7 +134,6 @@ def main() -> int:
 
     lanes = int(os.environ.get("MIOTTS_BENCH_LANES", "32"))
     n_gen = int(os.environ.get("MIOTTS_BENCH_TOKENS", "250"))
-    mode = os.environ.get("MIOTTS_BENCH_MODE", "all")
     iters = int(os.environ.get("MIOTTS_BENCH_ITERS", "3"))
     # LLM numerics: bf16 by default. W8A8 int8 (MIOTTS_LLM_QUANT=int8) is a
     # measured 2.0x at 1.63B (weight-bandwidth-bound) but is noise-level at
@@ -151,6 +150,53 @@ def main() -> int:
     if not os.path.exists(codec_path):
         log("bench: generating synthetic flagship codec gguf...")
         write_synthetic_miocodec_gguf(codec_path, ccfg_probe, seed=0)
+    if mode == "localcpu":
+        # the reference's laptop/llama.cpp story, end-to-end on this host's
+        # CPU: native block-quant LLM decode (batched prompt prefill +
+        # AVX-VNNI dots, models/llm_cpu.py) + XLA:CPU codec synthesis.
+        # MIOTTS_CPU_QUANT defaults to q4_0 here (the fast local config).
+        from miotts_tpu.models.llm_cpu import NativeCpuLLMEngine
+        from miotts_tpu.pipeline import MioTTSPipeline
+
+        q8_path = os.path.join(tmp, "miotts_bench_llm_q8.gguf")
+        if not os.path.exists(q8_path):
+            log("bench: generating synthetic 0.1B q8_0 llm gguf...")
+            write_synthetic_llm_gguf(
+                q8_path, n_audio=12800, dim=768, n_layers=12, n_heads=12,
+                n_kv_heads=2, ffn=2048, seed=0, n_filler_vocab=138_700,
+                audio_logit_scale=3.0, quant="q8_0")
+        os.environ.setdefault("MIOTTS_CPU_QUANT", "q4_0")
+        llm_cpu = NativeCpuLLMEngine(q8_path)
+        log(f"bench: local engine quant={llm_cpu.quantize} "
+            f"threads={llm_cpu.n_threads}")
+        pipe = MioTTSPipeline(codec_path)
+        emb = np.random.RandomState(0).randn(
+            pipe.config.decoder_adanorm_dim).astype(np.float32)
+        sp_local = SamplerParams(temp=0.8, top_k=50, seed=1)
+        toks = llm_cpu.generate_audio_tokens("warm up", n_predict=8,
+                                             sampler=sp_local)
+        pipe.synthesize(llm_cpu.tokens_to_codes(toks) or [1, 2, 3], emb)
+        best = 0.0
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            toks = llm_cpu.generate_audio_tokens(
+                "A local real time text to speech demonstration sentence.",
+                n_predict=100, sampler=sp_local)
+            res = pipe.synthesize(llm_cpu.tokens_to_codes(toks) or [1], emb)
+            dt = time.perf_counter() - t0
+            xrt_local = res.audio.size / pipe.sample_rate / dt
+            best = max(best, xrt_local)
+            log(f"bench: {len(toks)} tok + codec in {dt:.2f}s "
+                f"({xrt_local:.2f}x RT)")
+        print(json.dumps({
+            "metric": "local_cpu_xrt",
+            "value": round(best, 3),
+            "unit": "audio-sec/sec",
+            "vs_baseline": round(best, 3),  # target: 1.0x (real time)
+        }))
+        return 0
+
+
     if not os.path.exists(llm_path):
         log("bench: generating synthetic 0.1B-scale llm gguf (152k vocab)...")
         # audio_logit_scale: generations are code-dense like the real model
@@ -245,52 +291,6 @@ def main() -> int:
             pending = nxt
         fetch(pending)
         return (time.perf_counter() - t0) / n
-
-    if mode == "localcpu":
-        # the reference's laptop/llama.cpp story, end-to-end on this host's
-        # CPU: native block-quant LLM decode (batched prompt prefill +
-        # AVX-VNNI dots, models/llm_cpu.py) + XLA:CPU codec synthesis.
-        # MIOTTS_CPU_QUANT defaults to q4_0 here (the fast local config).
-        from miotts_tpu.models.llm_cpu import NativeCpuLLMEngine
-        from miotts_tpu.pipeline import MioTTSPipeline
-
-        q8_path = os.path.join(tmp, "miotts_bench_llm_q8.gguf")
-        if not os.path.exists(q8_path):
-            log("bench: generating synthetic 0.1B q8_0 llm gguf...")
-            write_synthetic_llm_gguf(
-                q8_path, n_audio=12800, dim=768, n_layers=12, n_heads=12,
-                n_kv_heads=2, ffn=2048, seed=0, n_filler_vocab=138_700,
-                audio_logit_scale=3.0, quant="q8_0")
-        os.environ.setdefault("MIOTTS_CPU_QUANT", "q4_0")
-        llm_cpu = NativeCpuLLMEngine(q8_path)
-        log(f"bench: local engine quant={llm_cpu.quantize} "
-            f"threads={llm_cpu.n_threads}")
-        pipe = MioTTSPipeline(codec_path)
-        emb = np.random.RandomState(0).randn(
-            pipe.config.decoder_adanorm_dim).astype(np.float32)
-        sp_local = SamplerParams(temp=0.8, top_k=50, seed=1)
-        toks = llm_cpu.generate_audio_tokens("warm up", n_predict=8,
-                                             sampler=sp_local)
-        pipe.synthesize(llm_cpu.tokens_to_codes(toks) or [1, 2, 3], emb)
-        best = 0.0
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            toks = llm_cpu.generate_audio_tokens(
-                "A local real time text to speech demonstration sentence.",
-                n_predict=100, sampler=sp_local)
-            res = pipe.synthesize(llm_cpu.tokens_to_codes(toks) or [1], emb)
-            dt = time.perf_counter() - t0
-            xrt_local = res.audio.size / pipe.sample_rate / dt
-            best = max(best, xrt_local)
-            log(f"bench: {len(toks)} tok + codec in {dt:.2f}s "
-                f"({xrt_local:.2f}x RT)")
-        print(json.dumps({
-            "metric": "local_cpu_xrt",
-            "value": round(best, 3),
-            "unit": "audio-sec/sec",
-            "vs_baseline": round(best, 3),  # target: 1.0x (real time)
-        }))
-        return 0
 
     if mode == "codec":
         log("bench: compiling (first call)...")

@@ -197,8 +197,8 @@ class NativeCpuLLMEngine(LLMEngine):
         r.close()
 
         # RoPE tables filled lazily per max position
-        self._rope_cos = np.zeros((0, self.head_dim // 2), np.float32)
-        self._rope_sin = np.zeros((0, self.head_dim // 2), np.float32)
+        self._rope_tab = (np.zeros((0, self.head_dim // 2), np.float32),
+                          np.zeros((0, self.head_dim // 2), np.float32))
         self._init_vocab_maps()
         self.eog_set = {int(t) for t in np.asarray(self.eog_ids)}
 
@@ -215,17 +215,17 @@ class NativeCpuLLMEngine(LLMEngine):
         return x * (1.0 / np.sqrt(np.mean(x * x) + self.rms_eps)) * w
 
     def _rope_tables(self, upto: int):
-        # return the LOCALS, not the attributes: two threads extending
-        # concurrently may publish a shorter table after a longer one, and
-        # a caller re-reading the attribute could then slice short
-        cos, sin = self._rope_cos, self._rope_sin
+        # concurrency: read/publish ONE tuple attribute (a cos/sin pair
+        # published as two stores could be observed torn — long cos, short
+        # sin) and return the locals, never re-read the attribute
+        cos, sin = self._rope_tab
         if cos.shape[0] < upto:
             half = self.head_dim // 2
             inv = self.rope_base ** (np.arange(half) * (-2.0 / self.head_dim))
             ang = np.arange(upto)[:, None] * inv[None, :]
             cos = np.cos(ang).astype(np.float32)
             sin = np.sin(ang).astype(np.float32)
-            self._rope_cos, self._rope_sin = cos, sin
+            self._rope_tab = (cos, sin)
         return cos, sin
 
     def _rope(self, x: np.ndarray, pos: int) -> np.ndarray:

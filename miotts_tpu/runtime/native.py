@@ -189,10 +189,15 @@ class Q8Gemv:
     def gemm(self, x: np.ndarray, n_threads: int = 1) -> np.ndarray:
         """[B, K] @ W^T -> [B, N]: each weight row is read once for all B
         activation rows (batched prompt prefill — weight traffic per
-        prompt token drops ~B-fold vs per-token gemv)."""
+        prompt token drops ~B-fold vs per-token gemv). Falls back to
+        per-row gemv on a prebuilt abi<4 library (same results, no
+        amortization) so hosts without a compiler keep working."""
         lib = _load()
         x = np.ascontiguousarray(x, np.float32)
         batch = x.shape[0]
+        if lib.mio_runtime_abi_version() < 4:
+            return np.stack([self(x[b], n_threads=n_threads)
+                             for b in range(batch)])
         y = np.empty((batch, self.n), np.float32)
         q = np.empty(batch * self.k, np.int8)
         s = np.empty(batch * (self.k // 32), np.float32)
@@ -261,10 +266,13 @@ class Q4Gemv:
         return y
 
     def gemm(self, x: np.ndarray, n_threads: int = 1) -> np.ndarray:
-        """[B, K] @ W^T -> [B, N] (see Q8Gemv.gemm)."""
+        """[B, K] @ W^T -> [B, N] (see Q8Gemv.gemm, incl. abi<4 fallback)."""
         lib = _load()
         x = np.ascontiguousarray(x, np.float32)
         batch = x.shape[0]
+        if lib.mio_runtime_abi_version() < 4:
+            return np.stack([self(x[b], n_threads=n_threads)
+                             for b in range(batch)])
         y = np.empty((batch, self.n), np.float32)
         q = np.empty(batch * self.k, np.int8)
         s = np.empty(batch * (self.k // 32), np.float32)

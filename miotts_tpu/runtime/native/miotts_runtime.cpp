@@ -929,7 +929,10 @@ static void mio_qgemm(bool is_q4, const uint8_t* w, const int8_t* xq,
     for (int64_t b = 0; b < batch; ++b)
         act_block_sums(xq + b * k, nb, bsums.data() + b * nb);
     const int32_t* bs = bsums.data();
-    if (n_threads <= 1 || n * k < (int64_t)1 << 20) {
+    // total work scales with batch — use n*k*batch against the same
+    // cutoff as the gemv or the dim-768 attention gemms at B=16 never
+    // engage the pool
+    if (n_threads <= 1 || n * k * batch < (int64_t)1 << 20) {
         qgemm_rows(is_q4, w, xq, xs, bs, n, k, batch, y, 0, n);
         return;
     }

@@ -256,19 +256,23 @@ def test_gemm_matches_gemv_rows():
     from miotts_tpu.runtime.native import Q8Gemv, q8_quantize_weights
 
     rng = np.random.RandomState(11)
-    n, k, B = 96, 128, 5
-    w = rng.randn(n, k).astype(np.float32)
-    X = rng.randn(B, k).astype(np.float32)
-    g8 = Q8Gemv(q8_quantize_weights(w), n, k)
-    got = g8.gemm(X)
-    ref = np.stack([g8(X[b]) for b in range(B)])
-    np.testing.assert_array_equal(got, ref)
-    np.testing.assert_array_equal(got, g8.gemm(X, n_threads=4))
-    if q4_available():
-        g4 = Q4Gemv(q4_quantize_weights(w), n, k)
-        got4 = g4.gemm(X)
-        ref4 = np.stack([g4(X[b]) for b in range(B)])
-        np.testing.assert_array_equal(got4, ref4)
+    # (768, 2048, 4): n*k*B over the pool cutoff so the threaded
+    # chunked-row qgemm path (the one production prefill uses for
+    # ffn/head matmuls) is actually exercised, not just the serial branch
+    for (n, k, B) in [(96, 128, 5), (768, 2048, 4)]:
+        w = rng.randn(n, k).astype(np.float32)
+        X = rng.randn(B, k).astype(np.float32)
+        g8 = Q8Gemv(q8_quantize_weights(w), n, k)
+        got = g8.gemm(X)
+        ref = np.stack([g8(X[b]) for b in range(B)])
+        np.testing.assert_array_equal(got, ref)
+        np.testing.assert_array_equal(got, g8.gemm(X, n_threads=4))
+        if q4_available():
+            g4 = Q4Gemv(q4_quantize_weights(w), n, k)
+            got4 = g4.gemm(X)
+            ref4 = np.stack([g4(X[b]) for b in range(B)])
+            np.testing.assert_array_equal(got4, ref4)
+            np.testing.assert_array_equal(got4, g4.gemm(X, n_threads=4))
 
 
 def test_blocked_prefill_matches_sequential_step(engines):
