@@ -289,9 +289,17 @@ class ServingEngine:
                           f"{time.perf_counter() - tw:.1f}s: {e!r}",
                           file=sys.stderr)
 
+            # background tail defaults to width 1: it is off the listening
+            # path (time does not matter) and the tail carries the BIG
+            # multi-lane prefill compiles — issuing several concurrently
+            # through a remote-compile relay is the risky pattern (one
+            # wedged relay took every device call down with it)
+            width_bg = int(os.environ.get("MIOTTS_WARMUP_BG_POOL", "1"))
+
             def bg_warm():
                 tb = time.perf_counter()
-                with concurrent.futures.ThreadPoolExecutor(max(1, width)) as ex:
+                with concurrent.futures.ThreadPoolExecutor(
+                        max(1, width_bg)) as ex:
                     list(ex.map(do_warm_logged, bg_calls))
                 self.warmup_bg_done = True
                 print(f"warmup: background tail ({len(bg_calls)} "
