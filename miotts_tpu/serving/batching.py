@@ -16,8 +16,10 @@ high-latency relay.
 from __future__ import annotations
 
 import dataclasses
+import os
 import queue
 import threading
+import time as _wall
 
 import jax
 import jax.numpy as jnp
@@ -130,6 +132,16 @@ class ContinuousBatcher:
         self._prefill_thread = threading.Thread(
             target=self._prefill_loop, daemon=True, name="batcher-prefill")
         self._prefill_thread.start()
+        # device-stall watchdog state: set when a chunk/fetch is dispatched,
+        # refreshed on every delivery. A wedged device link (measured in
+        # this sandbox: the relay hung and EVERY device call blocked in
+        # futex-wait forever) is otherwise indistinguishable from a slow
+        # request — /mio/health surfaces device_stalled so operators can
+        # route away or restart instead of waiting on silent hangs.
+        self._work_started: float | None = None
+        self._last_progress = _wall.monotonic()
+        self.stall_threshold_s = float(
+            os.environ.get("MIOTTS_DEVICE_STALL_S", "120"))
         # per-lane sampler knobs mirrored host-side
         self._temps = np.full(n_lanes, 0.8, np.float32)
         self._top_ks = np.full(n_lanes, 50, np.int32)
@@ -232,11 +244,14 @@ class ContinuousBatcher:
             # the host->device uploads sit inside the try too: a transient
             # relay/device failure during them is the same failure class as
             # a failed prefill dispatch and must not escape to the caller
+            if self._work_started is None:
+                self._work_started = _wall.monotonic()
             logits, new_k, new_v = llm_prefill_kv_jit(
                 self.cfg, self.engine.weights, jnp.asarray(toks),
                 jnp.asarray(lens))
             attach = (jnp.asarray(lanes), logits, new_k, new_v,
                       jnp.asarray(lens), jnp.asarray(seeds))
+            self._last_progress = _wall.monotonic()
             if os.environ.get("MIOTTS_BATCH_DEBUG"):
                 import sys
 
@@ -253,9 +268,22 @@ class ContinuousBatcher:
             self._pending.append(([it[0] for it in group], attach))
             self._cv.notify_all()
 
+    @property
+    def device_stalled(self) -> bool:
+        """True when device work has been in flight with no completed chunk
+        for stall_threshold_s (MIOTTS_DEVICE_STALL_S, default 120 s) — the
+        signature of a wedged device link, where every call blocks forever
+        instead of erroring. Monitoring only; surfaced via /mio/health."""
+        started = self._work_started
+        if started is None:
+            return False
+        ref = max(started, self._last_progress)
+        return _wall.monotonic() - ref > self.stall_threshold_s
+
     def _fail_unstarted(self, lane_idxs: list[int], exc: Exception) -> None:
         """Deliver a prefill/attach failure to not-yet-started lanes and
         free them (started lanes belong to the chunk loop's failure path)."""
+        self._work_started = None
         with self._cv:
             for lane_idx in lane_idxs:
                 lane = self.lanes[lane_idx]
@@ -301,6 +329,7 @@ class ContinuousBatcher:
 
         print(f"mio: generation chunk failed, resetting lanes: {exc!r}",
               file=sys.stderr)
+        self._work_started = None
         with self._cv:
             for i in snapshot:
                 lane = self.lanes[i]
@@ -412,6 +441,8 @@ class ContinuousBatcher:
                 for _, l in snapshot:
                     l.dispatched += size
                 try:
+                    if self._work_started is None:
+                        self._work_started = _wall.monotonic()
                     out, n_new, state = llm_generate_chunk_batched(
                         self.cfg, self.engine.weights, self.engine.eog_ids,
                         size, sampler, state)
@@ -453,6 +484,9 @@ class ContinuousBatcher:
                     inflight.clear()
                     continue
                 self._deliver_chunk(out_np, n_np, done_np, snap_k)
+                self._last_progress = _wall.monotonic()
+                if not inflight:
+                    self._work_started = None
             if dbg and (snapshot or inflight):
                 import sys
 

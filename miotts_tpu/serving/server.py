@@ -199,6 +199,12 @@ class MioTTSServer:
                         "llm_quant": (eng.llm.quantize if eng.llm is not None
                                       else ""),
                         "warmup_complete": eng.warmup_bg_done,
+                        # device-stall watchdog (batching.py): work in
+                        # flight with no completed chunk for
+                        # MIOTTS_DEVICE_STALL_S — the wedged-link signature
+                        "device_stalled": (eng.batcher.device_stalled
+                                           if eng.batcher is not None
+                                           else False),
                     })
                 elif path == "/metrics":
                     data = eng.metrics_text().encode()

@@ -234,3 +234,29 @@ def test_worker_survives_attach_failure(batcher, monkeypatch):
         assert len(h2.collect()) > 0
     finally:
         b.shutdown()
+
+
+def test_device_stall_watchdog(batcher):
+    """device_stalled flags work-in-flight with no chunk progress past the
+    threshold (the wedged-device-link signature: every call blocks forever
+    instead of erroring) and clears when idle or progressing."""
+    import time
+
+    from miotts_tpu.serving.batching import ContinuousBatcher
+
+    eng, _shared = batcher
+    b = ContinuousBatcher(eng, n_lanes=2, max_ctx=160, chunk=8, seed=0)
+    try:
+        assert not b.device_stalled  # idle
+        h = b.submit("watchdog", n_predict=8)
+        assert len(h.collect()) > 0
+        assert not b.device_stalled  # progressed + drained
+        # simulate a wedge: work marked in flight, no progress since
+        b.stall_threshold_s = 0.05
+        b._work_started = time.monotonic() - 1.0
+        b._last_progress = time.monotonic() - 1.0
+        assert b.device_stalled
+        b._work_started = None
+        assert not b.device_stalled
+    finally:
+        b.shutdown()
