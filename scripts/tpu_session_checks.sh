@@ -1,0 +1,39 @@
+#!/usr/bin/env bash
+# One-shot on-chip measurement session (run when the TPU relay is healthy):
+#  1. fresh server start with --warmup on: time-to-listening + bg tail
+#  2. FIRST conc=8 burst (validates the pow2 prefill-ladder warmup fix)
+#  3. conc=1 TTFA check
+#  4. restart: replay timing (warm compile cache)
+# Usage: bash scripts/tpu_session_checks.sh [port]
+set -euo pipefail
+PORT="${1:-18310}"
+TMP="${TMPDIR:-/tmp}"
+cd "$(dirname "$0")/.."
+
+start_server() {
+  date +%s > /tmp/tpu_t0
+  (python -m miotts_tpu.serving.server -mv "$TMP/miotts_bench_codec.gguf" \
+    -m "$TMP/miotts_bench_llm_v2.gguf" --port "$PORT" -np 8 -n 700 \
+    --ctx-size 700 --warmup on --output-dir /tmp/bench_out \
+    --reference-file-json "{\"key\":\"preset\",\"path\":\"$TMP/miotts_bench_voice.emb.gguf\"}" \
+    > "/tmp/tpu_srv_$1.log" 2>&1 & echo $! > /tmp/tpu_srv.pid)
+  until curl -s -m 3 "localhost:$PORT/mio/health" > /dev/null 2>&1; do sleep 10; done
+  echo "listening at t=$(( $(date +%s) - $(cat /tmp/tpu_t0) ))s"
+}
+
+start_server run1
+python tests/bench_server.py --url "http://127.0.0.1:$PORT" --mode stream-audio \
+  --n-predict 120 --concurrency 8 --requests-per-worker 4 --out /tmp/sum_burst1.csv
+python tests/bench_server.py --url "http://127.0.0.1:$PORT" --mode stream-audio \
+  --n-predict 120 --concurrency 1 --requests-per-worker 4 --out /tmp/sum_c1.csv
+# wait for bg tail so its executables persist in the compile cache
+for i in $(seq 1 240); do
+  curl -s -m 3 "localhost:$PORT/mio/health" | grep -q '"warmup_complete": true' && break
+  sleep 15
+done
+grep -E "warmup" "/tmp/tpu_srv_run1.log" | tail -20
+kill -TERM "$(cat /tmp/tpu_srv.pid)"; sleep 10
+start_server run2
+grep -E "warmup" "/tmp/tpu_srv_run2.log" | tail -3
+kill -TERM "$(cat /tmp/tpu_srv.pid)" || true
+echo "done — record the numbers in DESIGN.md"
