@@ -903,6 +903,96 @@ void mio_q4_gemv_f32(const uint8_t* w, const float* x, int64_t n, int64_t k,
 // per-row to the usual per-32 int8 blocks.
 // ---------------------------------------------------------------------------
 
+// unpack one Q4_0 row: nibbles -> contiguous u8[k] (the +8 bias KEPT — the
+// unpacked dot corrects with -8*bsum like the packed kernels) + f32 scales
+static void q4_unpack_row(const uint8_t* row, int64_t nb, uint8_t* wq,
+                          float* ds) {
+    for (int64_t b = 0; b < nb; ++b) {
+        const uint8_t* blk = row + b * 18;
+        uint16_t dh;
+        std::memcpy(&dh, blk, 2);
+        ds[b] = fp16_to_fp32(dh);
+        const uint8_t* qs = blk + 2;
+        uint8_t* o = wq + b * 32;
+        for (int i = 0; i < 16; ++i) {
+            o[i] = qs[i] & 0x0F;
+            o[i + 16] = qs[i] >> 4;
+        }
+    }
+}
+
+// dot of an UNPACKED u8 row (bias +8) with a quantized activation — the
+// per-dot nibble unpack is gone, which matters in the gemm where one row
+// is dotted against all B activations
+#if defined(__AVXVNNI__)
+static inline float q4u_row_dot(const uint8_t* wq, const float* ds,
+                                const int8_t* xq, const float* xs,
+                                const int32_t* bsums, int64_t nb) {
+    __m256 accf = _mm256_setzero_ps();
+    __m256 accf2 = _mm256_setzero_ps();
+    const __m256i zero = _mm256_setzero_si256();
+    float corr = 0.0f;
+    int64_t b = 0;
+    for (; b + 2 <= nb; b += 2) {
+        const __m256i w0 = _mm256_loadu_si256((const __m256i*)(wq + b * 32));
+        const __m256i w1 = _mm256_loadu_si256(
+            (const __m256i*)(wq + b * 32 + 32));
+        const __m256i x0 = _mm256_loadu_si256((const __m256i*)(xq + b * 32));
+        const __m256i x1 = _mm256_loadu_si256(
+            (const __m256i*)(xq + b * 32 + 32));
+        const __m256i p0 = _mm256_dpbusd_avx_epi32(zero, w0, x0);
+        const __m256i p1 = _mm256_dpbusd_avx_epi32(zero, w1, x1);
+        const float s0 = ds[b] * xs[b];
+        const float s1 = ds[b + 1] * xs[b + 1];
+        accf = _mm256_fmadd_ps(_mm256_cvtepi32_ps(p0),
+                               _mm256_set1_ps(s0), accf);
+        accf2 = _mm256_fmadd_ps(_mm256_cvtepi32_ps(p1),
+                                _mm256_set1_ps(s1), accf2);
+        corr += 8.0f * (s0 * (float)bsums[b] + s1 * (float)bsums[b + 1]);
+    }
+    for (; b < nb; ++b) {  // odd nb (e.g. k=96): one vector block
+        const __m256i wv = _mm256_loadu_si256((const __m256i*)(wq + b * 32));
+        const __m256i xv = _mm256_loadu_si256((const __m256i*)(xq + b * 32));
+        const __m256i p = _mm256_dpbusd_avx_epi32(zero, wv, xv);
+        const float s = ds[b] * xs[b];
+        accf = _mm256_fmadd_ps(_mm256_cvtepi32_ps(p),
+                               _mm256_set1_ps(s), accf);
+        corr += 8.0f * s * (float)bsums[b];
+    }
+    accf = _mm256_add_ps(accf, accf2);
+    __m128 lo = _mm_add_ps(_mm256_castps256_ps128(accf),
+                           _mm256_extractf128_ps(accf, 1));
+    lo = _mm_hadd_ps(lo, lo);
+    lo = _mm_hadd_ps(lo, lo);
+    return _mm_cvtss_f32(lo) - corr;
+}
+#define MIO_HAVE_Q4U 1
+#elif defined(__AVX2__)
+static inline float q4u_row_dot(const uint8_t* wq, const float* ds,
+                                const int8_t* xq, const float* xs,
+                                const int32_t* bsums, int64_t nb) {
+    __m256 accf = _mm256_setzero_ps();
+    const __m256i ones16 = _mm256_set1_epi16(1);
+    float corr = 0.0f;
+    for (int64_t b = 0; b < nb; ++b) {
+        const __m256i w = _mm256_loadu_si256((const __m256i*)(wq + b * 32));
+        const __m256i x = _mm256_loadu_si256((const __m256i*)(xq + b * 32));
+        const __m256i p = _mm256_madd_epi16(_mm256_maddubs_epi16(w, x),
+                                            ones16);
+        const float s = ds[b] * xs[b];
+        accf = _mm256_fmadd_ps(_mm256_cvtepi32_ps(p),
+                               _mm256_set1_ps(s), accf);
+        corr += 8.0f * s * (float)bsums[b];
+    }
+    __m128 lo = _mm_add_ps(_mm256_castps256_ps128(accf),
+                           _mm256_extractf128_ps(accf, 1));
+    lo = _mm_hadd_ps(lo, lo);
+    lo = _mm_hadd_ps(lo, lo);
+    return _mm_cvtss_f32(lo) - corr;
+}
+#define MIO_HAVE_Q4U 1
+#endif
+
 static void qgemm_rows(bool is_q4, const uint8_t* w, const int8_t* xq,
                        const float* xs, const int32_t* bs, int64_t n,
                        int64_t k, int64_t batch, float* y,
@@ -910,6 +1000,21 @@ static void qgemm_rows(bool is_q4, const uint8_t* w, const int8_t* xq,
     const int64_t nb = k / 32;
     const int64_t row_bytes = nb * (is_q4 ? 18 : 34);
     const int64_t sb = nb;  // per-row scale/bsum stride
+#if defined(MIO_HAVE_Q4U)
+    if (is_q4 && batch >= 2) {
+        // unpack each weight row ONCE, dot it against all B activations
+        std::vector<uint8_t> wbuf((size_t)k);
+        std::vector<float> dbuf((size_t)nb);
+        for (int64_t r = r0; r < r1; ++r) {
+            q4_unpack_row(w + r * row_bytes, nb, wbuf.data(), dbuf.data());
+            for (int64_t b = 0; b < batch; ++b)
+                y[b * n + r] = q4u_row_dot(wbuf.data(), dbuf.data(),
+                                           xq + b * k, xs + b * sb,
+                                           bs + b * sb, nb);
+        }
+        return;
+    }
+#endif
     for (int64_t r = r0; r < r1; ++r) {
         const uint8_t* row = w + r * row_bytes;
         for (int64_t b = 0; b < batch; ++b) {
