@@ -115,6 +115,23 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
             arr = np.ascontiguousarray(arr.T)
         return arr
 
+    # packed upload (runtime/device_dequant.py): every leaf's bytes join ONE
+    # host->device transfer (measured 3.6x per-leaf upload bandwidth through
+    # the relay), and dense leaves ship the GGUF's own payload (Q8_0/Q4_0
+    # blocks, F16) dequantized on device — bit-identical to the host
+    # dequant + bf16 cast at ~half (Q8_0) the transfer bytes
+    from ..runtime.device_dequant import (
+        PackedLoader, _Pending, device_dequant_enabled)
+
+    pk = PackedLoader() if device_dequant_enabled() else None
+
+    def dev_leaf(fmts, stacked=False, transpose=False):
+        if pk is None:
+            return None
+        return pk.add_raw(("raw", fmts[0]), r, fmts,
+                          n_layers if stacked else None,
+                          transpose=transpose, out_dtype=dtype)
+
     if quantize is None:
         quantize = os.environ.get("MIOTTS_LLM_QUANT", "")
     if quantize in ("bf16", "none", "off"):  # explicit-dense aliases
@@ -163,6 +180,10 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
         if quant and quant_all:
             leaves = [tq(fmt.format(i=i)) for i in range(n_layers)]
             return {k: np.stack([l[k] for l in leaves]) for k in leaves[0]}
+        if transpose:  # dense matmul leaves; norms stay host-side f32
+            dev = dev_leaf([fmt], stacked=True, transpose=True)
+            if dev is not None:
+                return dev
         return np.stack([t(fmt.format(i=i), transpose) for i in range(n_layers)])
 
     def stack_fused(fmts, quant=False):
@@ -172,6 +193,10 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
         to the separate matmuls). Quantization is per output column, so it
         composes unchanged; N-padding lands after the last segment, so the
         consumers' static slices stay valid."""
+        if not (quant and quant_all):
+            dev = dev_leaf(fmts, stacked=True, transpose=True)
+            if dev is not None:
+                return dev
         per_layer = [
             np.concatenate([t(f.format(i=i), transpose=True) for f in fmts],
                            axis=1)
@@ -187,8 +212,13 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
     # rank's shard must hold whole projections)
     fuse = os.environ.get("MIOTTS_LLM_FUSE", "1") not in ("0", "off")
 
+    dev_embd = dev_leaf(["token_embd.weight"])
+    dev_out = (None if (tie or quant_output) else
+               dev_leaf(["output.weight"],
+                        transpose=not cfg.output_token_major))
     w = {
-        "token_embd": t("token_embd.weight"),  # [V, D]
+        "token_embd": (dev_embd if dev_embd is not None
+                       else t("token_embd.weight")),  # [V, D]
         "attn_norm": stack("blk.{i}.attn_norm.weight"),
         "wo": stack("blk.{i}.attn_output.weight", transpose=True, quant=True),
         "ffn_norm": stack("blk.{i}.ffn_norm.weight"),
@@ -200,6 +230,7 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
         # the quant leaf is always [D, V]-derived (Pallas tile layout)
         "output": (None if tie
                    else tq("output.weight") if quant_output
+                   else dev_out if dev_out is not None
                    else t("output.weight",
                           transpose=not cfg.output_token_major)),
     }
@@ -232,7 +263,30 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
             return {k: jnp.asarray(a) for k, a in v.items()}
         return jnp.asarray(v, dtype=dtype)
 
-    w = {k: to_device(v) for k, v in w.items()}
+    if pk is not None:
+        # stage the host-built leaves into the same packed buffer (native
+        # dtypes for quantized dicts, pre-cast bytes for dense leaves —
+        # exactly what to_device would have produced), then build all
+        # leaves in one transfer + one jit
+        for k, v in list(w.items()):
+            if v is None or isinstance(v, _Pending):
+                continue
+            if isinstance(v, dict):
+                w[k] = {sk: pk.add_array(("arr", k, sk), a)
+                        for sk, a in v.items()}
+            else:
+                w[k] = pk.add_array(("arr", k), v, out_dtype=dtype)
+        built = pk.finalize()
+
+        def resolve(v):
+            return built[v.key] if isinstance(v, _Pending) else v
+
+        w = {k: (None if v is None else
+                 {sk: resolve(sv) for sk, sv in v.items()}
+                 if isinstance(v, dict) else resolve(v))
+             for k, v in w.items()}
+    else:
+        w = {k: to_device(v) for k, v in w.items()}
     # keep norms in f32
     for k in ("attn_norm", "ffn_norm", "output_norm", "q_norm", "k_norm"):
         if w[k] is not None:

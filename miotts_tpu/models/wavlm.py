@@ -286,7 +286,9 @@ class WavLMExtractor:
 
         enable_compile_cache()
         self.config, weights = load_wavlm(path)
-        self.weights = jax.tree.map(jnp.asarray, weights)
+        from ..runtime.device_dequant import device_put_packed
+
+        self.weights = device_put_packed(weights)  # one packed transfer
         import functools
 
         self._fwd = jax.jit(functools.partial(wavlm_forward, self.config))

@@ -1,0 +1,306 @@
+"""Packed weight upload: one host->device transfer + on-device dequant.
+
+Two measured relay facts drive this design (scripts/bench_upload.py, v5e
+through the axon relay):
+
+- per-leaf ``jnp.asarray`` uploads sustain ~34 MB/s while a single packed
+  buffer moves at ~120 MB/s — per-transfer overhead costs 3.6x;
+- the real MioTTS LLM ships as Q8_0 (1.0625 bytes/element), but the host
+  dequant path uploads bf16 (2 B/elem) — raw payloads are ~47% fewer bytes.
+
+So ``PackedLoader`` collects every weight leaf as host byte payloads
+(raw GGUF Q8_0/Q4_0 blocks or F16 halves where possible, pre-cast bytes
+otherwise), concatenates them into ONE uint8 buffer, uploads it in one
+transfer, and runs ONE jitted program that slices, bitcasts, dequantizes,
+reshapes, transposes and concatenates all leaves on device (the buffer is
+donated, so peak HBM is buffer + outputs).
+
+Numerics are bit-identical to the per-leaf host path: dequant computes
+f32(scale) * f32(int) in f32 and rounds once to bf16 (RTNE both in
+numpy/ml_dtypes and in XLA convert); identity leaves are pre-cast on host
+to exactly the bytes ``jnp.asarray(v, dtype=...)`` would have produced.
+``tests/test_device_dequant.py`` asserts leaf and generation equality.
+
+Reference analog: ggml uploads quantized blocks verbatim and dequantizes
+in-kernel (llama.cpp backend buffers); this is the load-time equivalent
+for the dense-bf16 TPU path.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+from ..gguf.quants import GGMLType
+
+# raw GGUF payload kinds this module can expand on device
+_SUPPORTED = (GGMLType.F16, GGMLType.Q8_0, GGMLType.Q4_0)
+
+
+def device_dequant_enabled() -> bool:
+    """Default ON off-CPU (upload bandwidth is the win); OFF on CPU hosts
+    where there is no transfer to save and the extra jit costs compile
+    time. MIOTTS_DEVICE_DEQUANT=1/0 overrides either way."""
+    setting = os.environ.get("MIOTTS_DEVICE_DEQUANT", "")
+    if setting in ("0", "off"):
+        return False
+    if setting in ("1", "on"):
+        return True
+    return jax.default_backend() != "cpu"
+
+
+def _raw_parts(reader, name: str):
+    """(kind, shape, [host arrays]) for a supported tensor, else None.
+
+    Host arrays are compact copies (never mmap views) so the reader can be
+    closed while the packed buffer is still being assembled."""
+    info = reader.tensors[name]
+    kind = GGMLType(info.ggml_type)
+    if kind not in _SUPPORTED:
+        return None
+    raw = np.asarray(reader.tensor_raw(name))
+    if kind == GGMLType.F16:
+        return ("f16", info.shape,
+                [raw.view(np.float16).reshape(info.shape).copy()])
+    if kind == GGMLType.Q8_0:
+        blocks = raw.reshape(-1, 34)
+        d = np.ascontiguousarray(blocks[:, :2]).view(np.float16)[:, 0]
+        q = np.ascontiguousarray(blocks[:, 2:]).view(np.int8)
+        return ("q8_0", info.shape, [d, q])
+    blocks = raw.reshape(-1, 18)
+    d = np.ascontiguousarray(blocks[:, :2]).view(np.float16)[:, 0]
+    qs = np.ascontiguousarray(blocks[:, 2:])
+    return ("q4_0", info.shape, [d, qs])
+
+
+def _dequant_segment(kind: str, shape, arrays, i: int):
+    """One concat segment: dequantize (or pass through) + reshape.
+    Returns (f32-or-native array, next array index)."""
+    import jax.numpy as jnp
+
+    if kind == "f16":
+        x = arrays[i].astype(jnp.float32)
+        i += 1
+    elif kind == "q8_0":
+        d, q = arrays[i], arrays[i + 1]
+        i += 2
+        x = q.astype(jnp.float32) * d.astype(jnp.float32)[..., None]
+    else:  # q4_0: nibbles biased by +8, low 16 then high 16 per block
+        d, qs = arrays[i], arrays[i + 1]
+        i += 2
+        lo = (qs & 0x0F).astype(jnp.int8) - 8
+        hi = (qs >> 4).astype(jnp.int8) - 8
+        q = jnp.concatenate([lo, hi], axis=-1)
+        x = q.astype(jnp.float32) * d.astype(jnp.float32)[..., None]
+    # block payloads are row-major over the flat element order, so a full
+    # flat reshape is exact regardless of row boundaries (gguf/quants.py
+    # applies the same rule)
+    return x.reshape(shape), i
+
+
+def _assemble_leaf(specs, transpose: bool, dtype, arrays):
+    import jax.numpy as jnp
+
+    outs = []
+    i = 0
+    for kind, shape in specs:
+        x, i = _dequant_segment(kind, shape, arrays, i)
+        if transpose:
+            x = jnp.swapaxes(x, -1, -2)
+        outs.append(x)
+    y = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+    return y.astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _assemble(specs, transpose: bool, dtype, *arrays):
+    """Immediate-mode single-leaf assemble (build_leaf)."""
+    return _assemble_leaf(specs, transpose, dtype, list(arrays))
+
+
+class _Pending:
+    """Placeholder a loader hands back for a leaf that will exist after
+    ``PackedLoader.finalize()``."""
+
+    __slots__ = ("key",)
+
+    def __init__(self, key):
+        self.key = key
+
+
+class PackedLoader:
+    """Collect leaves -> one uint8 buffer -> one upload -> one jit.
+
+    add_raw(key, reader, fmts, ...) stages a leaf assembled from raw GGUF
+    payloads (returns None if any tensor type is unsupported); add_array
+    stages an already-built host array verbatim (pre-cast to out_dtype's
+    byte layout on host, exactly like ``jnp.asarray(v, dtype=...)``).
+    finalize() returns {key: device array}.
+    """
+
+    def __init__(self):
+        self._parts: list[np.ndarray] = []  # pack order
+        self._shapes: list[tuple] = []  # original leaf shapes (0-d safe)
+        # key -> ("raw", specs, transpose, out_dtype, metas)
+        #      | ("arr", meta)            with meta = (np dtype, shape)
+        self._leaves: dict[Any, tuple] = {}
+
+    # -- staging --------------------------------------------------------------
+
+    def _stage(self, arr: np.ndarray):
+        shape = arr.shape  # before ascontiguousarray (it promotes 0-d to 1-d)
+        self._parts.append(np.ascontiguousarray(arr))
+        self._shapes.append(shape)
+        return (arr.dtype, shape)
+
+    def add_array(self, key, arr: np.ndarray, out_dtype=None) -> _Pending:
+        if out_dtype is not None:
+            arr = np.asarray(arr, dtype=np.dtype(out_dtype))
+        else:
+            # mirror jnp.asarray's dtype canonicalization (f64 -> f32 etc.)
+            arr = np.asarray(arr)
+            can = jax.dtypes.canonicalize_dtype(arr.dtype)
+            if can != arr.dtype:
+                arr = arr.astype(can)
+        self._leaves[key] = ("arr", self._stage(arr))
+        return _Pending(key)
+
+    def add_raw(self, key, reader, fmts: list[str], n_layers: int | None = None,
+                transpose: bool = False, out_dtype=None) -> _Pending | None:
+        import jax.numpy as jnp
+
+        if out_dtype is None:
+            out_dtype = jnp.bfloat16
+        specs: list[tuple[str, tuple[int, ...]]] = []
+        metas: list[tuple] = []
+        staged: list[np.ndarray] = []
+        for fmt in fmts:
+            if n_layers is None:
+                p = _raw_parts(reader, fmt)
+                if p is None:
+                    return None
+                kind, shape, parts = p
+            else:
+                per = [_raw_parts(reader, fmt.format(i=i))
+                       for i in range(n_layers)]
+                if any(p is None for p in per):
+                    return None
+                kind, base_shape = per[0][0], per[0][1]
+                if any(p[0] != kind or p[1] != base_shape for p in per):
+                    return None
+                shape = (n_layers,) + tuple(base_shape)
+                parts = [np.stack([p[2][j] for p in per])
+                         for j in range(len(per[0][2]))]
+            specs.append((kind, tuple(int(s) for s in shape)))
+            staged.extend(parts)
+        for a in staged:
+            metas.append(self._stage(a))
+        self._leaves[key] = ("raw", tuple(specs), bool(transpose),
+                             out_dtype, tuple(metas))
+        return _Pending(key)
+
+    # -- build ----------------------------------------------------------------
+
+    def finalize(self) -> dict:
+        import jax.numpy as jnp
+
+        if not self._parts:
+            return {}
+        # pack per dtype: a handful of large typed 1-D transfers instead of
+        # one uint8 blob — TPU tiling pads a [n, itemsize] uint8 bitcast
+        # view to (8, 128) tiles (64x memory), so segments must stay 1-D in
+        # their native dtype and never bitcast
+        groups: dict[np.dtype, list[int]] = {}
+        for idx, a in enumerate(self._parts):
+            groups.setdefault(a.dtype, []).append(idx)
+        group_keys = list(groups)
+        part_loc: dict[int, tuple[int, int, int]] = {}  # idx -> (g, start, n)
+        host_groups = []
+        for g, dt in enumerate(group_keys):
+            flats = [self._parts[i].reshape(-1) for i in groups[dt]]
+            start = 0
+            for i, f in zip(groups[dt], flats):
+                part_loc[i] = (g, start, f.size)
+                start += f.size
+            host_groups.append(
+                flats[0] if len(flats) == 1 else np.concatenate(flats))
+
+        part_shape = list(self._shapes)
+        leaves = dict(self._leaves)
+
+        def cut(bufs, idx):
+            g, start, n = part_loc[idx]
+            seg = jax.lax.slice(bufs[g], (start,), (start + n,))
+            return seg.reshape(part_shape[idx])
+
+        # map each leaf to the indices of its staged parts (staging order)
+        order: dict[Any, list[int]] = {}
+        idx = 0
+        for key, spec in leaves.items():
+            n = 1 if spec[0] == "arr" else len(spec[4])
+            order[key] = list(range(idx, idx + n))
+            idx += n
+
+        def assemble_all(*bufs):
+            out = {}
+            for key, spec in leaves.items():
+                idxs = order[key]
+                if spec[0] == "arr":
+                    out[key] = cut(bufs, idxs[0])
+                else:
+                    _, specs, transpose, out_dtype, _metas = spec
+                    arrays = [cut(bufs, j) for j in idxs]
+                    out[key] = _assemble_leaf(specs, transpose, out_dtype,
+                                              arrays)
+            return out
+
+        # donation frees the packed buffers as outputs materialize (peak
+        # HBM = buffers + outputs); XLA:CPU can't donate host-committed
+        # buffers, so skip there to avoid the warning
+        donate = (tuple(range(len(host_groups)))
+                  if jax.default_backend() != "cpu" else ())
+        fn = jax.jit(assemble_all, donate_argnums=donate)
+        result = fn(*host_groups)
+        self._parts.clear()
+        self._shapes.clear()
+        self._leaves.clear()
+        return result
+
+
+def build_leaf(reader, fmts: list[str], n_layers: int | None = None,
+               transpose: bool = False, dtype: Any = None):
+    """Immediate-mode single leaf (kept for targeted tests): upload this
+    leaf's raw payloads now and assemble on device. Returns None when any
+    tensor's ggml type is unsupported."""
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.bfloat16
+    pk = PackedLoader()
+    pending = pk.add_raw("leaf", reader, fmts, n_layers, transpose, dtype)
+    if pending is None:
+        return None
+    return pk.finalize()["leaf"]
+
+
+def device_put_packed(tree):
+    """``jax.tree.map(jnp.asarray, tree)`` with ONE host->device transfer
+    (native dtypes preserved). Falls back to per-leaf asarray on CPU or
+    when disabled."""
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree.flatten(tree)
+    if not device_dequant_enabled():
+        return jax.tree.unflatten(
+            treedef, [jnp.asarray(l) for l in leaves])
+    pk = PackedLoader()
+    keys = []
+    for i, leaf in enumerate(leaves):
+        pk.add_array(i, np.asarray(leaf))
+        keys.append(i)
+    built = pk.finalize()
+    return jax.tree.unflatten(treedef, [built[k] for k in keys])

@@ -286,7 +286,9 @@ def write_synthetic_llm_gguf(
     # native CPU engine then loads without a quantization pass, like a real
     # download
     mm = {"q8_0": w.add_tensor_q8_0,
-          "q4_0": w.add_tensor_q4_0}.get(quant, w.add_tensor)
+          "q4_0": w.add_tensor_q4_0,
+          "f16": lambda n, a: w.add_tensor(n, a.astype(np.float16)),
+          }.get(quant, w.add_tensor)
     w.add_tensor("token_embd.weight", rnd(vocab, dim))
     for i in range(n_layers):
         w.add_tensor(f"blk.{i}.attn_norm.weight", 1.0 + rnd(dim) * 0.05)

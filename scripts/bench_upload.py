@@ -19,6 +19,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def fetch_barrier(x):
     """Real d2h fetch — block_until_ready is not reliable via the relay."""
@@ -60,7 +62,11 @@ def main() -> int:
     # -- LLM: host prep vs upload --------------------------------------------
     from miotts_tpu.models.llm import load_llm_gguf
 
-    for path, tag in ((llm_path, "f32-src"), (q8_path, "q8-src")):
+    for path, tag, dev_deq in ((llm_path, "f32-src", ""),
+                               (q8_path, "q8-src host-deq", "0"),
+                               (q8_path, "q8-src dev-deq", "1")):
+        if dev_deq:
+            os.environ["MIOTTS_DEVICE_DEQUANT"] = dev_deq
         t0 = time.perf_counter()
         cfg, w, tok = load_llm_gguf(path)
         fetch_barrier(w)
@@ -70,6 +76,7 @@ def main() -> int:
         print(f"llm[{tag}] load+upload: {t1 - t0:.1f}s "
               f"({nbytes / 1e6:.0f} MB on device)", flush=True)
         del w
+    os.environ.pop("MIOTTS_DEVICE_DEQUANT", None)
 
     # -- packed single-buffer transfer: the relay's best case ----------------
     for mb in (64, 256, 512):
