@@ -461,7 +461,10 @@ def main() -> int:
         # the vocoder runs at waveform length x ch channels — activations are
         # ~0.5 GB/lane at ch=256, so the batch stays small (it is already
         # >100x realtime per lane; lanes only amortize fixed costs)
-        vlanes = int(os.environ.get("MIOTTS_BENCH_VOCODER_LANES", "2"))
+        # 4 lanes amortize the fixed per-dispatch costs slightly better than
+        # 2 (50.7x vs 49.6-50.1x measured; per-lane compute is ~linear) and
+        # match how a server would batch; HBM at ch=128 allows it easily
+        vlanes = int(os.environ.get("MIOTTS_BENCH_VOCODER_LANES", "4"))
         voc_bucket = max(64, ((n_gen + 63) // 64) * 64)
         mcodes = jnp.asarray(
             rng.randint(0, mcfg.vocab_size, (vlanes, voc_bucket)).astype(np.int32))

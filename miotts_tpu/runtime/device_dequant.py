@@ -298,9 +298,13 @@ def device_put_packed(tree):
         return jax.tree.unflatten(
             treedef, [jnp.asarray(l) for l in leaves])
     pk = PackedLoader()
-    keys = []
+    staged: dict[int, Any] = {}
     for i, leaf in enumerate(leaves):
+        if isinstance(leaf, jax.Array):  # already on device: pass through
+            continue
         pk.add_array(i, np.asarray(leaf))
-        keys.append(i)
+        staged[i] = None
     built = pk.finalize()
-    return jax.tree.unflatten(treedef, [built[k] for k in keys])
+    return jax.tree.unflatten(
+        treedef,
+        [built[i] if i in staged else leaves[i] for i in range(len(leaves))])
