@@ -264,7 +264,41 @@ class PackedLoader:
         donate = (tuple(range(len(host_groups)))
                   if jax.default_backend() != "cpu" else ())
         fn = jax.jit(assemble_all, donate_argnums=donate)
-        result = fn(*host_groups)
+        try:
+            import warnings
+
+            with warnings.catch_warnings():
+                # "Some donated buffers were not usable": no output aliases
+                # the packed input (outputs are reshaped slices), but the
+                # input still frees after its last read — the warning is
+                # noise in every server start log
+                warnings.filterwarnings(
+                    "ignore", message="Some donated buffers were not usable")
+                result = fn(*host_groups)
+        except Exception as e:  # pragma: no cover - device-dependent
+            # e.g. HBM pressure from buffers+outputs resident together, or
+            # a compile failure on an exotic leaf mix: fall back to
+            # assembling leaf-by-leaf (smaller peak, more transfers) rather
+            # than failing the whole model load
+            import sys
+
+            print(f"mio: packed weight upload failed ({e!r}); falling back "
+                  "to per-leaf assembly", file=sys.stderr)
+            import jax.numpy as jnp_  # noqa: F401
+
+            def put(j):  # staged parts may have been 0-d-promoted
+                return jax.numpy.asarray(
+                    self._parts[j].reshape(self._shapes[j]))
+
+            result = {}
+            for key, spec in leaves.items():
+                idxs = order[key]
+                if spec[0] == "arr":
+                    result[key] = put(idxs[0])
+                else:
+                    _, specs, transpose, out_dtype, _metas = spec
+                    result[key] = _assemble(specs, transpose, out_dtype,
+                                            *[put(j) for j in idxs])
         self._parts.clear()
         self._shapes.clear()
         self._leaves.clear()

@@ -96,6 +96,35 @@ def test_device_put_packed_identity(monkeypatch):
         assert np.array_equal(np.asarray(d), h)
 
 
+def test_packed_failure_falls_back_per_leaf(gguf_path, monkeypatch, capsys):
+    """If the one-jit packed assemble fails (HBM pressure, compile error),
+    the loader must fall back to per-leaf assembly, not fail the load."""
+    import jax
+
+    monkeypatch.setenv("MIOTTS_DEVICE_DEQUANT", "1")
+    _, w_ref, _ = load_llm_gguf(gguf_path)
+
+    real_jit = jax.jit
+
+    def exploding_jit(fn, **kw):
+        def run(*a, **k):
+            raise RuntimeError("synthetic RESOURCE_EXHAUSTED")
+        return run
+
+    monkeypatch.setattr(jax, "jit", exploding_jit)
+    try:
+        _, w_fb, _ = load_llm_gguf(gguf_path)
+    finally:
+        monkeypatch.setattr(jax, "jit", real_jit)
+    assert "falling back" in capsys.readouterr().err
+    for k in w_ref:
+        if w_ref[k] is None or isinstance(w_ref[k], dict):
+            continue
+        assert np.array_equal(
+            np.asarray(w_ref[k].astype(jnp.float32)),
+            np.asarray(w_fb[k].astype(jnp.float32))), k
+
+
 def test_generation_identical(gguf_path, monkeypatch):
     """Greedy generation through the full engine must not change."""
     from miotts_tpu.models.llm import LLMEngine
