@@ -84,23 +84,6 @@ class ServingEngine:
                     f"{len(devices)} backend devices")
             self.mesh = make_mesh(devices, tp=tp)
             self.pipeline.weights = replicate_tree(self.mesh, self.pipeline.weights)
-        self.llm = None
-        self.batcher = None
-        if cfg.model:
-            from ..models.llm import LLMEngine
-            from .batching import ContinuousBatcher
-
-            self.llm = LLMEngine(cfg.model, quantize=(cfg.llm_quant or None))
-            self.batcher = ContinuousBatcher(
-                self.llm,
-                n_lanes=max(1, cfg.n_parallel),
-                max_ctx=cfg.n_ctx + cfg.n_predict + 64,
-                # larger chunks amortize per-dispatch latency; SSE token
-                # granularity stays sub-second (32 tokens = 1.3 s of audio)
-                chunk=32,
-                seed=cfg.seed,
-                mesh=self.mesh,
-            )
         from .codec_batching import CodecMicroBatcher
 
         # --codec-devices: codec synthesis on its own (dp-only) mesh,
@@ -127,6 +110,48 @@ class ServingEngine:
         self.codec_batcher = CodecMicroBatcher(
             self.pipeline, max_batch=max(1, cfg.n_parallel),
             mesh=self.codec_mesh)
+        # start the codec foreground warm NOW, overlapped with the LLM
+        # GGUF read/staging below — the codec executable cache-loads are
+        # relay-bandwidth work while the LLM load's first ~10 s is host
+        # I/O, so the two hide each other (warmup() joins this thread)
+        self._codec_fg_thread = None
+        self._codec_fg_taken: list = []
+        self._codec_fg_error: BaseException | None = None
+        if cfg.warmup:
+            self._codec_fg_taken = [
+                bk for bk in self._codec_warm_calls() if self._warm_is_fg(bk)]
+
+            def early_codec_warm():
+                import concurrent.futures
+
+                width = int(os.environ.get("MIOTTS_WARMUP_POOL", "4"))
+                try:
+                    with concurrent.futures.ThreadPoolExecutor(
+                            max(1, width)) as ex:
+                        list(ex.map(self._do_warm, self._codec_fg_taken))
+                except BaseException as e:  # re-raised at warmup() join
+                    self._codec_fg_error = e
+
+            self._codec_fg_thread = threading.Thread(
+                target=early_codec_warm, daemon=True, name="warmup-codec-fg")
+            self._codec_fg_thread.start()
+        self.llm = None
+        self.batcher = None
+        if cfg.model:
+            from ..models.llm import LLMEngine
+            from .batching import ContinuousBatcher
+
+            self.llm = LLMEngine(cfg.model, quantize=(cfg.llm_quant or None))
+            self.batcher = ContinuousBatcher(
+                self.llm,
+                n_lanes=max(1, cfg.n_parallel),
+                max_ctx=cfg.n_ctx + cfg.n_predict + 64,
+                # larger chunks amortize per-dispatch latency; SSE token
+                # granularity stays sub-second (32 tokens = 1.3 s of audio)
+                chunk=32,
+                seed=cfg.seed,
+                mesh=self.mesh,
+            )
         self.ref_cache = ReferenceCache()
         self.slots = SlotPool(max(1, cfg.n_parallel))
         n_ref = cfg.n_parallel_reference_generation or cfg.n_parallel
@@ -148,42 +173,19 @@ class ServingEngine:
         if cfg.warmup:
             self.warmup()
 
-    def warmup(self) -> None:
-        """Compile the serving-critical executables before the first request
-        (TPU addition — with the persistent compilation cache this is a
-        one-time cost per deployment; warm restarts replay from cache).
-
-        Covers the codec buckets and LLM prompt buckets typical requests
-        land in, not just the smallest — a cold larger bucket otherwise
-        costs the first matching request its full compile.
-
-        Even cache-warm, loading every executable through a slow device
-        relay takes minutes, so the warm is SPLIT: the buckets short/typical
-        requests hit (codec <= MIOTTS_WARMUP_FG_BUCKET, default 256, plus
-        the small prompt buckets and the chunk/attach executables) compile
-        in the foreground — the server listens after them — and the long
-        tail (768-bucket codec variants, big prompt buckets) continues on a
-        background thread. A long first request that races the tail merely
-        waits on its compile like it would have cold.
-        MIOTTS_WARMUP_BG=0 restores the all-foreground behavior."""
+    def _codec_warm_calls(self) -> list:
+        """Every (bucket, opts) codec executable a default request can land
+        in: a full-length generation emits up to n_predict codes, so the
+        ladder must be warm through pick_bucket(n_predict) (default 700 ->
+        bucket 768) — a cold larger bucket costs the first long request its
+        full compile. Each (bucket, variant) is a distinct executable."""
         from ..pipeline import pick_bucket
+        from ..streaming import StreamingSynthesizer
 
-        t0 = time.perf_counter()
-        # every codec bucket a default request can land in: a full-length
-        # generation emits up to n_predict codes, so the ladder must be warm
-        # through pick_bucket(n_predict) (default 700 -> bucket 768) — a cold
-        # larger bucket costs the first long request its full compile
         top = pick_bucket(max(1, self.cfg.n_predict), self.pipeline.buckets)
         warm_buckets = [b for b in self.pipeline.buckets if b <= top]
         if top not in warm_buckets:
             warm_buckets.append(top)
-        from ..streaming import StreamingSynthesizer
-
-        # each (bucket, variant) is a distinct executable; warm them via
-        # CodecMicroBatcher.warm (NOT synthesize: concurrent warm calls with
-        # identical opts would coalesce into one group padded to the largest
-        # bucket, silently skipping the smaller executables) from a thread
-        # pool — compiles/cache-loads/uploads overlap in the backend
         warm_calls: list[tuple[int, dict]] = []
         for bucket in warm_buckets:
             # full-synthesis requests fetch device-quantized PCM16
@@ -202,64 +204,118 @@ class ServingEngine:
             warm_calls.append((bucket, dict(
                 interp_anchor=StreamingSynthesizer.INTERP_ANCHOR,
                 peak_normalize=False)))
+        return warm_calls
+
+    def _llm_warm_calls(self) -> list:
+        """Prompt-bucket prefill executables (single-lane + the pow2
+        multi-lane burst ladder). Empty when no LLM is configured."""
+        if self.batcher is None:
+            return []
+        # every prompt bucket a request can reach within the context
+        # budget compiles its own prefill executable — warm them in the
+        # same pool as the codec buckets (direct llm_prefill_jit calls;
+        # token-generating submits would serialize on the chunk loop)
+        from .batching import _PROMPT_BUCKETS
+
+        max_prompt = self.batcher.max_ctx - 8
+        llm_buckets = ([b for b in _PROMPT_BUCKETS if b <= max_prompt]
+                       or [max(8, max_prompt)])
+        warm_calls: list[tuple[int, dict | None]] = [
+            (b, None) for b in llm_buckets]
+        # simultaneous submits coalesce into one multi-lane prefill
+        # (pow2 lane ladder, batching._prefill_group); warm the WHOLE
+        # pow2 ladder for the small buckets in the background — drain
+        # timing makes group sizes nondeterministic, so any un-warmed
+        # intermediate size (2, 4, ...) costs the first matching burst
+        # a cold compile through the relay (measured: conc=8 TTFA p50
+        # 4.7 s on the first round vs 358 ms steady)
+        burst = 1 << max(0, self.batcher.n_lanes - 1).bit_length()
+        lanes_ladder = []
+        g = 2
+        while g <= burst:
+            lanes_ladder.append(g)
+            g *= 2
+        warm_calls += [(b, {"prefill_lanes": g})
+                       for b in llm_buckets if b <= 128
+                       for g in lanes_ladder]
+        return warm_calls
+
+    def _do_warm(self, bk) -> None:
+        bucket, kw = bk
+        if kw is None:
+            self.batcher.warm_prefill(bucket)
+        elif "prefill_lanes" in kw:
+            self.batcher.warm_prefill(bucket, n_lanes=kw["prefill_lanes"])
+        else:
+            self.codec_batcher.warm(bucket, **kw)
+
+    def _warm_is_fg(self, bk) -> bool:
+        bucket, kw = bk
+        if kw is None:
+            return bucket <= 128  # interactive B=1 prompt prefills
+        if "prefill_lanes" in kw:
+            return False  # burst variants only matter under load
+        return bucket <= int(os.environ.get("MIOTTS_WARMUP_FG_BUCKET", "256"))
+
+    def warmup(self) -> None:
+        """Compile the serving-critical executables before the first request
+        (TPU addition — with the persistent compilation cache this is a
+        one-time cost per deployment; warm restarts replay from cache).
+
+        Covers the codec buckets and LLM prompt buckets typical requests
+        land in, not just the smallest — a cold larger bucket otherwise
+        costs the first matching request its full compile.
+
+        Even cache-warm, loading every executable through a slow device
+        relay takes minutes, so the warm is SPLIT: the buckets short/typical
+        requests hit (codec <= MIOTTS_WARMUP_FG_BUCKET, default 256, plus
+        the small prompt buckets and the chunk/attach executables) compile
+        in the foreground — the server listens after them — and the long
+        tail (768-bucket codec variants, big prompt buckets) continues on a
+        background thread. A long first request that races the tail merely
+        waits on its compile like it would have cold.
+        MIOTTS_WARMUP_BG=0 restores the all-foreground behavior."""
         import concurrent.futures
 
-        if self.batcher is not None:
-            # every prompt bucket a request can reach within the context
-            # budget compiles its own prefill executable — warm them in the
-            # same pool as the codec buckets (direct llm_prefill_jit calls;
-            # token-generating submits would serialize on the chunk loop)
-            from .batching import _PROMPT_BUCKETS
-
-            max_prompt = self.batcher.max_ctx - 8
-            llm_buckets = ([b for b in _PROMPT_BUCKETS if b <= max_prompt]
-                           or [max(8, max_prompt)])
-            warm_calls += [(b, None) for b in llm_buckets]
-            # simultaneous submits coalesce into one multi-lane prefill
-            # (pow2 lane ladder, batching._prefill_group); warm the WHOLE
-            # pow2 ladder for the small buckets in the background — drain
-            # timing makes group sizes nondeterministic, so any un-warmed
-            # intermediate size (2, 4, ...) costs the first matching burst
-            # a cold compile through the relay (measured: conc=8 TTFA p50
-            # 4.7 s on the first round vs 358 ms steady)
-            burst = 1 << max(0, self.batcher.n_lanes - 1).bit_length()
-            lanes_ladder = []
-            g = 2
-            while g <= burst:
-                lanes_ladder.append(g)
-                g *= 2
-            warm_calls += [(b, {"prefill_lanes": g})
-                           for b in llm_buckets if b <= 128
-                           for g in lanes_ladder]
-
-        def do_warm(bk):
-            bucket, kw = bk
-            if kw is None:
-                self.batcher.warm_prefill(bucket)
-            elif "prefill_lanes" in kw:
-                self.batcher.warm_prefill(bucket, n_lanes=kw["prefill_lanes"])
-            else:
-                self.codec_batcher.warm(bucket, **kw)
-
-        fg_bucket = int(os.environ.get("MIOTTS_WARMUP_FG_BUCKET", "256"))
+        t0 = time.perf_counter()
+        warm_calls = self._codec_warm_calls() + self._llm_warm_calls()
+        do_warm = self._do_warm
+        is_fg = self._warm_is_fg
         bg_enabled = os.environ.get("MIOTTS_WARMUP_BG", "1") not in ("0", "off")
-
-        def is_fg(bk):
-            bucket, kw = bk
-            if kw is None:
-                return bucket <= 128  # interactive B=1 prompt prefills
-            if "prefill_lanes" in kw:
-                return False  # burst variants only matter under load
-            return bucket <= fg_bucket
 
         fg_calls = [bk for bk in warm_calls if is_fg(bk)]
         bg_calls = [bk for bk in warm_calls if bk not in fg_calls]
         if not bg_enabled:
             fg_calls, bg_calls = warm_calls, []
+        # the codec fg set may already be warming on the early thread
+        # started in __init__ (overlapped with the LLM load) — don't
+        # double-issue those calls here, just join the thread below
+        if self._codec_fg_thread is not None:
+            fg_calls = [bk for bk in fg_calls
+                        if bk not in self._codec_fg_taken]
+        # burst-critical first: the multi-lane prefill-group executables
+        # are tiny but a conc>1 burst right after listening needs them —
+        # warming them at the tail's END left a minutes-long window where
+        # the first burst paid their loads (measured: TTFA p50 808 ms vs
+        # 358 steady). Big codec buckets go last.
+        def bg_order(bk):
+            bucket, kw = bk
+            if kw is not None and "prefill_lanes" in kw:
+                return (0, bucket, kw["prefill_lanes"])
+            if kw is None:
+                return (1, bucket, 0)
+            return (2, bucket, 0)
+
+        bg_calls.sort(key=bg_order)
 
         width = int(os.environ.get("MIOTTS_WARMUP_POOL", "4"))
         with concurrent.futures.ThreadPoolExecutor(max(1, width)) as ex:
             list(ex.map(do_warm, fg_calls))
+        if self._codec_fg_thread is not None:
+            self._codec_fg_thread.join()
+            self._codec_fg_thread = None
+            if self._codec_fg_error is not None:
+                raise self._codec_fg_error
         if self.batcher is not None:
             from ..models.llm import SamplerParams
 
@@ -309,10 +365,12 @@ class ServingEngine:
             self._warmup_bg_thread = threading.Thread(
                 target=bg_warm, daemon=True, name="warmup-bg")
             self._warmup_bg_thread.start()
-        print(f"warmup: {len(fg_calls)} foreground executables in "
-              f"{time.perf_counter() - t0:.1f}s; "
+        codec_buckets = sorted({b for b, kw in warm_calls
+                                if kw is not None and "prefill_lanes" not in kw})
+        print(f"warmup: {len(fg_calls) + len(self._codec_fg_taken)} "
+              f"foreground executables in {time.perf_counter() - t0:.1f}s; "
               f"{len(bg_calls)} warming in background "
-              f"(codec buckets {warm_buckets})", file=sys.stderr)
+              f"(codec buckets {codec_buckets})", file=sys.stderr)
 
     # -- counters ---------------------------------------------------------------
 
