@@ -129,6 +129,17 @@ class ContinuousBatcher:
         # the queue and prefills simultaneous arrivals as ONE batched
         # forward per prompt bucket (see _prefill_loop)
         self._prefill_q: "queue.Queue[tuple | None]" = queue.Queue()
+        # (bucket, pow2 lane count) prefill executables known warm — fed by
+        # warm_prefill and by successful groups. While the warmup tail is
+        # still loading the multi-lane ladder (split_cold_until_warm set by
+        # ServingEngine around the tail), a burst that would need a COLD
+        # group size instead splits into the largest warmed size (see
+        # _prefill_group) — a few warm ~100 ms dispatches beat one cold
+        # multi-second compile/load through the relay. Once the tail is
+        # done, cold sizes compile on demand again (a one-time cost the
+        # grouped executable amortizes over every later burst).
+        self._warm_prefills: set[tuple[int, int]] = set()
+        self.split_cold_until_warm = False
         self._prefill_thread = threading.Thread(
             target=self._prefill_loop, daemon=True, name="batcher-prefill")
         self._prefill_thread.start()
@@ -227,6 +238,18 @@ class ContinuousBatcher:
         # at (prompt buckets) x log2(n_lanes); pad rows carry an
         # out-of-range lane index, so their attach writes drop
         kp = 1 << max(0, len(group) - 1).bit_length()
+        if (kp > 1 and self.split_cold_until_warm
+                and (bucket, kp) not in self._warm_prefills):
+            # this group size is cold (the warmup tail hasn't reached it
+            # yet): split into the largest warmed size for this bucket
+            # rather than paying a cold multi-lane compile/load mid-burst
+            warmed = [n for (b, n) in self._warm_prefills
+                      if b == bucket and n < kp]
+            if warmed:
+                sub = max(warmed)
+                for i in range(0, len(group), sub):
+                    self._prefill_group(bucket, group[i:i + sub])
+                return
         toks = np.zeros((kp, bucket), np.int32)
         lens = np.ones(kp, np.int32)
         lanes = np.full(kp, self.n_lanes, np.int32)
@@ -264,6 +287,7 @@ class ContinuousBatcher:
             print(f"mio: batched prefill failed: {e!r}", file=sys.stderr)
             self._fail_unstarted([it[0] for it in group], e)
             return
+        self._warm_prefills.add((bucket, kp))
         with self._cv:
             self._pending.append(([it[0] for it in group], attach))
             self._cv.notify_all()
@@ -307,6 +331,7 @@ class ContinuousBatcher:
             jnp.asarray(np.ones((n_lanes, bucket), np.int32)),
             jnp.asarray([min(4, bucket)] * n_lanes, jnp.int32))
         np.asarray(logits[:, :1])  # force execution through the relay
+        self._warm_prefills.add((bucket, n_lanes))
 
     def _free_lane(self) -> int | None:
         for i, l in enumerate(self.lanes):

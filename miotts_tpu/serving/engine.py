@@ -354,13 +354,22 @@ class ServingEngine:
 
             def bg_warm():
                 tb = time.perf_counter()
-                with concurrent.futures.ThreadPoolExecutor(
-                        max(1, width_bg)) as ex:
-                    list(ex.map(do_warm_logged, bg_calls))
-                self.warmup_bg_done = True
+                try:
+                    with concurrent.futures.ThreadPoolExecutor(
+                            max(1, width_bg)) as ex:
+                        list(ex.map(do_warm_logged, bg_calls))
+                finally:
+                    if self.batcher is not None:
+                        self.batcher.split_cold_until_warm = False
+                    self.warmup_bg_done = True
                 print(f"warmup: background tail ({len(bg_calls)} "
                       f"executables) done in {time.perf_counter() - tb:.1f}s",
                       file=sys.stderr)
+
+            if self.batcher is not None:
+                # bursts that race the tail split into warmed prefill-group
+                # sizes instead of compiling cold mid-request
+                self.batcher.split_cold_until_warm = True
 
             self._warmup_bg_thread = threading.Thread(
                 target=bg_warm, daemon=True, name="warmup-bg")

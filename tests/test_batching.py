@@ -83,6 +83,63 @@ def test_burst_submits_coalesce_and_match_single_path(batcher):
         assert got == expect, text
 
 
+def test_cold_group_sizes_split_to_warmed_during_warmup_tail(tmp_path):
+    """While the warmup tail is still loading the multi-lane prefill
+    ladder (split_cold_until_warm), a burst that would coalesce into a
+    COLD group size must split into the largest warmed size instead of
+    compiling a new multi-lane executable mid-burst — and the greedy
+    outputs must still match the single-request path."""
+    import threading
+
+    from miotts_tpu.serving import batching as batching_mod
+
+    path = tmp_path / "llm.gguf"
+    write_synthetic_llm_gguf(str(path), n_audio=64, seed=0)
+    eng = LLMEngine(str(path), dtype=jnp.float32)
+    b = ContinuousBatcher(eng, n_lanes=4, max_ctx=128, chunk=8)
+    try:
+        # warm single-lane + 2-lane for the smallest prompt bucket only
+        # (the state the fg warm leaves right as the server starts
+        # listening), then freeze: the 4-lane executable stays "cold"
+        bucket = 32
+        b.warm_prefill(bucket)
+        b.warm_prefill(bucket, n_lanes=2)
+        b.split_cold_until_warm = True
+
+        seen_group_sizes = []
+        real = batching_mod.llm_prefill_kv_jit
+
+        def spy(cfg, weights, toks, lens):
+            seen_group_sizes.append(int(toks.shape[0]))
+            return real(cfg, weights, toks, lens)
+
+        batching_mod.llm_prefill_kv_jit = spy
+        try:
+            texts = ["a", "bb", "ccc", "dddd"]  # all land in bucket 32
+            barrier = threading.Barrier(len(texts))
+
+            def one(text):
+                barrier.wait()
+                return b.submit(text, SamplerParams(temp=0.0),
+                                n_predict=8).collect()
+
+            with concurrent.futures.ThreadPoolExecutor(len(texts)) as ex:
+                results = list(ex.map(one, texts))
+        finally:
+            batching_mod.llm_prefill_kv_jit = real
+        # drain timing may or may not coalesce the burst, but no prefill
+        # may exceed the largest warmed group size
+        assert seen_group_sizes and max(seen_group_sizes) <= 2
+        for text, got in zip(texts, results):
+            expect = eng.generate_audio_tokens(
+                text, n_predict=8, n_ctx=64, sampler=SamplerParams(temp=0.0))
+            assert got == expect, text
+        # once the tail finishes, cold sizes group on demand again
+        b.split_cold_until_warm = False
+    finally:
+        b.shutdown()
+
+
 def test_lane_reuse_after_completion(batcher):
     eng, b = batcher
     for round_ in range(3):
