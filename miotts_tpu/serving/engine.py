@@ -255,6 +255,12 @@ class ServingEngine:
             return bucket <= 128  # interactive B=1 prompt prefills
         if "prefill_lanes" in kw:
             return False  # burst variants only matter under load
+        if "interp_anchor" in kw and "wlen" not in kw:
+            # the f32 full-decode fallback only serves oversized streaming
+            # finalize tails — rare enough that the first one may pay a
+            # cache load; dropping it from the fg set cuts ~1/3 of the
+            # listening-path executable bytes
+            return False
         return bucket <= int(os.environ.get("MIOTTS_WARMUP_FG_BUCKET", "256"))
 
     def warmup(self) -> None:
