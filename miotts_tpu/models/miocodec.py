@@ -261,6 +261,14 @@ def load_miocodec(path: str, dtype=np.float32) -> tuple[MioCodecConfig, Pytree]:
 
     w["istft_out_w"] = _t(get("istft_head.out.weight"))
     w["istft_out_b"] = get("istft_head.out.bias")
+    if cfg.model_type == 0:
+        # DFT matrices as weight leaves, not tracer constants: baked in,
+        # they add ~15 MB (n_fft=1920) to EVERY codec executable — which a
+        # warm restart re-ships through the relay per bucket/variant
+        from ..ops.istft import _dft_tables
+
+        w["istft_tables"] = tuple(np.asarray(t)
+                                  for t in _dft_tables(cfg.n_fft))
 
     if cfg.wave_upsampler_factors:
         stages = []
@@ -547,7 +555,8 @@ def codec_synthesize(
                                         interp_anchor_tokens)
     with jax.default_matmul_precision(_codec_matmul_precision()):
         if cfg.model_type == 0:
-            audio = spec_to_audio(spec, frame_len, cfg.n_fft, cfg.hop_length)
+            audio = spec_to_audio(spec, frame_len, cfg.n_fft, cfg.hop_length,
+                                  tables=w.get("istft_tables"))
             n_pad = (cfg.n_fft - cfg.hop_length) // 2
             n_samples = (frame_len - 1) * cfg.hop_length + cfg.n_fft - 2 * n_pad
         else:

@@ -93,15 +93,22 @@ def spec_to_audio(
     frame_lengths: jnp.ndarray,
     n_fft: int,
     hop: int,
+    tables: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
-    """spec: [B, L, n_fft+2] (logmag | phase); returns audio [B, L*hop]."""
+    """spec: [B, L, n_fft+2] (logmag | phase); returns audio [B, L*hop].
+
+    ``tables`` optionally supplies the (cos, sin) DFT matrices as runtime
+    arrays. Baked as tracer constants they embed ~15 MB (n_fft=1920) into
+    EVERY codec executable — which a warm restart then re-ships through
+    the relay per bucket/variant; the loader threads them through the
+    weight tree instead (one upload, shared by all executables)."""
     n_freq = n_fft // 2 + 1
     logmag = spec[..., :n_freq].astype(jnp.float32)
     phase = spec[..., n_freq:].astype(jnp.float32)
     mag = jnp.minimum(jnp.exp(logmag), 1e2)
     re = mag * jnp.cos(phase)
     im = mag * jnp.sin(phase)
-    cos_t, sin_t = _dft_tables(n_fft)
+    cos_t, sin_t = tables if tables is not None else _dft_tables(n_fft)
     cos_t = jnp.asarray(cos_t)
     sin_t = jnp.asarray(sin_t)
     frames_time = (
