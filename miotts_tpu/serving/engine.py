@@ -141,7 +141,16 @@ class ServingEngine:
             from ..models.llm import LLMEngine
             from .batching import ContinuousBatcher
 
-            self.llm = LLMEngine(cfg.model, quantize=(cfg.llm_quant or None))
+            try:
+                self.llm = LLMEngine(cfg.model,
+                                     quantize=(cfg.llm_quant or None))
+            except BaseException:
+                # don't leave the early codec warm mid-jit on a daemon
+                # thread while the constructor unwinds (interpreter exit
+                # with an in-flight PJRT call crashes noisily)
+                if self._codec_fg_thread is not None:
+                    self._codec_fg_thread.join()
+                raise
             self.batcher = ContinuousBatcher(
                 self.llm,
                 n_lanes=max(1, cfg.n_parallel),
