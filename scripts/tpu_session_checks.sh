@@ -10,10 +10,22 @@ PORT="${1:-18310}"
 TMP="${TMPDIR:-/tmp}"
 cd "$(dirname "$0")/.."
 
+# serve the Q8_0 artifact (the published MioTTS-0.1B ships as Q8_0; raw
+# blocks ride the packed upload at ~half the f32 bytes). Generate if absent.
+[[ -s "$TMP/miotts_bench_llm_q8.gguf" ]] || python - <<'EOF'
+import os
+from miotts_tpu.testing import write_synthetic_llm_gguf
+tmp = os.environ.get("TMPDIR", "/tmp")
+write_synthetic_llm_gguf(
+    os.path.join(tmp, "miotts_bench_llm_q8.gguf"), n_audio=12800, dim=768,
+    n_layers=12, n_heads=12, n_kv_heads=2, ffn=2048, seed=0,
+    n_filler_vocab=138_700, audio_logit_scale=3.0, quant="q8_0")
+EOF
+
 start_server() {
   date +%s > /tmp/tpu_t0
   (python -m miotts_tpu.serving.server -mv "$TMP/miotts_bench_codec.gguf" \
-    -m "$TMP/miotts_bench_llm_v2.gguf" --port "$PORT" -np 8 -n 700 \
+    -m "$TMP/miotts_bench_llm_q8.gguf" --port "$PORT" -np 8 -n 700 \
     --ctx-size 700 --warmup on --output-dir /tmp/bench_out \
     --reference-file-json "{\"key\":\"preset\",\"path\":\"$TMP/miotts_bench_voice.emb.gguf\"}" \
     > "/tmp/tpu_srv_$1.log" 2>&1 & echo $! > /tmp/tpu_srv.pid)
