@@ -138,7 +138,10 @@ class ContinuousBatcher:
         # multi-second compile/load through the relay. Once the tail is
         # done, cold sizes compile on demand again (a one-time cost the
         # grouped executable amortizes over every later burst).
-        self._warm_prefills: set[tuple[int, int]] = set()
+        # immutable frozenset replaced on add (atomic ref swap): warm
+        # threads publish while the prefill worker iterates a snapshot —
+        # mutating a shared set during iteration would raise
+        self._warm_prefills: frozenset[tuple[int, int]] = frozenset()
         self.split_cold_until_warm = False
         self._prefill_thread = threading.Thread(
             target=self._prefill_loop, daemon=True, name="batcher-prefill")
@@ -287,7 +290,7 @@ class ContinuousBatcher:
             print(f"mio: batched prefill failed: {e!r}", file=sys.stderr)
             self._fail_unstarted([it[0] for it in group], e)
             return
-        self._warm_prefills.add((bucket, kp))
+        self._warm_prefills = self._warm_prefills | {(bucket, kp)}
         with self._cv:
             self._pending.append(([it[0] for it in group], attach))
             self._cv.notify_all()
@@ -331,7 +334,7 @@ class ContinuousBatcher:
             jnp.asarray(np.ones((n_lanes, bucket), np.int32)),
             jnp.asarray([min(4, bucket)] * n_lanes, jnp.int32))
         np.asarray(logits[:, :1])  # force execution through the relay
-        self._warm_prefills.add((bucket, n_lanes))
+        self._warm_prefills = self._warm_prefills | {(bucket, n_lanes)}
 
     def _free_lane(self) -> int | None:
         for i, l in enumerate(self.lanes):
