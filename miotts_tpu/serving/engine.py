@@ -124,7 +124,7 @@ class ServingEngine:
             def early_codec_warm():
                 import concurrent.futures
 
-                width = int(os.environ.get("MIOTTS_WARMUP_POOL", "4"))
+                width = int(os.environ.get("MIOTTS_WARMUP_POOL", "8"))
                 try:
                     with concurrent.futures.ThreadPoolExecutor(
                             max(1, width)) as ex:
@@ -323,7 +323,7 @@ class ServingEngine:
 
         bg_calls.sort(key=bg_order)
 
-        width = int(os.environ.get("MIOTTS_WARMUP_POOL", "4"))
+        width = int(os.environ.get("MIOTTS_WARMUP_POOL", "8"))
         with concurrent.futures.ThreadPoolExecutor(max(1, width)) as ex:
             list(ex.map(do_warm, fg_calls))
         if self._codec_fg_thread is not None:

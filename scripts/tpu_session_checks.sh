@@ -43,6 +43,10 @@ for i in $(seq 1 240); do
   curl -s -m 3 "localhost:$PORT/mio/health" | grep -q '"warmup_complete": true' && break
   sleep 15
 done
+# steady-state burst (everything warm) — the number to compare against the
+# burst-at-listening above
+python tests/bench_server.py --url "http://127.0.0.1:$PORT" --mode stream-audio \
+  --n-predict 120 --concurrency 8 --requests-per-worker 4 --out /tmp/sum_burst_steady.csv
 grep -E "warmup" "/tmp/tpu_srv_run1.log" | tail -20
 kill -TERM "$(cat /tmp/tpu_srv.pid)"; sleep 10
 start_server run2
