@@ -50,7 +50,8 @@ int main(int argc, char ** argv) {
         }
         printf("registered %s from %s\n", key, emb);
     } else {
-        key = NULL; /* server may have preloaded references; try without */
+        key = ""; /* empty key: server may resolve a preloaded reference
+                   * (NULL is rejected by the bridge as invalid) */
     }
 
     if (!mio_tpu_client_synthesize_to_wav(c, "Hello from the C client.",
@@ -75,7 +76,7 @@ int main(int argc, char ** argv) {
     }
     printf("wrote %s\n", out2);
 
-    if (key && !mio_tpu_client_remove_reference(c, key, err, sizeof err))
+    if (emb && !mio_tpu_client_remove_reference(c, key, err, sizeof err))
         fprintf(stderr, "remove reference failed: %s\n", err);
 
     mio_tpu_client_destroy(c);

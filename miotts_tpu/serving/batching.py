@@ -138,10 +138,12 @@ class ContinuousBatcher:
         # multi-second compile/load through the relay. Once the tail is
         # done, cold sizes compile on demand again (a one-time cost the
         # grouped executable amortizes over every later burst).
-        # immutable frozenset replaced on add (atomic ref swap): warm
-        # threads publish while the prefill worker iterates a snapshot —
-        # mutating a shared set during iteration would raise
+        # immutable frozenset, replaced under a lock: readers iterate a
+        # snapshot lock-free (mutating a shared set during iteration would
+        # raise), and the locked read-modify-write keeps concurrent warm
+        # registrations from losing each other's updates
         self._warm_prefills: frozenset[tuple[int, int]] = frozenset()
+        self._warm_lock = threading.Lock()
         self.split_cold_until_warm = False
         self._prefill_thread = threading.Thread(
             target=self._prefill_loop, daemon=True, name="batcher-prefill")
@@ -290,7 +292,8 @@ class ContinuousBatcher:
             print(f"mio: batched prefill failed: {e!r}", file=sys.stderr)
             self._fail_unstarted([it[0] for it in group], e)
             return
-        self._warm_prefills = self._warm_prefills | {(bucket, kp)}
+        with self._warm_lock:
+            self._warm_prefills = self._warm_prefills | {(bucket, kp)}
         with self._cv:
             self._pending.append(([it[0] for it in group], attach))
             self._cv.notify_all()
@@ -334,7 +337,8 @@ class ContinuousBatcher:
             jnp.asarray(np.ones((n_lanes, bucket), np.int32)),
             jnp.asarray([min(4, bucket)] * n_lanes, jnp.int32))
         np.asarray(logits[:, :1])  # force execution through the relay
-        self._warm_prefills = self._warm_prefills | {(bucket, n_lanes)}
+        with self._warm_lock:
+            self._warm_prefills = self._warm_prefills | {(bucket, n_lanes)}
 
     def _free_lane(self) -> int | None:
         for i, l in enumerate(self.lanes):

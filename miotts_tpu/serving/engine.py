@@ -113,44 +113,56 @@ class ServingEngine:
         # start the codec foreground warm NOW, overlapped with the LLM
         # GGUF read/staging below — the codec executable cache-loads are
         # relay-bandwidth work while the LLM load's first ~10 s is host
-        # I/O, so the two hide each other (warmup() joins this thread)
+        # I/O, so the two hide each other (warmup() joins this thread).
+        # ONE shared executor serves both this early warm and warmup()'s
+        # fg phase, so MIOTTS_WARMUP_POOL bounds the TOTAL concurrency
+        # through the relay (two independent pools would double it).
         self._codec_fg_thread = None
         self._codec_fg_taken: list = []
         self._codec_fg_error: BaseException | None = None
+        self._warm_pool = None
         if cfg.warmup:
+            import concurrent.futures
+
+            width = max(1, int(os.environ.get("MIOTTS_WARMUP_POOL", "8")))
+            self._warm_pool = concurrent.futures.ThreadPoolExecutor(
+                width, thread_name_prefix="warmup-fg")
             self._codec_fg_taken = [
                 bk for bk in self._codec_warm_calls() if self._warm_is_fg(bk)]
 
             def early_codec_warm():
-                import concurrent.futures
-
-                width = int(os.environ.get("MIOTTS_WARMUP_POOL", "8"))
                 try:
-                    with concurrent.futures.ThreadPoolExecutor(
-                            max(1, width)) as ex:
-                        list(ex.map(self._do_warm, self._codec_fg_taken))
+                    list(self._warm_pool.map(self._do_warm,
+                                             self._codec_fg_taken))
                 except BaseException as e:  # re-raised at warmup() join
                     self._codec_fg_error = e
 
             self._codec_fg_thread = threading.Thread(
                 target=early_codec_warm, daemon=True, name="warmup-codec-fg")
             self._codec_fg_thread.start()
+        try:
+            self._init_llm_and_serving_state(cfg)
+        except BaseException:
+            # don't leave the early codec warm mid-jit on a daemon thread
+            # while the constructor unwinds, whatever raised — LLM load,
+            # batcher setup, reference preload or a warm failure
+            # (interpreter exit with an in-flight PJRT call crashes noisily)
+            t, self._codec_fg_thread = self._codec_fg_thread, None
+            if t is not None:
+                t.join()
+            if self._warm_pool is not None:
+                self._warm_pool.shutdown(wait=True)
+                self._warm_pool = None
+            raise
+
+    def _init_llm_and_serving_state(self, cfg: ServerConfig) -> None:
         self.llm = None
         self.batcher = None
         if cfg.model:
             from ..models.llm import LLMEngine
             from .batching import ContinuousBatcher
 
-            try:
-                self.llm = LLMEngine(cfg.model,
-                                     quantize=(cfg.llm_quant or None))
-            except BaseException:
-                # don't leave the early codec warm mid-jit on a daemon
-                # thread while the constructor unwinds (interpreter exit
-                # with an in-flight PJRT call crashes noisily)
-                if self._codec_fg_thread is not None:
-                    self._codec_fg_thread.join()
-                raise
+            self.llm = LLMEngine(cfg.model, quantize=(cfg.llm_quant or None))
             self.batcher = ContinuousBatcher(
                 self.llm,
                 n_lanes=max(1, cfg.n_parallel),
@@ -323,14 +335,22 @@ class ServingEngine:
 
         bg_calls.sort(key=bg_order)
 
-        width = int(os.environ.get("MIOTTS_WARMUP_POOL", "8"))
-        with concurrent.futures.ThreadPoolExecutor(max(1, width)) as ex:
-            list(ex.map(do_warm, fg_calls))
+        # share the __init__ executor when the early codec warm is running
+        # so MIOTTS_WARMUP_POOL caps the TOTAL relay concurrency
+        if self._warm_pool is not None:
+            list(self._warm_pool.map(do_warm, fg_calls))
+        else:
+            width = max(1, int(os.environ.get("MIOTTS_WARMUP_POOL", "8")))
+            with concurrent.futures.ThreadPoolExecutor(width) as ex:
+                list(ex.map(do_warm, fg_calls))
         if self._codec_fg_thread is not None:
             self._codec_fg_thread.join()
             self._codec_fg_thread = None
             if self._codec_fg_error is not None:
                 raise self._codec_fg_error
+        if self._warm_pool is not None:
+            self._warm_pool.shutdown(wait=True)
+            self._warm_pool = None
         if self.batcher is not None:
             from ..models.llm import SamplerParams
 

@@ -614,6 +614,36 @@ def test_sse_concurrent_streams_share_batcher(server):
         assert "audio_data" in events
 
 
+def test_constructor_failure_joins_early_codec_warm(tmp_path):
+    """A constructor failure AFTER the early codec warm thread starts
+    (here: a missing preload reference file) must join the thread before
+    propagating — unwinding with a daemon thread mid-PJRT-call crashes
+    interpreter exit — and must shut the shared warm pool down."""
+    from miotts_tpu.serving.engine import ServingEngine
+    from miotts_tpu.serving.state import ServerConfig
+
+    cfg_codec = tiny_codec_config()
+    write_synthetic_miocodec_gguf(str(tmp_path / "codec.gguf"), cfg_codec,
+                                  seed=0)
+    cfg = ServerConfig(
+        model_vocoder=str(tmp_path / "codec.gguf"),
+        model="", output_dir=str(tmp_path / "out"),
+        n_parallel=2, n_predict=32, n_ctx=64, warmup=True,
+        reference_file_json=json.dumps(
+            {"key": "p", "path": str(tmp_path / "missing.emb.gguf")}),
+    )
+    import threading
+
+    before = {t.name for t in threading.enumerate()}
+    with pytest.raises(Exception):
+        ServingEngine(cfg)
+    leaked = [t for t in threading.enumerate()
+              if t.name not in before and
+              ("warmup" in t.name or "ThreadPoolExecutor" in t.name)
+              and t.is_alive()]
+    assert not leaked, leaked
+
+
 def test_warmup_covers_default_buckets(tmp_path):
     """After --warmup, a default-settings request (codes at the n_predict
     bucket ceiling + a text request) triggers ZERO new compiles — the bucket
