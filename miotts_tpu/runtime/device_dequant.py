@@ -63,17 +63,20 @@ def _raw_parts(reader, name: str):
     if kind not in _SUPPORTED:
         return None
     raw = np.asarray(reader.tensor_raw(name))
+    # .copy() on every produced array: ascontiguousarray returns a VIEW
+    # when the slice is already contiguous (e.g. a single-block tensor),
+    # and an escaped mmap view makes reader.close() raise BufferError
     if kind == GGMLType.F16:
         return ("f16", info.shape,
                 [raw.view(np.float16).reshape(info.shape).copy()])
     if kind == GGMLType.Q8_0:
         blocks = raw.reshape(-1, 34)
-        d = np.ascontiguousarray(blocks[:, :2]).view(np.float16)[:, 0]
-        q = np.ascontiguousarray(blocks[:, 2:]).view(np.int8)
+        d = np.ascontiguousarray(blocks[:, :2]).view(np.float16)[:, 0].copy()
+        q = np.ascontiguousarray(blocks[:, 2:]).view(np.int8).copy()
         return ("q8_0", info.shape, [d, q])
     blocks = raw.reshape(-1, 18)
-    d = np.ascontiguousarray(blocks[:, :2]).view(np.float16)[:, 0]
-    qs = np.ascontiguousarray(blocks[:, 2:])
+    d = np.ascontiguousarray(blocks[:, :2]).view(np.float16)[:, 0].copy()
+    qs = blocks[:, 2:].copy()
     return ("q4_0", info.shape, [d, qs])
 
 
@@ -145,7 +148,7 @@ class PackedLoader:
     def __init__(self):
         self._parts: list[np.ndarray] = []  # pack order
         self._shapes: list[tuple] = []  # original leaf shapes (0-d safe)
-        # key -> ("raw", specs, transpose, out_dtype, metas)
+        # key -> ("raw", specs, transpose, out_dtype, n_parts)
         #      | ("arr", meta)            with meta = (np dtype, shape)
         self._leaves: dict[Any, tuple] = {}
 
@@ -158,6 +161,9 @@ class PackedLoader:
         return (arr.dtype, shape)
 
     def add_array(self, key, arr: np.ndarray, out_dtype=None) -> _Pending:
+        # finalize() maps leaves to staged parts by insertion order — a
+        # silently-overwritten duplicate would misalign every later slice
+        assert key not in self._leaves, f"duplicate leaf key: {key!r}"
         if out_dtype is not None:
             arr = np.asarray(arr, dtype=np.dtype(out_dtype))
         else:
@@ -173,10 +179,10 @@ class PackedLoader:
                 transpose: bool = False, out_dtype=None) -> _Pending | None:
         import jax.numpy as jnp
 
+        assert key not in self._leaves, f"duplicate leaf key: {key!r}"
         if out_dtype is None:
             out_dtype = jnp.bfloat16
         specs: list[tuple[str, tuple[int, ...]]] = []
-        metas: list[tuple] = []
         staged: list[np.ndarray] = []
         for fmt in fmts:
             if n_layers is None:
@@ -198,9 +204,9 @@ class PackedLoader:
             specs.append((kind, tuple(int(s) for s in shape)))
             staged.extend(parts)
         for a in staged:
-            metas.append(self._stage(a))
+            self._stage(a)
         self._leaves[key] = ("raw", tuple(specs), bool(transpose),
-                             out_dtype, tuple(metas))
+                             out_dtype, len(staged))
         return _Pending(key)
 
     # -- build ----------------------------------------------------------------
@@ -221,13 +227,20 @@ class PackedLoader:
         part_loc: dict[int, tuple[int, int, int]] = {}  # idx -> (g, start, n)
         host_groups = []
         for g, dt in enumerate(group_keys):
-            flats = [self._parts[i].reshape(-1) for i in groups[dt]]
+            total = sum(self._parts[i].size for i in groups[dt])
+            buf = np.empty(total, dt)
             start = 0
-            for i, f in zip(groups[dt], flats):
-                part_loc[i] = (g, start, f.size)
-                start += f.size
-            host_groups.append(
-                flats[0] if len(flats) == 1 else np.concatenate(flats))
+            for i in groups[dt]:
+                f = self._parts[i].reshape(-1)
+                n = f.size
+                buf[start:start + n] = f
+                part_loc[i] = (g, start, n)
+                start += n
+                # release the staged copy as it is packed — keeping every
+                # part alive beside its packed copy doubles peak host RAM
+                # (~3.4 GB transient at 1.63B)
+                self._parts[i] = None
+            host_groups.append(buf)
 
         part_shape = list(self._shapes)
         leaves = dict(self._leaves)
@@ -241,7 +254,7 @@ class PackedLoader:
         order: dict[Any, list[int]] = {}
         idx = 0
         for key, spec in leaves.items():
-            n = 1 if spec[0] == "arr" else len(spec[4])
+            n = 1 if spec[0] == "arr" else spec[4]
             order[key] = list(range(idx, idx + n))
             idx += n
 
@@ -252,7 +265,7 @@ class PackedLoader:
                 if spec[0] == "arr":
                     out[key] = cut(bufs, idxs[0])
                 else:
-                    _, specs, transpose, out_dtype, _metas = spec
+                    _, specs, transpose, out_dtype, _n = spec
                     arrays = [cut(bufs, j) for j in idxs]
                     out[key] = _assemble_leaf(specs, transpose, out_dtype,
                                               arrays)
@@ -284,11 +297,14 @@ class PackedLoader:
 
             print(f"mio: packed weight upload failed ({e!r}); falling back "
                   "to per-leaf assembly", file=sys.stderr)
-            import jax.numpy as jnp_  # noqa: F401
 
-            def put(j):  # staged parts may have been 0-d-promoted
-                return jax.numpy.asarray(
-                    self._parts[j].reshape(self._shapes[j]))
+            def put(j):
+                # the staged copies were released into the packed buffers
+                # (donation only frees the DEVICE copies, the host arrays
+                # survive a failed call) — cut each part back out
+                g, start, n = part_loc[j]
+                seg = host_groups[g][start:start + n]
+                return jax.numpy.asarray(seg.reshape(part_shape[j]))
 
             result = {}
             for key, spec in leaves.items():
@@ -296,7 +312,7 @@ class PackedLoader:
                 if spec[0] == "arr":
                     result[key] = put(idxs[0])
                 else:
-                    _, specs, transpose, out_dtype, _metas = spec
+                    _, specs, transpose, out_dtype, _n = spec
                     result[key] = _assemble(specs, transpose, out_dtype,
                                             *[put(j) for j in idxs])
         self._parts.clear()

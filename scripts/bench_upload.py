@@ -62,11 +62,15 @@ def main() -> int:
     # -- LLM: host prep vs upload --------------------------------------------
     from miotts_tpu.models.llm import load_llm_gguf
 
-    for path, tag, dev_deq in ((llm_path, "f32-src", ""),
+    saved_deq = os.environ.get("MIOTTS_DEVICE_DEQUANT")
+    # every row pins the mode explicitly so the labels mean the same thing
+    # regardless of the ambient env (f32-src has no raw-quant path to save,
+    # but the packed transfer itself is still mode-dependent)
+    for path, tag, dev_deq in ((llm_path, "f32-src packed", "1"),
+                               (llm_path, "f32-src per-leaf", "0"),
                                (q8_path, "q8-src host-deq", "0"),
                                (q8_path, "q8-src dev-deq", "1")):
-        if dev_deq:
-            os.environ["MIOTTS_DEVICE_DEQUANT"] = dev_deq
+        os.environ["MIOTTS_DEVICE_DEQUANT"] = dev_deq
         t0 = time.perf_counter()
         cfg, w, tok = load_llm_gguf(path)
         fetch_barrier(w)
@@ -76,7 +80,10 @@ def main() -> int:
         print(f"llm[{tag}] load+upload: {t1 - t0:.1f}s "
               f"({nbytes / 1e6:.0f} MB on device)", flush=True)
         del w
-    os.environ.pop("MIOTTS_DEVICE_DEQUANT", None)
+    if saved_deq is None:
+        os.environ.pop("MIOTTS_DEVICE_DEQUANT", None)
+    else:
+        os.environ["MIOTTS_DEVICE_DEQUANT"] = saved_deq
 
     # -- packed single-buffer transfer: the relay's best case ----------------
     for mb in (64, 256, 512):

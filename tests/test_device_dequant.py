@@ -138,3 +138,37 @@ def test_generation_identical(gguf_path, monkeypatch):
     eng_d = LLMEngine(gguf_path)
     toks_d = eng_d.generate_audio_tokens("hello", n_predict=12, sampler=sp)
     assert toks_h == toks_d
+
+
+def test_single_block_tensor_reader_closes(tmp_path):
+    """A quantized tensor with exactly ONE 32-element block must stage
+    compact copies, not mmap views — ascontiguousarray returns a view for
+    already-contiguous slices, and an escaped view makes reader.close()
+    raise BufferError, failing the whole load."""
+    from miotts_tpu.gguf.reader import GGUFReader
+    from miotts_tpu.gguf.writer import GGUFWriter
+    from miotts_tpu.runtime.device_dequant import PackedLoader
+
+    path = str(tmp_path / "oneblock.gguf")
+    w = GGUFWriter(path, arch="test")
+    vals = (np.arange(32, dtype=np.float32) - 16.0) / 4.0
+    w.add_tensor_q8_0("tiny", vals.reshape(1, 32))
+    w.write()
+
+    r = GGUFReader(path)
+    pk = PackedLoader()
+    assert pk.add_raw("tiny", r, ["tiny"], out_dtype=jnp.float32) is not None
+    r.close()  # must not raise BufferError (exported mmap pointers)
+    out = np.asarray(pk.finalize()["tiny"])
+    q = np.round(vals / (np.abs(vals).max() / 127.0))
+    scale = np.float32(np.float16(np.abs(vals).max() / 127.0))
+    np.testing.assert_allclose(out, (q * scale).reshape(1, 32), rtol=1e-3)
+
+
+def test_duplicate_leaf_key_rejected():
+    from miotts_tpu.runtime.device_dequant import PackedLoader
+
+    pk = PackedLoader()
+    pk.add_array("k", np.ones(4, np.float32))
+    with pytest.raises(AssertionError):
+        pk.add_array("k", np.zeros(4, np.float32))
