@@ -158,6 +158,12 @@ class ContinuousBatcher:
         self._last_progress = _wall.monotonic()
         self.stall_threshold_s = float(
             os.environ.get("MIOTTS_DEVICE_STALL_S", "120"))
+        # sub-watchdog stall events: chunk fetches slower than this count
+        # toward stall_events (surfaced via /metrics + /mio/health)
+        self.stall_event_s = float(
+            os.environ.get("MIOTTS_STALL_EVENT_S", "5"))
+        self.stall_events = 0
+        self.longest_fetch_s = 0.0
         # per-lane sampler knobs mirrored host-side
         self._temps = np.full(n_lanes, 0.8, np.float32)
         self._top_ks = np.full(n_lanes, 50, np.int32)
@@ -500,6 +506,7 @@ class ContinuousBatcher:
             # behind, so drain)
             if inflight and (len(inflight) > depth or not dispatched):
                 packed_k, snap_k, _size_k = inflight.popleft()
+                tf = _wall.monotonic()
                 try:
                     # single packed fetch: three separate np.asarray calls
                     # pay three device round trips per chunk
@@ -515,6 +522,15 @@ class ContinuousBatcher:
                     self._fail_active_lanes(affected, e)
                     inflight.clear()
                     continue
+                # stall observability: the link intermittently pauses every
+                # in-flight device call for seconds (measured: 11 s and
+                # 133 s cohort stalls at p50 ~1 s) — too short for the
+                # 120 s device_stalled watchdog but very visible to the
+                # requests riding that chunk. Count them for /metrics.
+                dt_fetch = _wall.monotonic() - tf
+                if dt_fetch > self.stall_event_s:
+                    self.stall_events += 1
+                self.longest_fetch_s = max(self.longest_fetch_s, dt_fetch)
                 self._deliver_chunk(out_np, n_np, done_np, snap_k)
                 self._last_progress = _wall.monotonic()
                 if not inflight:

@@ -455,6 +455,16 @@ class ServingEngine:
             ("miotts_synth_ms_total", self.synth_ms_total,
              "milliseconds spent in codec synthesis"),
         ]
+        if self.batcher is not None:
+            counters.append(
+                ("miotts_device_stall_events_total",
+                 self.batcher.stall_events,
+                 "chunk fetches slower than MIOTTS_STALL_EVENT_S "
+                 "(intermittent device-link pauses)"))
+            gauges.append(
+                ("miotts_longest_chunk_fetch_seconds",
+                 round(self.batcher.longest_fetch_s, 3),
+                 "slowest chunk fetch observed since start"))
         lines = []
         for name, val, help_ in gauges:
             lines += [f"# HELP {name} {help_}", f"# TYPE {name} gauge",

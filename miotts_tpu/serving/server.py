@@ -205,6 +205,12 @@ class MioTTSServer:
                         "device_stalled": (eng.batcher.device_stalled
                                            if eng.batcher is not None
                                            else False),
+                        # count of sub-watchdog link pauses (chunk fetch >
+                        # MIOTTS_STALL_EVENT_S; measured 11-133 s cohort
+                        # stalls on this relay at p50 ~1 s)
+                        "device_stall_events": (eng.batcher.stall_events
+                                                if eng.batcher is not None
+                                                else 0),
                     })
                 elif path == "/metrics":
                     data = eng.metrics_text().encode()

@@ -295,6 +295,9 @@ def test_metrics_endpoint(server):
     assert float(lines["miotts_audio_seconds_total"]) > 0
     assert float(lines["miotts_reference_cache_size"]) >= 1
     assert float(lines["miotts_inflight"]) == 0
+    # stall observability (server fixture has an LLM configured)
+    assert float(lines["miotts_device_stall_events_total"]) == 0
+    assert "miotts_longest_chunk_fetch_seconds" in lines
 
 
 def test_body_size_cap_413(server):
