@@ -96,6 +96,16 @@ class ContinuousBatcher:
         if first_chunk is None:
             first_chunk = int(os.environ.get("MIOTTS_FIRST_CHUNK", "12"))
         self.first_chunk = max(1, min(first_chunk or chunk, chunk))
+        # growth ladder past the steady chunk: once every active lane has
+        # run a steady chunk's worth of steps, dispatches double to
+        # chunk_max — each chunk boundary pays a fetch RTT through the
+        # device link, so long generations want FEW boundaries while fresh
+        # lanes still want the small first chunk (TTFA). Measured at
+        # conc=1 n-predict=120: 5 boundaries -> 4. MIOTTS_CHUNK_MAX=chunk
+        # restores the flat behavior.
+        self.chunk_max = max(chunk, int(
+            os.environ.get("MIOTTS_CHUNK_MAX", str(2 * chunk))))
+        self.ladder = tuple(sorted({self.first_chunk, chunk, self.chunk_max}))
         if mesh is not None:
             # dp fan-out over --mio-backend-devices: lanes shard across the
             # mesh (the reference round-robins slots over GGML backends,
@@ -466,12 +476,8 @@ class ContinuousBatcher:
                 worth_dispatching = any(
                     (l.generated + steps_inflight.get(id(l), 0)) < l.n_predict
                     for _i, l in snapshot)
-                # first-chunk ramp: any fresh lane in this dispatch -> small
-                # chunk (its first tokens surface ~(chunk-first_chunk) steps
-                # earlier)
-                size = (self.first_chunk
-                        if any(l.dispatched == 0 for _, l in snapshot)
-                        else self.chunk)
+                # first-chunk ramp + growth ladder (see _dispatch_size)
+                size = self._dispatch_size(snapshot)
 
             t0 = _t.perf_counter()
             dispatched = False
@@ -543,6 +549,41 @@ class ContinuousBatcher:
                       f"dispatch={(t1 - t0) * 1e3:.1f}ms "
                       f"fetch+deliver={(_t.perf_counter() - t1) * 1e3:.1f}ms",
                       file=sys.stderr)
+
+    def _dispatch_size(self, snapshot) -> int:
+        """Pick this dispatch's chunk size. Three forces:
+
+        - a freshly attached lane wants its first tokens EARLY (TTFA), so
+          any fresh lane pulls the dispatch down to ``first_chunk``;
+        - established lanes want FEW dispatch boundaries (each chunk pays
+          a fetch round trip through the device link), so a lane that has
+          already run a steady chunk graduates to ``chunk_max``;
+        - steps past the largest remaining budget are pure waste (the
+          delivery clamp drops their tokens), so the size shrinks to the
+          smallest ladder entry covering that remainder.
+
+        Sizes always come from ``self.ladder`` so every chunk executable
+        the loop can dispatch is compiled once by warmup, never mid-burst.
+        """
+        sizes = []
+        remaining_max = 0
+        for _, lane in snapshot:
+            rem = lane.n_predict - lane.dispatched
+            if rem <= 0:
+                continue  # only owes in-flight delivery; don't hold size down
+            remaining_max = max(remaining_max, rem)
+            if lane.dispatched == 0:
+                sizes.append(self.first_chunk)
+            elif lane.dispatched < self.first_chunk + self.chunk:
+                sizes.append(self.chunk)
+            else:
+                sizes.append(self.chunk_max)
+        size = min(sizes) if sizes else self.chunk
+        if 0 < remaining_max < size:
+            for s in self.ladder:
+                if s >= remaining_max:
+                    return s
+        return size
 
     def _deliver_chunk(self, out_np, n_np, done_np, snapshot) -> None:
         with self._cv:

@@ -355,12 +355,16 @@ class ServingEngine:
             from ..models.llm import SamplerParams
 
             # one real submit warms the attach + chunk-step + fetch
-            # executables (shared across buckets). n_predict reaches past
-            # the first-chunk ramp so BOTH chunk executables (first_chunk
-            # and the steady chunk) compile here, not on the first request.
-            handle = self.batcher.submit(
+            # executables (shared across buckets). n_predict walks the FULL
+            # chunk ladder (first_chunk -> steady -> chunk_max) so every
+            # chunk size the dispatch loop can pick compiles here, not on
+            # the first long request. The budget must still cover a whole
+            # chunk_max dispatch when the loop reaches it, or the
+            # shrink-to-budget rule would swap in a smaller size.
+            b = self.batcher
+            handle = b.submit(
                 "warmup", sampler=SamplerParams(),
-                n_predict=self.batcher.first_chunk + 2)
+                n_predict=b.first_chunk + b.chunk + b.chunk_max + 2)
             for _ in handle.tokens():
                 pass
         self.warmup_bg_done = not bg_calls

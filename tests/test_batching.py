@@ -210,6 +210,57 @@ def test_worker_survives_chunk_failure(batcher, monkeypatch):
         b.shutdown()
 
 
+def test_chunk_growth_ladder(batcher, monkeypatch):
+    """A long-running lane graduates from first_chunk to the steady chunk
+    to chunk_max (each boundary pays a device fetch round trip), the last
+    dispatch shrinks to the smallest ladder size covering the remaining
+    budget, and the greedy output still matches the single-request path."""
+    import miotts_tpu.serving.batching as bmod
+    from miotts_tpu.serving.batching import ContinuousBatcher
+
+    eng, _shared = batcher
+    b = ContinuousBatcher(eng, n_lanes=2, max_ctx=160, chunk=8, seed=0)
+    try:
+        assert b.first_chunk == 8 and b.chunk == 8 and b.chunk_max == 16
+        assert b.ladder == (8, 16)
+        sizes = []
+        real = bmod.llm_generate_chunk_batched
+
+        def spy(cfg, weights, eog, size, sampler, state):
+            sizes.append(size)
+            return real(cfg, weights, eog, size, sampler, state)
+
+        monkeypatch.setattr(bmod, "llm_generate_chunk_batched", spy)
+        got = b.submit("hi", SamplerParams(temp=0.0), n_predict=40).collect()
+    finally:
+        b.shutdown()
+    expect = eng.generate_audio_tokens("hi", n_predict=40, n_ctx=64,
+                                       sampler=SamplerParams(temp=0.0))
+    assert got == expect
+    assert set(sizes) <= {8, 16}
+    if len(expect) == 40:  # no early EOG: the exact ladder walk is fixed
+        # 8 (fresh) -> 8 (dispatched 8 < first+chunk=16) -> 16 (graduated)
+        # -> 8 (remaining budget 8 shrinks the final dispatch)
+        assert sizes == [8, 8, 16, 8]
+
+
+def test_chunk_max_env_flat(batcher, monkeypatch):
+    """MIOTTS_CHUNK_MAX=chunk restores the flat (no-growth) dispatch."""
+    from miotts_tpu.serving.batching import ContinuousBatcher
+
+    eng, _shared = batcher
+    monkeypatch.setenv("MIOTTS_CHUNK_MAX", "8")
+    b = ContinuousBatcher(eng, n_lanes=2, max_ctx=160, chunk=8, seed=0)
+    try:
+        assert b.chunk_max == 8 and b.ladder == (8,)
+        got = b.submit("hi", SamplerParams(temp=0.0), n_predict=24).collect()
+    finally:
+        b.shutdown()
+    expect = eng.generate_audio_tokens("hi", n_predict=24, n_ctx=64,
+                                       sampler=SamplerParams(temp=0.0))
+    assert got == expect
+
+
 def test_from_arrays_engine_through_batcher(tmp_path):
     """LLMEngine.from_arrays (the llm1bserve path: in-memory stretch
     configs served without a GGUF round-trip) drives the continuous
