@@ -89,7 +89,16 @@ class MioTTSServer:
         self.cfg = cfg
         self.engine = ServingEngine(cfg)
         handler = self._make_handler()
-        self.httpd = ThreadingHTTPServer((cfg.host, cfg.port), handler)
+
+        # The stdlib default listen backlog is 5: a 32-wide connect burst
+        # (tests/bench_server.py --concurrency 32, or the reference's
+        # test_performance.sh top sweep level) overflows the accept queue
+        # and the overflow connections are REFUSED before any handler
+        # runs. Raise it well above the largest supported burst.
+        class _Server(ThreadingHTTPServer):
+            request_queue_size = 128
+
+        self.httpd = _Server((cfg.host, cfg.port), handler)
         self.port = self.httpd.server_address[1]
 
     def serve_forever(self):

@@ -237,6 +237,31 @@ def test_parallel_requests(server):
     assert {j["slot"] for j in results} <= {0, 1}
 
 
+def test_connect_burst_not_refused(server):
+    """A connect burst wider than the stdlib's default listen backlog (5)
+    must not get connections refused: at --concurrency 32 (the reference
+    perf harness's top sweep level, tests/test_performance.sh:11-14) the
+    accept queue overflowed and 2/64 requests failed before any handler
+    ran. The server raises request_queue_size; every connection in a
+    64-wide simultaneous burst must be served."""
+    srv, *_ = server
+    import concurrent.futures
+    import threading
+
+    assert srv.httpd.request_queue_size >= 64
+
+    barrier = threading.Barrier(64)
+
+    def one(i):
+        barrier.wait()  # all 64 connects land at once
+        with urllib.request.urlopen(_url(srv, "/mio/health"), timeout=60) as r:
+            return json.loads(r.read())["status"]
+
+    with concurrent.futures.ThreadPoolExecutor(64) as ex:
+        results = list(ex.map(one, range(64)))
+    assert results == ["ok"] * 64
+
+
 def test_multipart_binary_payload_with_crlf_tail():
     """Uploaded binary parts ending in \\r/\\n bytes must not be corrupted
     (the framing CRLF is exactly one trailing sequence)."""
