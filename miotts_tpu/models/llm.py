@@ -665,8 +665,7 @@ def llm_generate_chunk(
     return out, n_new, state
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def llm_generate_chunk_batched(
+def _chunk_loop_batched(
     cfg: LLMConfig,
     w: Pytree,
     eog_ids: jnp.ndarray,
@@ -674,8 +673,9 @@ def llm_generate_chunk_batched(
     sampler: BatchSamplerParams,
     state: GenState,
 ) -> tuple[jnp.ndarray, jnp.ndarray, GenState]:
-    """Continuous-batching chunk step: like llm_generate_chunk but sampler
-    settings are per-lane arrays (mixed requests share one batch)."""
+    """Trace-time body shared by the full-width and width-sliced chunk
+    steps (continuous batching: per-lane sampler arrays, mixed requests
+    share one batch)."""
     B = state.logits.shape[0]
     out = jnp.zeros((B, n_steps), jnp.int32)
 
@@ -704,6 +704,90 @@ def llm_generate_chunk_batched(
     i, state, out, n_new = jax.lax.while_loop(
         cond, body, (jnp.int32(0), state, out, jnp.zeros((B,), jnp.int32)))
     return out, n_new, state
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def llm_generate_chunk_batched(
+    cfg: LLMConfig,
+    w: Pytree,
+    eog_ids: jnp.ndarray,
+    n_steps: int,
+    sampler: BatchSamplerParams,
+    state: GenState,
+) -> tuple[jnp.ndarray, jnp.ndarray, GenState]:
+    """Continuous-batching chunk step over every lane of the state."""
+    return _chunk_loop_batched(cfg, w, eog_ids, n_steps, sampler, state)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def llm_generate_chunk_batched_sliced(
+    cfg: LLMConfig,
+    w: Pytree,
+    eog_ids: jnp.ndarray,
+    n_steps: int,
+    width: int,
+    sampler: BatchSamplerParams,
+    state: GenState,
+    lanes: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, GenState]:
+    """Width-sliced chunk step: gather ``width`` lanes, decode, scatter back.
+
+    A chunk step over the full N-lane state costs N-lane compute per step
+    no matter how many lanes hold live requests — a 32-lane server at
+    occupancy 8 burned ~1.8x the step time of an 8-lane one (plus the
+    chip time the concurrent codec batches then can't use). This variant
+    runs the decode loop on only a pow2 ``width`` of gathered lanes —
+    the same shape-bucketing idea as the pow2 prefill-lane groups — and
+    scatters results into the full state in the same program.
+
+    ``lanes`` [width] are the gathered lane indices; pad rows use an
+    out-of-range index (== n_lanes): their gather clamps to the last lane
+    but ``done`` is forced True (they hold no step open and sample
+    nothing), and every write back drops. Tokens for a given lane are
+    identical to the full-width step: per-lane PRNG streams, per-lane
+    penalty rings, and the shared ring_idx all advance exactly as the
+    full-width loop advances them.
+
+    Returns full-width (out [B, n_steps], n_new [B], state) so the host
+    delivery contract is unchanged. Cost: one gather + one scatter of the
+    lane-sliced KV cache per chunk — HBM-rate copies, ~ms, against the
+    (N - width) lanes' worth of decode compute saved every step.
+    """
+    B = state.logits.shape[0]
+    idx = jnp.minimum(lanes, B - 1)  # clamped gather index
+    pad = lanes >= B
+    sub = GenState(
+        logits=jnp.take(state.logits, idx, axis=0),
+        cache_k=jnp.take(state.cache_k, idx, axis=1),
+        cache_v=jnp.take(state.cache_v, idx, axis=1),
+        pos=jnp.take(state.pos, idx, axis=0),
+        ring=jnp.take(state.ring, idx, axis=0),
+        ring_idx=state.ring_idx,
+        done=jnp.take(state.done, idx, axis=0) | pad,
+        key=jnp.take(state.key, idx, axis=0),
+    )
+    sub_sampler = BatchSamplerParams(
+        temp=jnp.take(sampler.temp, idx, axis=0),
+        top_k=jnp.take(sampler.top_k, idx, axis=0),
+        top_p=jnp.take(sampler.top_p, idx, axis=0),
+        repeat_penalty=jnp.take(sampler.repeat_penalty, idx, axis=0),
+    )
+    out_w, n_new_w, sub = _chunk_loop_batched(
+        cfg, w, eog_ids, n_steps, sub_sampler, sub)
+    out = jnp.zeros((B, n_steps), jnp.int32).at[lanes].set(
+        out_w, mode="drop")
+    n_new = jnp.zeros((B,), jnp.int32).at[lanes].set(n_new_w, mode="drop")
+    new_state = GenState(
+        logits=state.logits.at[lanes].set(sub.logits, mode="drop"),
+        cache_k=state.cache_k.at[:, lanes].set(sub.cache_k, mode="drop"),
+        cache_v=state.cache_v.at[:, lanes].set(sub.cache_v, mode="drop"),
+        pos=state.pos.at[lanes].set(sub.pos, mode="drop"),
+        ring=state.ring.at[lanes].set(sub.ring, mode="drop"),
+        ring_idx=sub.ring_idx,
+        done=state.done.at[lanes].set(sub.done, mode="drop"),
+        key=state.key.at[lanes].set(sub.key, mode="drop"),
+    )
+    return out, n_new, new_state
 
 
 @jax.jit

@@ -26,8 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.llm import (
-    CHAT_TEMPLATE, LLMEngine, attach_lanes, finish_chunk_fetch,
-    init_batched_state, llm_generate_chunk_batched, llm_prefill_kv_jit,
+    CHAT_TEMPLATE, GenState, LLMEngine, attach_lanes, finish_chunk_fetch,
+    init_batched_state, llm_generate_chunk_batched,
+    llm_generate_chunk_batched_sliced, llm_prefill_kv_jit,
     set_lane_done, start_chunk_fetch,
 )
 from ..models.sampling import MAX_TOP_K, BatchSamplerParams, SamplerParams
@@ -42,6 +43,14 @@ class _Lane:
     generated: int = 0
     started: bool = False  # attach applied to the device state
     dispatched: int = 0  # decode steps dispatched (>= generated; see ramp)
+    # whether the consumer reads tokens incrementally (SSE token stream,
+    # stream_audio, overlap synthesis). Only such lanes pull the cohort's
+    # dispatch down to first_chunk for TTFA; a binary request only needs
+    # ALL its tokens, and under steady arrival churn a fresh lane exists
+    # almost always, which pinned every dispatch at first_chunk — 10 fetch
+    # round trips per 120-token request instead of 2-3 (measured 2.5 s
+    # llm_ms at conc=8 on a 32-lane server, ~950 ms after this split).
+    early: bool = True
 
 
 class GenerationHandle:
@@ -155,6 +164,22 @@ class ContinuousBatcher:
         self._warm_prefills: frozenset[tuple[int, int]] = frozenset()
         self._warm_lock = threading.Lock()
         self.split_cold_until_warm = False
+        # width-sliced chunk steps: a chunk over the full N-lane state
+        # costs N-lane compute per step regardless of occupancy, so the
+        # dispatch gathers the active lanes into the smallest pow2 width
+        # that covers them (llm_generate_chunk_batched_sliced) — a 32-lane
+        # server at occupancy <= 8 runs 8-lane-priced steps. Disabled on a
+        # dp mesh (the state is sharded over lanes; gathering a width
+        # slice would reshard across devices every chunk) and by
+        # MIOTTS_CHUNK_SLICE=0. (size, width) warm registry mirrors
+        # _warm_prefills: while the warmup tail runs, an un-warmed width
+        # falls back to the next warmed one (full width is warmed in the
+        # foreground, so there is always a fallback).
+        self.slice_chunks = (mesh is None and n_lanes > 1
+                             and os.environ.get("MIOTTS_CHUNK_SLICE", "1")
+                             != "0")
+        self._warm_chunks: frozenset[tuple[int, int]] = frozenset()
+        self._warm_state: GenState | None = None
         self._prefill_thread = threading.Thread(
             target=self._prefill_loop, daemon=True, name="batcher-prefill")
         self._prefill_thread.start()
@@ -187,7 +212,8 @@ class ContinuousBatcher:
     # -- submission -------------------------------------------------------------
 
     def submit(self, text: str, sampler: SamplerParams | None = None,
-               n_predict: int = 400, timeout: float | None = None) -> GenerationHandle:
+               n_predict: int = 400, timeout: float | None = None,
+               early_tokens: bool = True) -> GenerationHandle:
         sampler = sampler or SamplerParams()
         prompt = CHAT_TEMPLATE.format(text=text)
         ids = self.engine.tokenizer.encode(prompt, parse_special=True)
@@ -206,7 +232,8 @@ class ContinuousBatcher:
             while (lane_idx := self._free_lane()) is None:
                 if not self._cv.wait(timeout=timeout):
                     raise TimeoutError("no free generation lane")
-            self.lanes[lane_idx] = _Lane(handle=handle, n_predict=n_predict)
+            self.lanes[lane_idx] = _Lane(handle=handle, n_predict=n_predict,
+                                         early=early_tokens)
             self._temps[lane_idx] = sampler.temp
             self._top_ks[lane_idx] = min(sampler.top_k, MAX_TOP_K) if sampler.top_k > 0 else 0
             self._top_ps[lane_idx] = sampler.top_p
@@ -356,6 +383,65 @@ class ContinuousBatcher:
         with self._warm_lock:
             self._warm_prefills = self._warm_prefills | {(bucket, n_lanes)}
 
+    def _pick_width(self, size: int, need: int) -> int | None:
+        """Chunk-slice width for `need` active lanes, or None for the
+        full-width step. The natural width is the smallest pow2 covering
+        the active count; while the warmup tail is still loading the
+        width ladder (split_cold_until_warm), an un-warmed width falls
+        back to the next warmed one rather than compiling cold mid-burst
+        — the full-width executable (warmed in the foreground) is the
+        fallback of last resort."""
+        if not self.slice_chunks or need <= 0:
+            return None
+        w = 1
+        while w < need:
+            w *= 2
+        if w >= self.n_lanes:
+            return None
+        if not self.split_cold_until_warm:
+            return w
+        warmed = self._warm_chunks  # immutable snapshot
+        while w < self.n_lanes:
+            if (size, w) in warmed:
+                return w
+            w *= 2
+        return None
+
+    def warm_chunk(self, size: int, width: int | None = None) -> None:
+        """Compile/load a chunk-step executable (width-sliced, or the
+        full-width step for width None/>=n_lanes) without touching live
+        generation state: runs on a throwaway GenState whose lanes are
+        all done, so the in-graph loop exits after zero steps — the cost
+        is the compile/cache-load plus one dispatch. Thread-safe; called
+        from ServingEngine.warmup's pool."""
+        with self._cv:
+            ws = self._warm_state
+            if ws is None:
+                ws = self._warm_state = init_batched_state(
+                    self.cfg, self.n_lanes, self.max_ctx, self.seed)
+        sampler = BatchSamplerParams.make(
+            self._temps, self._top_ks, self._top_ps, self._pens)
+        if width is None or width >= self.n_lanes:
+            out, n_new, st = llm_generate_chunk_batched(
+                self.cfg, self.engine.weights, self.engine.eog_ids,
+                size, sampler, ws)
+            key = (size, self.n_lanes)
+        else:
+            lanes = jnp.asarray(np.full(width, self.n_lanes, np.int32))
+            out, n_new, st = llm_generate_chunk_batched_sliced(
+                self.cfg, self.engine.weights, self.engine.eog_ids,
+                size, width, sampler, ws, lanes)
+            key = (size, width)
+        finish_chunk_fetch(start_chunk_fetch(out, n_new, st))
+        with self._warm_lock:
+            self._warm_chunks = self._warm_chunks | {key}
+
+    def release_warm_state(self) -> None:
+        """Drop the throwaway warm GenState (a full KV cache) once the
+        warmup tail is done — it exists only to warm chunk executables."""
+        with self._cv:
+            self._warm_state = None
+
     def _free_lane(self) -> int | None:
         for i, l in enumerate(self.lanes):
             if l is None:
@@ -478,6 +564,7 @@ class ContinuousBatcher:
                     for _i, l in snapshot)
                 # first-chunk ramp + growth ladder (see _dispatch_size)
                 size = self._dispatch_size(snapshot)
+                width = self._pick_width(size, len(snapshot))
 
             t0 = _t.perf_counter()
             dispatched = False
@@ -487,9 +574,21 @@ class ContinuousBatcher:
                 try:
                     if self._work_started is None:
                         self._work_started = _wall.monotonic()
-                    out, n_new, state = llm_generate_chunk_batched(
-                        self.cfg, self.engine.weights, self.engine.eog_ids,
-                        size, sampler, state)
+                    if width is not None:
+                        lanes_np = np.full(width, self.n_lanes, np.int32)
+                        for j, (i, _) in enumerate(snapshot):
+                            lanes_np[j] = i
+                        out, n_new, state = llm_generate_chunk_batched_sliced(
+                            self.cfg, self.engine.weights,
+                            self.engine.eog_ids, size, width, sampler,
+                            state, jnp.asarray(lanes_np))
+                        with self._warm_lock:
+                            self._warm_chunks = (
+                                self._warm_chunks | {(size, width)})
+                    else:
+                        out, n_new, state = llm_generate_chunk_batched(
+                            self.cfg, self.engine.weights,
+                            self.engine.eog_ids, size, sampler, state)
                     with self._cv:
                         self.state = state
                     # start the d2h copy NOW, before anything else enters
@@ -545,6 +644,7 @@ class ContinuousBatcher:
                 import sys
 
                 print(f"chunk: size={size} active={len(snapshot)} "
+                      f"width={width or self.n_lanes} "
                       f"depth={len(inflight)} "
                       f"dispatch={(t1 - t0) * 1e3:.1f}ms "
                       f"fetch+deliver={(_t.perf_counter() - t1) * 1e3:.1f}ms",
@@ -573,7 +673,10 @@ class ContinuousBatcher:
                 continue  # only owes in-flight delivery; don't hold size down
             remaining_max = max(remaining_max, rem)
             if lane.dispatched == 0:
-                sizes.append(self.first_chunk)
+                # only consumers that read tokens incrementally get the
+                # small TTFA-first chunk; binary lanes start at the steady
+                # size so arrival churn can't pin the cohort at first_chunk
+                sizes.append(self.first_chunk if lane.early else self.chunk)
             elif lane.dispatched < self.first_chunk + self.chunk:
                 sizes.append(self.chunk)
             else:

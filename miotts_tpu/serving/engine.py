@@ -259,6 +259,22 @@ class ServingEngine:
         warm_calls += [(b, {"prefill_lanes": g})
                        for b in llm_buckets if b <= 128
                        for g in lanes_ladder]
+        # chunk-step executables: width-sliced steps run bursts below full
+        # occupancy at pow2-width prices (batching._pick_width). Foreground:
+        # width 1 (the conc=1 path) and the full width (the always-warmed
+        # fallback while the tail loads); intermediate widths warm in the
+        # background, burst-critical-first like the prefill groups.
+        if self.batcher.slice_chunks:
+            widths = [1]
+            g = 2
+            while g < self.batcher.n_lanes:
+                widths.append(g)
+                g *= 2
+            widths.append(self.batcher.n_lanes)  # full-width fallback
+            warm_calls += [(s, {"chunk_width": wd})
+                           for s in self.batcher.ladder for wd in widths]
+        # (on a dp mesh slicing is off and the warmup submit warms the
+        # full-width ladder against the real sharded state, as before)
         return warm_calls
 
     def _do_warm(self, bk) -> None:
@@ -267,6 +283,8 @@ class ServingEngine:
             self.batcher.warm_prefill(bucket)
         elif "prefill_lanes" in kw:
             self.batcher.warm_prefill(bucket, n_lanes=kw["prefill_lanes"])
+        elif "chunk_width" in kw:
+            self.batcher.warm_chunk(bucket, width=kw["chunk_width"])
         else:
             self.codec_batcher.warm(bucket, **kw)
 
@@ -276,6 +294,10 @@ class ServingEngine:
             return bucket <= 128  # interactive B=1 prompt prefills
         if "prefill_lanes" in kw:
             return False  # burst variants only matter under load
+        if "chunk_width" in kw:
+            # width 1 is the conc=1 decode path; the full width is the
+            # always-available fallback while intermediate widths load
+            return kw["chunk_width"] in (1, self.batcher.n_lanes)
         if "interp_anchor" in kw and "wlen" not in kw:
             # the f32 full-decode fallback only serves oversized streaming
             # finalize tails — rare enough that the first one may pay a
@@ -327,11 +349,14 @@ class ServingEngine:
         # 358 steady). Big codec buckets go last.
         def bg_order(bk):
             bucket, kw = bk
+            if kw is not None and "chunk_width" in kw:
+                # tiny executables a sub-full-occupancy burst needs NOW
+                return (0, kw["chunk_width"], bucket)
             if kw is not None and "prefill_lanes" in kw:
-                return (0, bucket, kw["prefill_lanes"])
+                return (1, bucket, kw["prefill_lanes"])
             if kw is None:
-                return (1, bucket, 0)
-            return (2, bucket, 0)
+                return (2, bucket, 0)
+            return (3, bucket, 0)
 
         bg_calls.sort(key=bg_order)
 
@@ -368,6 +393,8 @@ class ServingEngine:
             for _ in handle.tokens():
                 pass
         self.warmup_bg_done = not bg_calls
+        if not bg_calls and self.batcher is not None:
+            self.batcher.release_warm_state()
         if bg_calls:
             def do_warm_logged(bk):
                 # per-executable progress + failure isolation: one bad or
@@ -400,6 +427,7 @@ class ServingEngine:
                 finally:
                     if self.batcher is not None:
                         self.batcher.split_cold_until_warm = False
+                        self.batcher.release_warm_state()
                     self.warmup_bg_done = True
                 print(f"warmup: background tail ({len(bg_calls)} "
                       f"executables) done in {time.perf_counter() - tb:.1f}s",
@@ -514,8 +542,15 @@ class ServingEngine:
             # continuous batching: attach to a lane; tokens stream back as
             # the shared chunk loop advances all active requests together
             try:
-                handle = self.batcher.submit(rp.text, sampler=sampler,
-                                             n_predict=rp.n_predict)
+                handle = self.batcher.submit(
+                    rp.text, sampler=sampler, n_predict=rp.n_predict,
+                    # only incremental consumers (SSE token stream,
+                    # stream_audio, overlap synthesis) need the small
+                    # TTFA-first chunk; binary requests start at the steady
+                    # chunk so arrival churn can't pin the whole cohort's
+                    # dispatch at first_chunk (each boundary pays a device
+                    # fetch round trip)
+                    early_tokens=on_token is not None)
                 if marks is not None:
                     marks.setdefault("submit_done", now_ms())
             except ValueError as e:

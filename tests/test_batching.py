@@ -190,15 +190,25 @@ def test_worker_survives_chunk_failure(batcher, monkeypatch):
     b = ContinuousBatcher(eng, n_lanes=2, max_ctx=160, chunk=8, seed=0)
     try:
         real = bmod.llm_generate_chunk_batched
+        real_sliced = bmod.llm_generate_chunk_batched_sliced
         calls = {"n": 0}
 
-        def boom(*a, **k):
+        def _maybe_boom():
             calls["n"] += 1
             if calls["n"] == 1:
                 raise RuntimeError("injected device failure")
+
+        def boom(*a, **k):
+            _maybe_boom()
             return real(*a, **k)
 
+        def boom_sliced(*a, **k):
+            _maybe_boom()
+            return real_sliced(*a, **k)
+
         monkeypatch.setattr(bmod, "llm_generate_chunk_batched", boom)
+        monkeypatch.setattr(bmod, "llm_generate_chunk_batched_sliced",
+                            boom_sliced)
         h = b.submit("fail me", n_predict=8)
         with pytest.raises(RuntimeError, match="injected device failure"):
             h.collect()
@@ -225,12 +235,20 @@ def test_chunk_growth_ladder(batcher, monkeypatch):
         assert b.ladder == (8, 16)
         sizes = []
         real = bmod.llm_generate_chunk_batched
+        real_sliced = bmod.llm_generate_chunk_batched_sliced
 
         def spy(cfg, weights, eog, size, sampler, state):
             sizes.append(size)
             return real(cfg, weights, eog, size, sampler, state)
 
+        def spy_sliced(cfg, weights, eog, size, width, sampler, state, lanes):
+            sizes.append(size)
+            return real_sliced(cfg, weights, eog, size, width, sampler,
+                               state, lanes)
+
         monkeypatch.setattr(bmod, "llm_generate_chunk_batched", spy)
+        monkeypatch.setattr(bmod, "llm_generate_chunk_batched_sliced",
+                            spy_sliced)
         got = b.submit("hi", SamplerParams(temp=0.0), n_predict=40).collect()
     finally:
         b.shutdown()
@@ -242,6 +260,131 @@ def test_chunk_growth_ladder(batcher, monkeypatch):
         # 8 (fresh) -> 8 (dispatched 8 < first+chunk=16) -> 16 (graduated)
         # -> 8 (remaining budget 8 shrinks the final dispatch)
         assert sizes == [8, 8, 16, 8]
+
+
+def test_width_sliced_chunk_used_and_identical(batcher, monkeypatch):
+    """Below full occupancy the worker dispatches the width-sliced chunk
+    step (gather active lanes -> pow2-width decode -> scatter back) and
+    tokens are identical to the single-request path. The full-width step
+    never runs for a lone request on a 4-lane batcher."""
+    import miotts_tpu.serving.batching as bmod
+
+    eng, b = batcher
+    assert b.slice_chunks
+    widths, full_calls = [], []
+    real_sliced = bmod.llm_generate_chunk_batched_sliced
+    real_full = bmod.llm_generate_chunk_batched
+
+    def spy_sliced(cfg, weights, eog, size, width, sampler, state, lanes):
+        widths.append(width)
+        assert lanes.shape == (width,)
+        return real_sliced(cfg, weights, eog, size, width, sampler,
+                           state, lanes)
+
+    def spy_full(*a, **k):
+        full_calls.append(1)
+        return real_full(*a, **k)
+
+    monkeypatch.setattr(bmod, "llm_generate_chunk_batched_sliced", spy_sliced)
+    monkeypatch.setattr(bmod, "llm_generate_chunk_batched", spy_full)
+    got = b.submit("slice me", SamplerParams(temp=0.0), n_predict=12).collect()
+    expect = eng.generate_audio_tokens("slice me", n_predict=12, n_ctx=64,
+                                       sampler=SamplerParams(temp=0.0))
+    assert got == expect
+    assert widths and set(widths) == {1}  # lone request -> width-1 chunks
+    assert not full_calls
+    # sampled (non-greedy) lanes are seed-reproducible through the sliced
+    # path too: per-lane PRNG streams are gathered/scattered with the lane
+    s = SamplerParams(temp=0.9, top_k=40, seed=7)
+    assert (b.submit("vary", s, n_predict=10).collect()
+            == b.submit("vary", s, n_predict=10).collect())
+
+
+def test_pick_width_warm_gate(batcher):
+    """While the warmup tail runs (split_cold_until_warm), an un-warmed
+    width falls back to the next warmed pow2, then to the full-width step
+    — never a cold mid-burst compile."""
+    _eng, b = batcher
+    assert b._pick_width(8, 0) is None
+    assert b._pick_width(8, 5) is None  # pow2(5)=8 >= n_lanes=4 -> full
+    saved = (b.split_cold_until_warm, b._warm_chunks)
+    try:
+        b.split_cold_until_warm = True
+        b._warm_chunks = frozenset({(8, 2)})
+        assert b._pick_width(8, 1) == 2   # 1 cold -> warmed 2
+        assert b._pick_width(8, 2) == 2   # exact warmed hit
+        assert b._pick_width(8, 3) is None  # pow2(3)=4 cold -> full
+        assert b._pick_width(16, 1) is None  # other size: nothing warmed
+        b.split_cold_until_warm = False
+        assert b._pick_width(8, 1) == 1   # tail done: natural width
+    finally:
+        b.split_cold_until_warm, b._warm_chunks = saved
+
+
+def test_warm_chunk_registers_and_releases(batcher):
+    """warm_chunk compiles on a throwaway all-done state (zero decode
+    steps), registers (size, width), and release_warm_state drops the
+    extra KV cache."""
+    _eng, b = batcher
+    b.warm_chunk(8, width=2)
+    b.warm_chunk(8)  # full width
+    assert {(8, 2), (8, b.n_lanes)} <= set(b._warm_chunks)
+    assert b._warm_state is not None
+    b.release_warm_state()
+    assert b._warm_state is None
+
+
+def test_binary_lane_skips_first_chunk(batcher, monkeypatch):
+    """A lane whose consumer does NOT read tokens incrementally
+    (early_tokens=False — the binary request path) starts at the steady
+    chunk instead of first_chunk: under steady arrival churn a fresh lane
+    exists almost always, and letting every fresh BINARY lane pull the
+    cohort's dispatch down to first_chunk cost 10 fetch round trips per
+    120-token request instead of 2-3 (measured 2.5 s -> ~950 ms llm_ms at
+    conc=8 on a 32-lane server). An early_tokens lane still gets the small
+    TTFA-first dispatch."""
+    import miotts_tpu.serving.batching as bmod
+    from miotts_tpu.serving.batching import ContinuousBatcher
+
+    eng, _shared = batcher
+    b = ContinuousBatcher(eng, n_lanes=2, max_ctx=160, chunk=8, seed=0,
+                          first_chunk=4)
+    try:
+        assert b.first_chunk == 4 and b.ladder == (4, 8, 16)
+        sizes = []
+        real = bmod.llm_generate_chunk_batched
+        real_sliced = bmod.llm_generate_chunk_batched_sliced
+
+        def spy(cfg, weights, eog, size, sampler, state):
+            sizes.append(size)
+            return real(cfg, weights, eog, size, sampler, state)
+
+        def spy_sliced(cfg, weights, eog, size, width, sampler, state, lanes):
+            sizes.append(size)
+            return real_sliced(cfg, weights, eog, size, width, sampler,
+                               state, lanes)
+
+        monkeypatch.setattr(bmod, "llm_generate_chunk_batched", spy)
+        monkeypatch.setattr(bmod, "llm_generate_chunk_batched_sliced",
+                            spy_sliced)
+        got = b.submit("hi", SamplerParams(temp=0.0), n_predict=24,
+                       early_tokens=False).collect()
+        binary_sizes, sizes[:] = list(sizes), []
+        got_early = b.submit("hi", SamplerParams(temp=0.0),
+                             n_predict=24).collect()
+        early_sizes = list(sizes)
+    finally:
+        b.shutdown()
+    expect = eng.generate_audio_tokens("hi", n_predict=24, n_ctx=64,
+                                       sampler=SamplerParams(temp=0.0))
+    assert got == expect and got_early == expect  # math is size-invariant
+    assert 4 not in binary_sizes  # binary never dispatches first_chunk
+    if len(expect) == 24:  # no early EOG: exact walks are fixed
+        # binary: 8 (fresh, steady) -> 8 (dispatched 8 < 4+8) -> 8
+        # (remaining 8 shrinks the graduated 16)
+        assert binary_sizes == [8, 8, 8]
+        # early: 4 (fresh) -> 8 -> 8 -> 4 (remaining-budget shrink)
+        assert early_sizes[0] == 4
 
 
 def test_chunk_max_env_flat(batcher, monkeypatch):
