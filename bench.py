@@ -380,6 +380,12 @@ def main() -> int:
         eng.llm = LLMEngine.from_arrays(
             cfg1b, w1b, tok1b,
             quantize=os.environ.get("MIOTTS_LLM_QUANT", "") or "bf16")
+        # bulk-throughput measurement at full occupancy: width-sliced
+        # chunk steps would cold-compile a 1.63B executable per pow2
+        # width during the ramp-down tail (minutes each through the
+        # relay) for no steady-state gain — a real server's warmup
+        # precompiles the width grid instead
+        os.environ.setdefault("MIOTTS_CHUNK_SLICE", "0")
         eng.batcher = ContinuousBatcher(
             eng.llm, n_lanes=conc, max_ctx=64 + n_gen + 64, chunk=32, seed=0)
 

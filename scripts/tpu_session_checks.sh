@@ -47,6 +47,10 @@ done
 # burst-at-listening above
 python tests/bench_server.py --url "http://127.0.0.1:$PORT" --mode stream-audio \
   --n-predict 120 --concurrency 8 --requests-per-worker 4 --out /tmp/sum_burst_steady.csv
+# reference-style concurrency sweep (test_performance.sh levels), binary mode
+python tests/bench_server.py --url "http://127.0.0.1:$PORT" \
+  --n-predict 120 --concurrency 1,2,4,8,16,32 --requests-per-worker 3 \
+  --out /tmp/sum_sweep.csv
 grep -E "warmup" "/tmp/tpu_srv_run1.log" | tail -20
 kill -TERM "$(cat /tmp/tpu_srv.pid)"; sleep 10
 start_server run2
