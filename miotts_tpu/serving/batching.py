@@ -386,11 +386,15 @@ class ContinuousBatcher:
     def _pick_width(self, size: int, need: int) -> int | None:
         """Chunk-slice width for `need` active lanes, or None for the
         full-width step. The natural width is the smallest pow2 covering
-        the active count; while the warmup tail is still loading the
-        width ladder (split_cold_until_warm), an un-warmed width falls
-        back to the next warmed one rather than compiling cold mid-burst
-        — the full-width executable (warmed in the foreground) is the
-        fallback of last resort."""
+        the active count; if that executable isn't compiled yet but a
+        wider one is, the wider one runs instead — a compiled 2x-width
+        step beats a cold compile stalling the whole cohort (occupancy
+        ramps DOWN reuse what the ramp up compiled; with warmup on, the
+        (ladder x width) grid is precompiled and this is always an exact
+        hit). A new width compiles on demand only when nothing compiled
+        covers it — and never while the warmup tail is still loading the
+        grid (split_cold_until_warm): the tail will provide it, so fall
+        back to the foreground-warmed full-width step meanwhile."""
         if not self.slice_chunks or need <= 0:
             return None
         w = 1
@@ -398,14 +402,16 @@ class ContinuousBatcher:
             w *= 2
         if w >= self.n_lanes:
             return None
-        if not self.split_cold_until_warm:
-            return w
         warmed = self._warm_chunks  # immutable snapshot
-        while w < self.n_lanes:
-            if (size, w) in warmed:
-                return w
-            w *= 2
-        return None
+        if (size, w) in warmed:
+            return w
+        covering = [wd for (s, wd) in warmed
+                    if s == size and wd > w and wd < self.n_lanes]
+        if covering:
+            return min(covering)
+        if (size, self.n_lanes) in warmed or self.split_cold_until_warm:
+            return None
+        return w
 
     def warm_chunk(self, size: int, width: int | None = None) -> None:
         """Compile/load a chunk-step executable (width-sliced, or the
@@ -582,13 +588,20 @@ class ContinuousBatcher:
                             self.cfg, self.engine.weights,
                             self.engine.eog_ids, size, width, sampler,
                             state, jnp.asarray(lanes_np))
-                        with self._warm_lock:
-                            self._warm_chunks = (
-                                self._warm_chunks | {(size, width)})
                     else:
                         out, n_new, state = llm_generate_chunk_batched(
                             self.cfg, self.engine.weights,
                             self.engine.eog_ids, size, sampler, state)
+                    # register the executable (full-width dispatches too:
+                    # a later occupancy ramp-down prefers reusing it over
+                    # a cold narrower compile). Read-check first — the
+                    # set stops growing after the first few chunks, and
+                    # this path runs per dispatch.
+                    key_w = (size, width if width is not None
+                             else self.n_lanes)
+                    if key_w not in self._warm_chunks:
+                        with self._warm_lock:
+                            self._warm_chunks = self._warm_chunks | {key_w}
                     with self._cv:
                         self.state = state
                     # start the d2h copy NOW, before anything else enters

@@ -418,12 +418,25 @@ class ServingEngine:
             # wedged relay took every device call down with it)
             width_bg = int(os.environ.get("MIOTTS_WARMUP_BG_POOL", "1"))
 
+            # the chunk-width warms (sorted first by bg_order) are the
+            # only users of the batcher's throwaway warm GenState — a
+            # full KV cache on device. Release it the moment they finish
+            # instead of holding dead HBM through the minutes-long
+            # prefill/codec remainder while live traffic serves.
+            chunk_calls = [bk for bk in bg_calls
+                           if bk[1] is not None and "chunk_width" in bk[1]]
+            rest_calls = [bk for bk in bg_calls
+                          if not (bk[1] is not None and "chunk_width" in bk[1])]
+
             def bg_warm():
                 tb = time.perf_counter()
                 try:
                     with concurrent.futures.ThreadPoolExecutor(
                             max(1, width_bg)) as ex:
-                        list(ex.map(do_warm_logged, bg_calls))
+                        list(ex.map(do_warm_logged, chunk_calls))
+                        if self.batcher is not None:
+                            self.batcher.release_warm_state()
+                        list(ex.map(do_warm_logged, rest_calls))
                 finally:
                     if self.batcher is not None:
                         self.batcher.split_cold_until_warm = False

@@ -47,6 +47,11 @@ def main():
     from miotts_tpu.models.llm import LLMEngine
     from miotts_tpu.serving.batching import ContinuousBatcher
 
+    # probe the FULL-WIDTH chunk executable (what the fg warm loads);
+    # width-sliced variants would otherwise make the lone submit below
+    # compile the width-1 executable under this label
+    os.environ.setdefault("MIOTTS_CHUNK_SLICE", "0")
+
     eng = LLMEngine(os.environ.get("LLM", "/tmp/miotts_bench_llm_v2.gguf"))
     b = ContinuousBatcher(eng, n_lanes=8, max_ctx=700 + 120 + 64, chunk=32)
     for bucket in (32, 128):

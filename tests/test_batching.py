@@ -301,9 +301,10 @@ def test_width_sliced_chunk_used_and_identical(batcher, monkeypatch):
 
 
 def test_pick_width_warm_gate(batcher):
-    """While the warmup tail runs (split_cold_until_warm), an un-warmed
-    width falls back to the next warmed pow2, then to the full-width step
-    — never a cold mid-burst compile."""
+    """An un-compiled width falls back to the next compiled pow2, then to
+    the full-width step — a compiled 2x-width step beats a cold compile
+    stalling the cohort. While the warmup tail runs
+    (split_cold_until_warm), nothing new compiles at all."""
     _eng, b = batcher
     assert b._pick_width(8, 0) is None
     assert b._pick_width(8, 5) is None  # pow2(5)=8 >= n_lanes=4 -> full
@@ -311,12 +312,17 @@ def test_pick_width_warm_gate(batcher):
     try:
         b.split_cold_until_warm = True
         b._warm_chunks = frozenset({(8, 2)})
-        assert b._pick_width(8, 1) == 2   # 1 cold -> warmed 2
-        assert b._pick_width(8, 2) == 2   # exact warmed hit
+        assert b._pick_width(8, 1) == 2   # 1 cold -> compiled 2
+        assert b._pick_width(8, 2) == 2   # exact hit
         assert b._pick_width(8, 3) is None  # pow2(3)=4 cold -> full
         assert b._pick_width(16, 1) is None  # other size: nothing warmed
         b.split_cold_until_warm = False
-        assert b._pick_width(8, 1) == 1   # tail done: natural width
+        assert b._pick_width(8, 1) == 2   # compiled 2 still beats cold 1
+        assert b._pick_width(16, 1) == 1  # nothing covers: compile natural
+        # full-width registered (an occupancy ramp-UP ran it): ramp-down
+        # reuses it instead of cold-compiling a narrower width
+        b._warm_chunks = frozenset({(8, b.n_lanes)})
+        assert b._pick_width(8, 1) is None
     finally:
         b.split_cold_until_warm, b._warm_chunks = saved
 

@@ -701,7 +701,12 @@ def test_warmup_covers_default_buckets(tmp_path):
     # legacy llm_prefill_jit would leave this guard blind to cold prefills
     sizes = lambda: (eng.pipeline._synth_fn._cache_size(),
                      llm_mod.llm_prefill_kv_jit._cache_size(),
-                     llm_mod.llm_generate_chunk_batched._cache_size())
+                     llm_mod.llm_generate_chunk_batched._cache_size(),
+                     # the width-sliced chunk family is what sub-full-
+                     # occupancy requests actually dispatch — without it
+                     # this guard is blind to a hole in the warmup's
+                     # (ladder x width) grid
+                     llm_mod.llm_generate_chunk_batched_sliced._cache_size())
     # the warmup tail (burst-prefill pow2 ladder) runs on a background
     # thread — wait for it or the snapshot races the warm calls
     if getattr(eng, "_warmup_bg_thread", None) is not None:
