@@ -78,6 +78,10 @@ def test_state_sharded_across_devices(engines):
     # lane axis (axis 1 of [L, B, S, H, D]) is the sharded one
     spec = cache.sharding.spec
     assert spec[1] == "dp"
+    # width-sliced chunk steps must stay OFF on a dp mesh: gathering a
+    # lane slice out of the dp-sharded state would reshard across devices
+    # every chunk
+    assert meshed.batcher.slice_chunks is False
 
 
 def test_generation_matches_single_device(engines):
