@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="native int8/int4 CPU LLM decode on CPU-only hosts "
                         "(auto: when the GGUF is Q8_0/Q4_0; env fallback "
                         "MIOTTS_CPU_NATIVE=1)")
+    # TPU addition (no reference counterpart — the reference is single-
+    # process): shard the codec decode's TIME axis over this many devices
+    # (parallel/mesh.make_sp_mesh) so one long utterance uses every chip
+    p.add_argument("--sequence-parallel", dest="sequence_parallel",
+                   type=int, default=1)
     p.add_argument("--tts-mio-codes", default="")
     p.add_argument("--tts-mio-codes-in", default="")
     p.add_argument("--tts-mio-codes-out", default="")
@@ -157,8 +162,20 @@ def main(argv: list[str] | None = None) -> int:
     from .runtime.audio_io import save_wav16
     from .runtime.codes_io import load_codes, parse_codes_text, save_codes
 
+    sp_devices = None
+    if args.sequence_parallel and args.sequence_parallel > 1:
+        import jax
+
+        devs = jax.devices()
+        if args.sequence_parallel > len(devs):
+            return _err(f"--sequence-parallel {args.sequence_parallel} > "
+                        f"{len(devs)} visible devices")
+        sp_devices = devs[: args.sequence_parallel]
+
     try:
-        pipe = MioTTSPipeline(args.model_vocoder, wavlm_path=args.tts_wavlm_model or None)
+        pipe = MioTTSPipeline(args.model_vocoder,
+                              wavlm_path=args.tts_wavlm_model or None,
+                              sp_devices=sp_devices)
     except Exception as e:
         return _err(f"failed to load MioCodec GGUF: {e}")
 

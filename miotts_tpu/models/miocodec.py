@@ -348,6 +348,7 @@ def _transformer_stack(
     rope_theta: float,
     norm_eps: float,
     cond_act: jnp.ndarray | None,
+    attn_impl: str | None = None,
 ) -> jnp.ndarray:
     """Scan over stacked transformer blocks. x: [B, T, C]; cond_act: [B, Dc]
     (SiLU-activated speaker embedding) enables AdaLN-Zero conditioning
@@ -369,7 +370,8 @@ def _transformer_stack(
         v = (xn @ blk["wv"]).reshape(B, T, n_heads, dim // n_heads)
         q = apply_rope(q, positions, rope_theta)
         k = apply_rope(k, positions, rope_theta)
-        att = banded_attention(q, k, v, lengths, window).reshape(B, T, dim)
+        att = banded_attention(q, k, v, lengths, window,
+                               impl=attn_impl).reshape(B, T, dim)
         out = att @ blk["wo"]
         if gate is not None:
             out = out * gate[:, None, :]
@@ -427,6 +429,7 @@ def codec_decode_spec(
     token_lengths: jnp.ndarray,
     cond: jnp.ndarray | None,
     interp_anchor_tokens: int | None = None,
+    sp_mesh=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """tokens: [B, N] int32 codes (padded), token_lengths: [B], cond: [B, Dc]
     speaker embedding or None (static models).
@@ -438,6 +441,14 @@ def codec_decode_spec(
     fixed token count so streaming prefix re-decodes are time-axis consistent
     (None = exact reference semantics: ratio from true lengths).
 
+    ``sp_mesh`` (static; a Mesh with an "sp" axis) enables sequence
+    parallelism: every time-major activation is constrained to shard its T
+    axis over "sp" and GSPMD inserts the halo exchanges (convs), collective
+    reductions (masked GroupNorm statistics) and gathers (bilinear resize)
+    — the single-utterance latency lever on a multi-chip host, where dp
+    fan-out leaves all but one device idle at B=1. Attention pins the
+    blocked halo-gather path (a pallas_call cannot be auto-partitioned).
+
     Matmuls run at float32 precision by default: the reference accumulates
     attention in f32 (GGML_PREC_F32, miocodec-decoder.cpp:1252) and the
     fidelity target is mel-L1 < 1e-2, which TPU default-bf16 matmuls would
@@ -446,7 +457,7 @@ def codec_decode_spec(
     MIOTTS_BENCH_MODE=fidelity before shipping it)."""
     with jax.default_matmul_precision(_codec_matmul_precision()):
         return _codec_decode_spec_impl(cfg, w, tokens, token_lengths, cond,
-                                       interp_anchor_tokens)
+                                       interp_anchor_tokens, sp_mesh)
 
 
 def _codec_matmul_precision() -> str:
@@ -456,10 +467,26 @@ def _codec_matmul_precision() -> str:
 
 
 def _codec_decode_spec_impl(cfg, w, tokens, token_lengths, cond,
-                            interp_anchor_tokens=None):
+                            interp_anchor_tokens=None, sp_mesh=None):
     B, N = tokens.shape
     spt, hop = cfg.samples_per_token, cfg.hop_length
     tf = cfg.wave_upsampler_total_factor
+
+    attn_impl = None
+    if sp_mesh is not None:
+        attn_impl = "blocked"
+
+    def _sp(x):
+        """Re-pin the time axis (axis 1) to the "sp" mesh axis. GSPMD
+        propagates shardings through most ops, but re-constraining after
+        each resampling stage keeps the partitioner from drifting into
+        replicated layouts across the gather-heavy seams."""
+        if sp_mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(None, "sp") if x.ndim == 2 else P(None, "sp", None)
+        return jax.lax.with_sharding_constraint(x, NamedSharding(sp_mesh, spec))
 
     stft_len = jnp.maximum(1, (token_lengths * spt) // hop)
     dec_len = jnp.maximum(1, stft_len // tf) if tf > 1 else stft_len
@@ -471,10 +498,11 @@ def _codec_decode_spec_impl(cfg, w, tokens, token_lengths, cond,
         cond_act = jax.nn.silu(c.astype(jnp.float32))
 
     # prenet over tokens
-    x = w["token_embd"][tokens]  # [B, N, prenet_dim]
-    x = mask_time(x, token_lengths)
+    x = w["token_embd"][_sp(tokens)]  # [B, N, prenet_dim]
+    x = _sp(mask_time(x, token_lengths))
     x = _transformer_stack(x, w["prenet_blocks"], cfg.prenet_heads, token_lengths,
-                           cfg.prenet_window, cfg.rope_theta, cfg.norm_eps, None)
+                           cfg.prenet_window, cfg.rope_theta, cfg.norm_eps, None,
+                           attn_impl=attn_impl)
     x = layer_norm(x, w["prenet_norm_w"], w["prenet_norm_b"], eps=cfg.norm_eps)
     x = x @ w["prenet_out_w"] + w["prenet_out_b"]  # [B, N, decoder_dim]
     x = mask_time(x, token_lengths)
@@ -489,7 +517,7 @@ def _codec_decode_spec_impl(cfg, w, tokens, token_lengths, cond,
         a = interp_anchor_tokens
         scale_override = ((a - 1) * 2 + K_up, cfg.decoder_frames(a))
     y = linear_interpolate(y, src_len, dec_len, F_dec, scale_override=scale_override)
-    y = mask_time(y, dec_len)
+    y = _sp(mask_time(y, dec_len))
 
     if cfg.model_type == 0:
         for i in range(cfg.resnet_blocks):
@@ -498,7 +526,8 @@ def _codec_decode_spec_impl(cfg, w, tokens, token_lengths, cond,
 
     # conditioned decoder transformer
     x = _transformer_stack(y, w["decoder_blocks"], cfg.decoder_heads, dec_len,
-                           cfg.decoder_window, cfg.rope_theta, cfg.norm_eps, cond_act)
+                           cfg.decoder_window, cfg.rope_theta, cfg.norm_eps, cond_act,
+                           attn_impl=attn_impl)
     if cfg.dynamic_global:
         dim = cfg.decoder_dim
         p = cond_act @ w["norm_cond_w"] + w["norm_cond_b"]  # [B, 2*dim]
@@ -523,7 +552,7 @@ def _codec_decode_spec_impl(cfg, w, tokens, token_lengths, cond,
                 if pad > 0:
                     x = x[:, pad:x.shape[1] - pad, :]
                 frame_len = (frame_len - 1) * f + k - 2 * pad
-                x = mask_time(x, frame_len)
+                x = _sp(mask_time(x, frame_len))
                 x = _snake_beta(x, stage["snake_alpha"], stage["snake_beta"])
                 x = _resnet_block(x, stage["resblk"], frame_len,
                                   cfg.resnet_groups, cfg.group_norm_eps)
@@ -532,7 +561,7 @@ def _codec_decode_spec_impl(cfg, w, tokens, token_lengths, cond,
             x = mask_time(x, frame_len)
 
     spec = x @ w["istft_out_w"] + w["istft_out_b"]
-    spec = mask_time(spec, frame_len)
+    spec = _sp(mask_time(spec, frame_len))
     return spec, frame_len
 
 
@@ -544,15 +573,17 @@ def codec_synthesize(
     cond: jnp.ndarray | None,
     interp_anchor_tokens: int | None = None,
     peak_normalize: bool = True,
+    sp_mesh=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full codes -> waveform. Returns (audio [B, S_max], n_samples [B]);
     audio is peak-normalized per example like mio_tts_synthesize
     (mio-tts-lib.cpp:1299-1310) unless ``peak_normalize`` is False
     (streaming prefix decodes must keep a consistent gain). Wave mode goes
     through the iSTFT head; mel mode through the bundled BigVGAN-style
-    vocoder (mio-tts-lib.cpp:1277-1286)."""
+    vocoder (mio-tts-lib.cpp:1277-1286). ``sp_mesh`` shards the time axis
+    over the mesh's "sp" axis (see codec_decode_spec)."""
     spec, frame_len = codec_decode_spec(cfg, w, tokens, token_lengths, cond,
-                                        interp_anchor_tokens)
+                                        interp_anchor_tokens, sp_mesh=sp_mesh)
     with jax.default_matmul_precision(_codec_matmul_precision()):
         if cfg.model_type == 0:
             audio = spec_to_audio(spec, frame_len, cfg.n_fft, cfg.hop_length,

@@ -140,17 +140,22 @@ def banded_attention(
     v: jnp.ndarray,
     lengths: jnp.ndarray,
     window: int,
+    impl: str | None = None,
 ) -> jnp.ndarray:
     """q/k/v: [B, T, H, D] (post-RoPE). Returns [B, T, H, D].
 
-    Dispatch (overridable with MIOTTS_ATTN_IMPL=dense|blocked|pallas): on
+    Dispatch (overridable with MIOTTS_ATTN_IMPL=dense|blocked|pallas, or the
+    explicit ``impl`` argument, which wins — sequence-parallel decodes pin
+    "blocked": a pallas_call is an opaque custom call GSPMD cannot
+    partition, while the blocked halo-gather lowers to sharded ops): on
     TPU the Pallas block-banded kernel from _PALLAS_MIN_T up (fastest at
     every measured production length), dense below it, windowed-blocked as
     the non-TPU long-sequence fallback (O(T*window) instead of O(T^2)).
     Scores/softmax in f32."""
     import os
 
-    impl = os.environ.get("MIOTTS_ATTN_IMPL", "auto")
+    if impl is None:
+        impl = os.environ.get("MIOTTS_ATTN_IMPL", "auto")
     T = q.shape[1]
     half = max(0, window // 2)
     if impl == "dense":

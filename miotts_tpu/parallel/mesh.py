@@ -36,6 +36,23 @@ def make_mesh(devices=None, dp: int | None = None, tp: int | None = None) -> Mes
     return Mesh(arr, axis_names=("dp", "tp"))
 
 
+def make_sp_mesh(devices=None, sp: int | None = None) -> Mesh:
+    """1-D ("sp",) mesh for sequence-parallel codec decodes.
+
+    The reference has no analog (single-process inference, SURVEY §2); on a
+    multi-chip host this is the latency lever for ONE long utterance: dp
+    fan-out shards *requests*, so a single request uses one chip — sp shards
+    the request's own time axis instead, and GSPMD derives the conv halo
+    exchanges / norm-stat reductions from the constraints in
+    models/miocodec.codec_decode_spec."""
+    if devices is None:
+        devices = jax.devices()
+    if sp is not None:
+        assert sp <= len(devices), f"sp={sp} > {len(devices)} devices"
+        devices = devices[:sp]
+    return Mesh(np.asarray(devices), axis_names=("sp",))
+
+
 def _vocab_axis_specs(mesh: Mesh, weights: Any) -> tuple:
     """(token_embd_spec, output_spec): shard the vocab axis over tp.
 

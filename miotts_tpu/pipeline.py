@@ -121,6 +121,7 @@ class MioTTSPipeline:
         codec_path: str | Path,
         wavlm_path: str | Path | None = None,
         buckets: tuple[int, ...] = DEFAULT_BUCKETS,
+        sp_devices: list | None = None,
     ):
         from .runtime.compile_cache import enable_compile_cache
 
@@ -133,8 +134,27 @@ class MioTTSPipeline:
 
         self.weights = device_put_packed(weights)
         self.buckets = buckets
+        # sequence parallelism (--sequence-parallel): shard each decode's
+        # TIME axis over an "sp" mesh so every chip works on one utterance —
+        # the single-request latency lever on multi-chip hosts, where dp
+        # fan-out leaves all but one device idle at B=1. GSPMD inserts the
+        # conv halo exchanges / GroupNorm-stat reductions / resize gathers
+        # from the constraints in codec_decode_spec alone.
+        self.sp_mesh = None
+        self._sp_data = None
+        self._sp_repl = None
+        if sp_devices is not None and len(sp_devices) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .parallel.mesh import make_sp_mesh, replicate_tree
+
+            self.sp_mesh = make_sp_mesh(sp_devices)
+            self.weights = replicate_tree(self.sp_mesh, self.weights)
+            self._sp_data = NamedSharding(self.sp_mesh, P(None, "sp"))
+            self._sp_repl = NamedSharding(self.sp_mesh, P())
         self._synth_fn = jax.jit(
-            functools.partial(codec_synthesize, self.config),
+            functools.partial(codec_synthesize, self.config,
+                              sp_mesh=self.sp_mesh),
             static_argnames=("interp_anchor_tokens", "peak_normalize"),
         )
         self._encode_fn = jax.jit(functools.partial(encode_global_embedding, self.config))
@@ -143,6 +163,11 @@ class MioTTSPipeline:
             from .models.wavlm import WavLMExtractor
 
             self.wavlm = WavLMExtractor(str(wavlm_path))
+            if self.sp_mesh is not None:
+                from .parallel.mesh import replicate_tree
+
+                self.wavlm.weights = replicate_tree(self.sp_mesh,
+                                                    self.wavlm.weights)
             self._ref_fused_fn = jax.jit(functools.partial(
                 _reference_embedding_fused, self.config, self.wavlm.config))
 
@@ -212,17 +237,26 @@ class MioTTSPipeline:
 
         n = int(codes.size)
         bucket = pick_bucket(n, self.buckets)
+        if self.sp_mesh is not None:
+            sp = self.sp_mesh.shape["sp"]
+            bucket = -(-bucket // sp) * sp  # even T shards
         tokens = np.zeros((1, bucket), np.int32)
         tokens[0, :n] = codes
         lengths = jnp.asarray([n], jnp.int32)
         cond = jnp.asarray(embedding)[None] if embedding is not None else None
+        tokens = jnp.asarray(tokens)
+        if self.sp_mesh is not None:
+            tokens = jax.device_put(tokens, self._sp_data)
+            lengths = jax.device_put(lengths, self._sp_repl)
+            if cond is not None:
+                cond = jax.device_put(cond, self._sp_repl)
 
         from .runtime.tracing import maybe_start_profiler, trace_phase
 
         maybe_start_profiler()
         t0 = time.perf_counter()
         with trace_phase("miocodec_synthesize"):
-            audio, n_samples = self._synth_fn(self.weights, jnp.asarray(tokens), lengths, cond,
+            audio, n_samples = self._synth_fn(self.weights, tokens, lengths, cond,
                                               interp_anchor_tokens=interp_anchor,
                                               peak_normalize=peak_normalize)
         # one packed device->host transfer (audio + sample count) — separate
