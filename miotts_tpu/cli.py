@@ -63,7 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     # process): shard the codec decode's TIME axis over this many devices
     # (parallel/mesh.make_sp_mesh) so one long utterance uses every chip
     p.add_argument("--sequence-parallel", dest="sequence_parallel",
-                   type=int, default=1)
+                   type=int, default=1,
+                   help="shard the codec decode's time axis over N devices "
+                        "(single-utterance latency on multi-chip hosts; "
+                        "codec only — LLM decode is unaffected)")
     p.add_argument("--tts-mio-codes", default="")
     p.add_argument("--tts-mio-codes-in", default="")
     p.add_argument("--tts-mio-codes-out", default="")

@@ -595,7 +595,12 @@ def codec_synthesize(
                 raise NotImplementedError("mel-mode model has no bundled MioVocoder tensors")
             from .vocoder import vocoder_decode
 
-            audio, n_samples = vocoder_decode(cfg, w, spec, frame_len)
+            # pallas_call is opaque to the GSPMD partitioner — pin the
+            # vocoder's conv1d/activation1d dispatch to XLA under sp, the
+            # same constraint that pins attention to "blocked" above
+            audio, n_samples = vocoder_decode(
+                cfg, w, spec, frame_len,
+                impl="xla" if sp_mesh is not None else None)
     valid = time_mask(audio.shape[1], n_samples)
     audio = audio * valid.astype(audio.dtype)
     if peak_normalize:

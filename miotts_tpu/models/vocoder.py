@@ -222,13 +222,16 @@ def _act1d_impl() -> str:
     return os.environ.get("MIOTTS_ACT1D", "auto")
 
 
-def conv1d_same(x, lengths, w, b, dilation: int = 1, residual=None):
+def conv1d_same(x, lengths, w, b, dilation: int = 1, residual=None,
+                impl: str | None = None):
     """mask_time(conv1d_zeropad(...)) [+ residual], dispatched to the
     Pallas shifted-matmul kernel on TPU (XLA:TPU lowers these dilated convs
     at ~4x the MXU roofline at waveform lengths — ops/pallas/conv1d.py);
     the bias/residual/mask ride in the same kernel. MIOTTS_ACT1D gates both
-    this and activation1d (they ship as one TPU fast path)."""
-    impl = _act1d_impl()
+    this and activation1d (they ship as one TPU fast path); an explicit
+    ``impl`` overrides the env (the sp path pins "xla": a pallas_call is
+    opaque to the GSPMD partitioner, same constraint as blocked attention)."""
+    impl = impl or _act1d_impl()
     k = int(w.shape[-1])
     if impl != "xla" and k % 2 == 1:
         from ..ops.attention import _pallas_available
@@ -247,15 +250,16 @@ def conv1d_same(x, lengths, w, b, dilation: int = 1, residual=None):
     return y
 
 
-def activation1d(x, lengths, act: Pytree):
+def activation1d(x, lengths, act: Pytree, impl: str | None = None):
     """Anti-aliased snake: 2x upsample -> ADAA snake-beta -> 2x downsample.
 
     On TPU this dispatches to the fused Pallas kernel (one VMEM-resident
     pass instead of ~15 XLA memory passes — the mel-vocoder's dominant
     cost, see ops/pallas/activation1d.py). The unfused composite remains
     the non-TPU / filter-bank (fused-resblock) path and the numeric
-    reference. MIOTTS_ACT1D=xla|pallas|interpret overrides."""
-    impl = _act1d_impl()
+    reference. MIOTTS_ACT1D=xla|pallas|interpret overrides; an explicit
+    ``impl`` argument overrides the env (see conv1d_same)."""
+    impl = impl or _act1d_impl()
     fusable = (act["up_filter"].ndim == 1 and act["down_filter"].ndim == 1
                and act["up_filter"].shape[0] >= 2)
     if fusable and impl != "xla":
@@ -313,7 +317,7 @@ def _can_fuse_resblocks(rbs) -> bool:
     return True
 
 
-def _resblocks_fused(rbs, x, lengths, dilations):
+def _resblocks_fused(rbs, x, lengths, dilations, impl: str | None = None):
     """Run a stage's AMP resblocks as one channel-folded pass and average.
 
     Every branch consumes the same stage input and the outputs are averaged
@@ -344,14 +348,14 @@ def _resblocks_fused(rbs, x, lengths, dilations):
     r_len = lengths
     for kk in range(3):
         r_in = r
-        r, r_len = activation1d(r, r_len, act_bank(2 * kk))
+        r, r_len = activation1d(r, r_len, act_bank(2 * kk), impl=impl)
         w1, b1, k1 = _stack_branch_kernels(
             [rb["convs1"][kk]["w"] for rb in rbs],
             [rb["convs1"][kk]["b"] for rb in rbs])
         d = dilations[kk]
         r = conv1d_zeropad(r, w1, b1, d, (k1 * d - d) // 2, groups=nk)
         r = mask_time(r, r_len)
-        r, r_len = activation1d(r, r_len, act_bank(2 * kk + 1))
+        r, r_len = activation1d(r, r_len, act_bank(2 * kk + 1), impl=impl)
         w2, b2, k2 = _stack_branch_kernels(
             [rb["convs2"][kk]["w"] for rb in rbs],
             [rb["convs2"][kk]["b"] for rb in rbs])
@@ -380,9 +384,11 @@ def mel_postnet_apply(cfg, w, mel: jnp.ndarray, lengths: jnp.ndarray) -> jnp.nda
     return mel + mask_time(r, lengths)
 
 
-def vocoder_decode(cfg, w, mel: jnp.ndarray, lengths: jnp.ndarray):
+def vocoder_decode(cfg, w, mel: jnp.ndarray, lengths: jnp.ndarray,
+                   impl: str | None = None):
     """mel [B, T, n_mels] -> (audio [B, S], n_samples [B]).
-    Mirrors decode_mel_to_audio (:1967-2119)."""
+    Mirrors decode_mel_to_audio (:1967-2119). ``impl`` pins the
+    conv1d_same/activation1d dispatch (the sp path forces "xla")."""
     v = w["vocoder"]
     rates = cfg.vocoder_upsample_rates
     num_k = cfg.vocoder_num_kernels
@@ -403,7 +409,7 @@ def vocoder_decode(cfg, w, mel: jnp.ndarray, lengths: jnp.ndarray):
 
         y0 = zero_stuff(mask_time(x0, x0_len), upp)
         y0_len = x0_len * upp
-        y0 = conv1d_same(y0, y0_len, up["noise_w"], up["noise_b"], 1)
+        y0 = conv1d_same(y0, y0_len, up["noise_w"], up["noise_b"], 1, impl=impl)
         y0 = highpass(y0, y0_len, 0.5 / scale)
 
         y = zero_stuff(mask_time(x, cur_len), scale)
@@ -416,7 +422,7 @@ def vocoder_decode(cfg, w, mel: jnp.ndarray, lengths: jnp.ndarray):
 
         stage_rbs = v["resblocks"][i * num_k:(i + 1) * num_k]
         if num_k > 1 and _can_fuse_resblocks(stage_rbs):
-            x, _ = _resblocks_fused(stage_rbs, x, cur_len, dilations)
+            x, _ = _resblocks_fused(stage_rbs, x, cur_len, dilations, impl=impl)
         else:
             xs = jnp.zeros_like(x)
             for rb in stage_rbs:
@@ -424,18 +430,22 @@ def vocoder_decode(cfg, w, mel: jnp.ndarray, lengths: jnp.ndarray):
                 r_len = cur_len
                 for kk in range(3):
                     r_in = r
-                    r, r_len = activation1d(r, r_len, rb["acts"][2 * kk])
+                    r, r_len = activation1d(r, r_len, rb["acts"][2 * kk],
+                                            impl=impl)
                     r = conv1d_same(r, r_len, rb["convs1"][kk]["w"],
-                                    rb["convs1"][kk]["b"], dilations[kk])
-                    r, r_len = activation1d(r, r_len, rb["acts"][2 * kk + 1])
+                                    rb["convs1"][kk]["b"], dilations[kk],
+                                    impl=impl)
+                    r, r_len = activation1d(r, r_len, rb["acts"][2 * kk + 1],
+                                            impl=impl)
                     # conv2 + residual + mask fused in one kernel
                     # (activation1d round-trip preserves length)
                     r = conv1d_same(r, r_len, rb["convs2"][kk]["w"],
-                                    rb["convs2"][kk]["b"], 1, residual=r_in)
+                                    rb["convs2"][kk]["b"], 1, residual=r_in,
+                                    impl=impl)
                 xs = xs + r
             x = xs * (1.0 / max(1, num_k))
 
-    x, cur_len = activation1d(x, cur_len, v["activation_post"])
+    x, cur_len = activation1d(x, cur_len, v["activation_post"], impl=impl)
     x = conv1d_zeropad(x, v["conv_post_w"], None, 1, 3)
     x = mask_time(x, cur_len)
     audio = jnp.clip(x[:, :, 0], -1.0, 1.0)

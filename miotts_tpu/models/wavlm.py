@@ -281,14 +281,16 @@ class WavLMExtractor:
     """Host orchestration: audio decode/normalize/resample + jitted forward +
     the reference's non-finite fallback ladder."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, sharding=None):
         from ..runtime.compile_cache import enable_compile_cache
 
         enable_compile_cache()
         self.config, weights = load_wavlm(path)
         from ..runtime.device_dequant import device_put_packed
 
-        self.weights = device_put_packed(weights)  # one packed transfer
+        # one packed transfer; ``sharding`` places the leaves directly
+        # (an sp pipeline passes its mesh-replicated sharding)
+        self.weights = device_put_packed(weights, sharding=sharding)
         import functools
 
         self._fwd = jax.jit(functools.partial(wavlm_forward, self.config))

@@ -48,7 +48,8 @@ def make_sp_mesh(devices=None, sp: int | None = None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     if sp is not None:
-        assert sp <= len(devices), f"sp={sp} > {len(devices)} devices"
+        if sp > len(devices):  # a stripped assert would silently undersize
+            raise ValueError(f"sp={sp} > {len(devices)} devices")
         devices = devices[:sp]
     return Mesh(np.asarray(devices), axis_names=("sp",))
 

@@ -128,11 +128,6 @@ class MioTTSPipeline:
         enable_compile_cache()
         self.codec_path = str(codec_path)
         self.config, weights = load_miocodec(self.codec_path)
-        # one packed host->device transfer (bit-identical to per-leaf
-        # asarray; measured 3.6x relay upload bandwidth — device_dequant.py)
-        from .runtime.device_dequant import device_put_packed
-
-        self.weights = device_put_packed(weights)
         self.buckets = buckets
         # sequence parallelism (--sequence-parallel): shard each decode's
         # TIME axis over an "sp" mesh so every chip works on one utterance —
@@ -146,12 +141,17 @@ class MioTTSPipeline:
         if sp_devices is not None and len(sp_devices) > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from .parallel.mesh import make_sp_mesh, replicate_tree
+            from .parallel.mesh import make_sp_mesh
 
             self.sp_mesh = make_sp_mesh(sp_devices)
-            self.weights = replicate_tree(self.sp_mesh, self.weights)
             self._sp_data = NamedSharding(self.sp_mesh, P(None, "sp"))
             self._sp_repl = NamedSharding(self.sp_mesh, P())
+        # one packed host->device transfer (bit-identical to per-leaf
+        # asarray; measured 3.6x relay upload bandwidth — device_dequant.py);
+        # under sp the leaves land mesh-replicated directly, no re-transfer
+        from .runtime.device_dequant import device_put_packed
+
+        self.weights = device_put_packed(weights, sharding=self._sp_repl)
         self._synth_fn = jax.jit(
             functools.partial(codec_synthesize, self.config,
                               sp_mesh=self.sp_mesh),
@@ -162,12 +162,8 @@ class MioTTSPipeline:
         if wavlm_path:
             from .models.wavlm import WavLMExtractor
 
-            self.wavlm = WavLMExtractor(str(wavlm_path))
-            if self.sp_mesh is not None:
-                from .parallel.mesh import replicate_tree
-
-                self.wavlm.weights = replicate_tree(self.sp_mesh,
-                                                    self.wavlm.weights)
+            self.wavlm = WavLMExtractor(str(wavlm_path),
+                                        sharding=self._sp_repl)
             self._ref_fused_fn = jax.jit(functools.partial(
                 _reference_embedding_fused, self.config, self.wavlm.config))
 
@@ -242,14 +238,19 @@ class MioTTSPipeline:
             bucket = -(-bucket // sp) * sp  # even T shards
         tokens = np.zeros((1, bucket), np.int32)
         tokens[0, :n] = codes
-        lengths = jnp.asarray([n], jnp.int32)
-        cond = jnp.asarray(embedding)[None] if embedding is not None else None
-        tokens = jnp.asarray(tokens)
         if self.sp_mesh is not None:
+            # place the host arrays straight onto the mesh — an intermediate
+            # jnp.asarray commits to the default device and pays a second
+            # transfer per call (~10 ms relay floor per hop, CLAUDE.md)
             tokens = jax.device_put(tokens, self._sp_data)
-            lengths = jax.device_put(lengths, self._sp_repl)
-            if cond is not None:
-                cond = jax.device_put(cond, self._sp_repl)
+            lengths = jax.device_put(np.asarray([n], np.int32), self._sp_repl)
+            cond = (jax.device_put(embedding[None], self._sp_repl)
+                    if embedding is not None else None)
+        else:
+            tokens = jnp.asarray(tokens)
+            lengths = jnp.asarray([n], jnp.int32)
+            cond = (jnp.asarray(embedding)[None]
+                    if embedding is not None else None)
 
         from .runtime.tracing import maybe_start_profiler, trace_phase
 

@@ -211,7 +211,10 @@ class PackedLoader:
 
     # -- build ----------------------------------------------------------------
 
-    def finalize(self) -> dict:
+    def finalize(self, out_sharding=None) -> dict:
+        """``out_sharding`` places every assembled leaf directly (e.g.
+        replicated over an sp mesh) — one upload instead of upload +
+        re-transfer."""
         import jax.numpy as jnp
 
         if not self._parts:
@@ -276,7 +279,8 @@ class PackedLoader:
         # buffers, so skip there to avoid the warning
         donate = (tuple(range(len(host_groups)))
                   if jax.default_backend() != "cpu" else ())
-        fn = jax.jit(assemble_all, donate_argnums=donate)
+        fn = jax.jit(assemble_all, donate_argnums=donate,
+                     out_shardings=out_sharding)
         try:
             import warnings
 
@@ -303,8 +307,10 @@ class PackedLoader:
                 # (donation only frees the DEVICE copies, the host arrays
                 # survive a failed call) — cut each part back out
                 g, start, n = part_loc[j]
-                seg = host_groups[g][start:start + n]
-                return jax.numpy.asarray(seg.reshape(part_shape[j]))
+                seg = host_groups[g][start:start + n].reshape(part_shape[j])
+                if out_sharding is not None:
+                    return jax.device_put(seg, out_sharding)
+                return jax.numpy.asarray(seg)
 
             result = {}
             for key, spec in leaves.items():
@@ -337,14 +343,27 @@ def build_leaf(reader, fmts: list[str], n_layers: int | None = None,
     return pk.finalize()["leaf"]
 
 
-def device_put_packed(tree):
+def device_put_packed(tree, sharding=None):
     """``jax.tree.map(jnp.asarray, tree)`` with ONE host->device transfer
     (native dtypes preserved). Falls back to per-leaf asarray on CPU or
-    when disabled."""
+    when disabled. ``sharding`` places every leaf directly (e.g. replicated
+    over an sp mesh) so sharded pipelines don't upload twice."""
     import jax.numpy as jnp
 
     leaves, treedef = jax.tree.flatten(tree)
     if not device_dequant_enabled():
+        if sharding is not None:
+            # device_put handles host and device leaves alike (canonicalize
+            # dtypes on host first so f64 test fixtures match jnp.asarray)
+            def putleaf(l):
+                if not isinstance(l, jax.Array):
+                    l = np.asarray(l)
+                    can = jax.dtypes.canonicalize_dtype(l.dtype)
+                    if can != l.dtype:
+                        l = l.astype(can)
+                return jax.device_put(l, sharding)
+
+            return jax.tree.unflatten(treedef, [putleaf(l) for l in leaves])
         return jax.tree.unflatten(
             treedef, [jnp.asarray(l) for l in leaves])
     pk = PackedLoader()
@@ -354,7 +373,13 @@ def device_put_packed(tree):
             continue
         pk.add_array(i, np.asarray(leaf))
         staged[i] = None
-    built = pk.finalize()
-    return jax.tree.unflatten(
-        treedef,
-        [built[i] if i in staged else leaves[i] for i in range(len(leaves))])
+    built = pk.finalize(out_sharding=sharding)
+
+    def out(i):
+        if i in staged:
+            return built[i]
+        if sharding is not None:  # device leaf joining a sharded tree
+            return jax.device_put(leaves[i], sharding)
+        return leaves[i]
+
+    return jax.tree.unflatten(treedef, [out(i) for i in range(len(leaves))])

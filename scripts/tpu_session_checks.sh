@@ -11,15 +11,29 @@ TMP="${TMPDIR:-/tmp}"
 cd "$(dirname "$0")/.."
 
 # serve the Q8_0 artifact (the published MioTTS-0.1B ships as Q8_0; raw
-# blocks ride the packed upload at ~half the f32 bytes). Generate if absent.
-[[ -s "$TMP/miotts_bench_llm_q8.gguf" ]] || python - <<'EOF'
+# blocks ride the packed upload at ~half the f32 bytes). Generate every
+# asset the server needs if absent (codec, llm, preset voice embedding).
+python - <<'EOF'
 import os
-from miotts_tpu.testing import write_synthetic_llm_gguf
+import numpy as np
+from miotts_tpu.testing import (
+    full_codec_config, write_synthetic_llm_gguf, write_synthetic_miocodec_gguf)
+from miotts_tpu.gguf.writer import save_embedding_gguf
 tmp = os.environ.get("TMPDIR", "/tmp")
-write_synthetic_llm_gguf(
-    os.path.join(tmp, "miotts_bench_llm_q8.gguf"), n_audio=12800, dim=768,
-    n_layers=12, n_heads=12, n_kv_heads=2, ffn=2048, seed=0,
-    n_filler_vocab=138_700, audio_logit_scale=3.0, quant="q8_0")
+cfg = full_codec_config()
+p = os.path.join(tmp, "miotts_bench_codec.gguf")
+if not os.path.exists(p):
+    write_synthetic_miocodec_gguf(p, cfg, seed=0)
+p = os.path.join(tmp, "miotts_bench_voice.emb.gguf")
+if not os.path.exists(p):
+    save_embedding_gguf(
+        p, np.random.RandomState(7).randn(cfg.decoder_adanorm_dim).astype(np.float32))
+p = os.path.join(tmp, "miotts_bench_llm_q8.gguf")
+if not os.path.exists(p):
+    write_synthetic_llm_gguf(
+        p, n_audio=12800, dim=768,
+        n_layers=12, n_heads=12, n_kv_heads=2, ffn=2048, seed=0,
+        n_filler_vocab=138_700, audio_logit_scale=3.0, quant="q8_0")
 EOF
 
 start_server() {

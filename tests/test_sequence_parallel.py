@@ -52,6 +52,58 @@ def test_sp_mesh_shape():
     assert mesh.axis_names == ("sp",)
 
 
+def test_sp_mesh_oversized_raises():
+    """Requesting more shards than devices must raise, not silently build a
+    smaller mesh (callers do shard math against the requested sp)."""
+    with pytest.raises(ValueError):
+        make_sp_mesh(jax.devices(), sp=len(jax.devices()) + 1)
+
+
+def test_sp_mel_mode_pins_xla_impl(tmp_path_factory, monkeypatch):
+    """sp + mel-mode must never dispatch Pallas vocoder kernels: a
+    pallas_call is opaque to the GSPMD partitioner (the same constraint
+    that pins attention to 'blocked' under sp). MIOTTS_ACT1D=pallas forces
+    the Pallas path everywhere else — the sp pin must override it."""
+    from miotts_tpu.testing import write_synthetic_mel_vocoder_gguf
+
+    d = tmp_path_factory.mktemp("sp_mel")
+    path = d / "mel.gguf"
+    cfg = tiny_codec_config(
+        model_type=1, n_mels=12, n_fft=64, hop_length=16, samples_per_token=32,
+        resnet_blocks=0,
+        vocoder_upsample_rates=(4, 2, 2), vocoder_num_kernels=2)
+    write_synthetic_mel_vocoder_gguf(str(path), cfg, seed=0)
+    codes, emb = _codes(96, seed=5), _emb(seed=5)
+    ref = MioTTSPipeline(str(path)).synthesize(codes, emb)
+
+    import miotts_tpu.ops.pallas.activation1d as act1d_mod
+    import miotts_tpu.ops.pallas.conv1d as conv1d_mod
+
+    def _boom(*a, **k):  # pragma: no cover - the assertion target
+        raise AssertionError("Pallas kernel dispatched under sp")
+
+    monkeypatch.setenv("MIOTTS_ACT1D", "pallas")
+    monkeypatch.setattr(act1d_mod, "fused_activation1d", _boom)
+    monkeypatch.setattr(conv1d_mod, "conv1d_same_pallas", _boom)
+    got = MioTTSPipeline(str(path), sp_devices=jax.devices()[:2]).synthesize(
+        codes, emb)
+    assert len(ref.audio) == len(got.audio)
+    np.testing.assert_allclose(got.audio, ref.audio, atol=ATOL, rtol=0)
+
+
+def test_sp_weights_single_upload_replicated(codec_paths):
+    """Weights must land mesh-replicated straight from the packed upload
+    (the old path uploaded to the default device, then re-transferred the
+    whole tree to the mesh)."""
+    plain, _ = codec_paths
+    pipe = MioTTSPipeline(plain, sp_devices=jax.devices()[:4])
+    leaves = jax.tree.leaves(pipe.weights)
+    assert leaves
+    for leaf in leaves:
+        assert len(leaf.sharding.device_set) == 4
+        assert leaf.sharding.is_fully_replicated
+
+
 @pytest.mark.parametrize("sp", [2, 8])
 def test_sp_decode_matches_single_device(codec_paths, sp):
     plain, _ = codec_paths
