@@ -51,6 +51,14 @@ class LLMConfig:
     has_qkv_bias: bool = False
     has_qk_norm: bool = False
     tie_embeddings: bool = False
+    # decode-step KV-cache attention implementation: "auto" resolves at
+    # trace time (Pallas fused kernel on single-device TPU when the cache's
+    # KVH*HD trail is lane-aligned, the XLA einsum path otherwise;
+    # MIOTTS_DECODE_ATTN overrides). Mesh-sharded runs must pin "xla" —
+    # a pallas_call is opaque to the GSPMD partitioner (the serving
+    # batcher does this when it owns a mesh). "pallas_interpret" runs the
+    # kernel in the Pallas interpreter (CPU test coverage of kernel math).
+    decode_attn: str = "auto"
     # layout of the dense logits head: True stores [V, D] (the GGUF-native
     # token-major layout) and contracts on the last dim. Default on CPU
     # hosts, where it is a measured ~17% on the 0.1B decode step: XLA:CPU
@@ -143,16 +151,21 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
     # per-channel int8 with dynamic int8 activations (native MXU int8 dots:
     # 2x bf16 throughput + half the weight HBM bytes of the decode step)
     quant_int8 = quantize in ("int8", "w8a8")
+    # W8A8 the HEAD only: the [D, V] logits matmul is ~60% of the decode
+    # step's weight bytes (233 of 380 MB at 0.1B/152k) and measured at its
+    # bf16 HBM roofline (304 us of a 797 us step) — int8 halves its bytes
+    # with a native MXU int8 dot while every layer stays dense bf16
+    quant_out_int8 = quantize in ("output_int8", "output-int8")
     quant_all = quant_int8 or quantize in (True, "all", "q8", "q8_0", "1")
-    quant_output = quant_all or quantize == "output"
+    quant_output = quant_all or quant_out_int8 or quantize == "output"
     if quantize and not (quant_all or quant_output) and quantize is not False:
         import sys
 
         print(f"warning: unknown MIOTTS_LLM_QUANT value {quantize!r} "
-              "(expected 'int8', 'all', 'q8' or 'output'); running dense",
-              file=sys.stderr)
+              "(expected 'int8', 'all', 'q8', 'output' or 'output_int8'); "
+              "running dense", file=sys.stderr)
 
-    def quantize_kn(wkn):
+    def quantize_kn(wkn, int8: bool | None = None):
         """Quantize a transposed [K, N] weight, kept quantized in HBM. Q8_0
         mode: {"q": int8 [K, N], "s": f32 [K//32, N]} dequantized inside the
         Pallas matmul tile; int8 mode: {"q8": int8 [K, N], "s8": f32 [N]}
@@ -161,11 +174,13 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
         width."""
         from ..ops.pallas.quant_matmul import quantize_int8_percol, quantize_q8_cols
 
+        if int8 is None:
+            int8 = quant_int8
         K, N = wkn.shape
         Np = ((N + 127) // 128) * 128
         if Np != N:
             wkn = np.pad(wkn, ((0, 0), (0, Np - N)))
-        if quant_int8:
+        if int8:
             q8, s8 = quantize_int8_percol(wkn)
             return {"q8": q8, "s8": s8}
         q, s = quantize_q8_cols(wkn)
@@ -229,7 +244,9 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
         # dense head: [V, D] token-major (cfg.output_token_major) or [D, V];
         # the quant leaf is always [D, V]-derived (Pallas tile layout)
         "output": (None if tie
-                   else tq("output.weight") if quant_output
+                   else quantize_kn(t("output.weight", transpose=True),
+                                    int8=quant_int8 or quant_out_int8)
+                   if quant_output
                    else dev_out if dev_out is not None
                    else t("output.weight",
                           transpose=not cfg.output_token_major)),
@@ -500,6 +517,27 @@ llm_prefill_jit = functools.partial(jax.jit, static_argnums=0)(llm_prefill)
 llm_prefill_kv_jit = functools.partial(jax.jit, static_argnums=0)(llm_prefill_kv)
 
 
+def _resolve_decode_attn(cfg: LLMConfig) -> str:
+    """Trace-time choice of the decode attention implementation (see
+    LLMConfig.decode_attn).
+
+    "auto" resolves to the XLA path: the fused Pallas kernel measured EVEN
+    with it on chip (0.727 vs 0.725 ms/step at 8 lanes/S=512, both in its
+    per-lane-grid and lane-blocked-MXU forms) — decode attention is ~5
+    small ops/layer whose cost is per-op overhead, and one pallas_call
+    carries the same overhead as the ops it replaces. The kernel stays
+    available (MIOTTS_DECODE_ATTN=pallas) for hardware where the relative
+    costs differ."""
+    mode = cfg.decode_attn
+    if mode == "auto":
+        mode = os.environ.get("MIOTTS_DECODE_ATTN", "auto")
+    if mode == "auto":
+        mode = "xla"
+    if mode == "pallas" and (cfg.n_kv_heads * cfg.head_dim) % 128 != 0:
+        mode = "xla"  # kernel needs a lane-aligned [S, KVH*HD] cache view
+    return mode
+
+
 def llm_decode_step(
     cfg: LLMConfig,
     w: Pytree,
@@ -509,38 +547,57 @@ def llm_decode_step(
     cache_v: jnp.ndarray,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decode step for a batch of lanes. token/pos: [B]. Returns
-    (logits [B, V], cache_k, cache_v)."""
+    (logits [B, V], cache_k, cache_v).
+
+    Structure is latency-tuned (the step is bound by serialized kernel
+    count, not FLOPs — DESIGN.md): attention reads the cache STRICTLY
+    below pos plus the current token's k/v as explicit operands, so the
+    per-layer cache writes defer to ONE batched [L, B]-row scatter pair
+    per step (2 scatters instead of 2*n_layers — measured 62 us/step at
+    8 lanes), and the masked scores/softmax/value pass dispatches to a
+    fused Pallas kernel on TPU (ops/pallas/decode_attention.py). The
+    current k/v are rounded to the cache dtype BEFORE use, so attention
+    sees exactly the values the scatter stores."""
+    from ..ops.pallas.decode_attention import (
+        decode_attention_pallas, decode_attention_xla)
+
     B = token.shape[0]
-    S = cache_k.shape[2]
     group = cfg.n_heads // cfg.n_kv_heads
+    impl = _resolve_decode_attn(cfg)
 
     x = w["token_embd"][token][:, None, :]  # [B, 1, D]
     positions = pos[:, None]
     b_idx = jnp.arange(B)
+    scale = 1.0 / np.sqrt(cfg.head_dim)
 
-    kmask = (jnp.arange(S, dtype=jnp.int32)[None, :] <= pos[:, None])  # [B, S]
-
+    new_ks, new_vs = [], []
     for li in range(cfg.n_layers):
         blk = _layer_blk(w, li)
         xn = rms_norm(x, blk["attn_norm"], cfg.rms_eps)
         q, k, v = _layer_qkv(cfg, blk, xn)
         q = apply_rope_llm(q, positions, cfg.rope_base, cfg.rope_neox)
         k = apply_rope_llm(k, positions, cfg.rope_base, cfg.rope_neox)
+        k1 = k[:, 0].astype(cache_k.dtype)
+        v1 = v[:, 0].astype(cache_v.dtype)
+        new_ks.append(k1)
+        new_vs.append(v1)
 
-        cache_k = cache_k.at[li, b_idx, pos].set(k[:, 0].astype(cache_k.dtype), mode="drop")
-        cache_v = cache_v.at[li, b_idx, pos].set(v[:, 0].astype(cache_v.dtype), mode="drop")
-
-        ck = cache_k[li]  # [B, S, KVH, HD]
-        cv = cache_v[li]
         qh = q[:, 0].reshape(B, cfg.n_kv_heads, group, cfg.head_dim)
-        scores = jnp.einsum("bngd,bsnd->bngs", qh, ck,
-                            preferred_element_type=jnp.float32)
-        scores = scores * (1.0 / np.sqrt(cfg.head_dim))
-        scores = jnp.where(kmask[:, None, None, :], scores, -jnp.inf)
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        att = jnp.einsum("bngs,bsnd->bngd", probs, cv).reshape(B, 1, -1)
-        x = x + _mm(att, blk["wo"])[..., : cfg.dim]
+        if impl in ("pallas", "pallas_interpret"):
+            att = decode_attention_pallas(
+                qh, k1, v1, cache_k[li], cache_v[li], scale, pos,
+                out_dtype=x.dtype, interpret=(impl == "pallas_interpret"))
+        else:
+            att = decode_attention_xla(
+                qh, k1, v1, cache_k[li], cache_v[li], scale, pos
+            ).astype(x.dtype)
+        x = x + _mm(att[:, None, :], blk["wo"])[..., : cfg.dim]
         x = x + _layer_ffn(cfg, blk, x)
+
+    new_k = jnp.stack(new_ks)  # [L, B, KVH, HD]
+    new_v = jnp.stack(new_vs)
+    cache_k = cache_k.at[:, b_idx, pos].set(new_k, mode="drop")
+    cache_v = cache_v.at[:, b_idx, pos].set(new_v, mode="drop")
 
     xn = rms_norm(x, w["output_norm"], cfg.rms_eps)
     logits = _logits_matmul(cfg, w, xn[:, 0])

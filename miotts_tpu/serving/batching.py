@@ -89,6 +89,16 @@ class ContinuousBatcher:
         self.engine = engine
         self.cfg = engine.config
         self.mesh = mesh
+        if mesh is not None and self.cfg.decode_attn != "xla":
+            # a pallas_call is opaque to the GSPMD partitioner: sharded
+            # chunk steps must run the XLA decode-attention path (same
+            # lesson as sp + mel-mode, ROUND3_NOTES sixth session). cfg is
+            # the static arg of every llm jit, so this pin alone routes
+            # every mesh-sharded trace.
+            import dataclasses
+
+            self.cfg = dataclasses.replace(self.cfg, decode_attn="xla")
+            engine.config = self.cfg
         # first-chunk ramp: a freshly attached lane's first dispatch runs a
         # SMALL chunk so its first tokens surface before a full
         # `chunk`-step boundary — the served TTFA was dominated by waiting

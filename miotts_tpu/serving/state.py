@@ -56,10 +56,14 @@ class ServerConfig:
     # single-node GGML with no tensor parallelism.
     tensor_parallel: int = 1
     # --llm-quant: LLM weight numerics — "" (env/bf16 default), "output"
-    # (quantize only the 152k-vocab logits matmul), "q8_0" (Q8_0 blocks,
-    # Pallas dequant matmul), "int8" (W8A8: per-channel int8 weights +
-    # dynamic int8 activations; 2.0x decode at 1.63B, DESIGN.md). TPU
-    # addition — the reference inherits whatever GGUF quant llama.cpp loads.
+    # (quantize only the 152k-vocab logits matmul), "output_int8" (W8A8
+    # logits head only: the head is ~60% of the 0.1B step's weight bytes
+    # and sits at its bf16 HBM roofline — measured 24% off the decode
+    # step), "q8_0" (Q8_0 blocks, Pallas dequant matmul), "int8" (W8A8:
+    # per-channel int8 weights + dynamic int8 activations; 2.0x decode at
+    # 1.63B, DESIGN.md). TPU addition — the reference inherits whatever
+    # GGUF quant llama.cpp loads (and llama.cpp's Q8_0 matmuls quantize
+    # activations to int8 blocks too, so W8A8 is the closer analog).
     llm_quant: str = ""
     # --mio-backend-devices: dp fan-out over chips ("all", "0,2", or
     # platform:id names); lanes/micro-batches shard over the resulting mesh

@@ -389,3 +389,73 @@ def test_output_layout_parity(tiny_llm, monkeypatch):
     np.testing.assert_allclose(outs["token"][0], outs["feature"][0],
                                rtol=1e-5, atol=1e-6)
     assert outs["token"][1] == outs["feature"][1]
+
+
+def test_decode_attention_pallas_matches_xla_interpret():
+    """The fused decode-attention kernel (interpret mode — CPU coverage of
+    the kernel math) matches the XLA path across cache dtypes, GQA
+    geometries and ragged pos (incl. an empty-cache lane)."""
+    from miotts_tpu.ops.pallas.decode_attention import (
+        decode_attention_pallas, decode_attention_xla)
+
+    rng = np.random.RandomState(0)
+    cases = [(3, 40, 2, 6, 64, jnp.float32),
+             (2, 33, 2, 6, 64, jnp.bfloat16),
+             (1, 16, 4, 3, 64, jnp.float32)]
+    for B, S, KVH, G, HD, cdt in cases:
+        q = jnp.asarray(rng.randn(B, KVH, G, HD).astype(np.float32),
+                        jnp.bfloat16)
+        kc = jnp.asarray(rng.randn(B, KVH, HD).astype(np.float32), cdt)
+        vc = jnp.asarray(rng.randn(B, KVH, HD).astype(np.float32), cdt)
+        ck = jnp.asarray(rng.randn(B, S, KVH, HD).astype(np.float32), cdt)
+        cv = jnp.asarray(rng.randn(B, S, KVH, HD).astype(np.float32), cdt)
+        pos = jnp.asarray(rng.randint(0, S, B), jnp.int32).at[0].set(0)
+        scale = 1.0 / np.sqrt(HD)
+        a = decode_attention_xla(q, kc, vc, ck, cv, scale, pos)
+        b = decode_attention_pallas(q, kc, vc, ck, cv, scale, pos,
+                                    out_dtype=jnp.float32, interpret=True)
+        tol = 2e-2 if cdt == jnp.bfloat16 else 1e-5
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), atol=tol)
+
+
+def test_decode_step_pallas_interpret_matches_xla(tiny_llm):
+    """The full decode step routed through the Pallas kernel (interpret
+    mode) generates the same greedy tokens as the XLA attention path."""
+    import dataclasses
+
+    path, cfg, w, tok, raw = tiny_llm
+    outs = {}
+    for impl in ("xla", "pallas_interpret"):
+        c = dataclasses.replace(cfg, decode_attn=impl)
+        prompt = jnp.asarray(np.arange(6, dtype=np.int32)[None])
+        ck, cv = init_kv_cache(c, 1, 48, dtype=jnp.float32)
+        out, n = llm_generate(c, w, prompt, jnp.asarray([6], jnp.int32),
+                              jnp.asarray([-1], jnp.int32),
+                              jax.random.PRNGKey(0), 10,
+                              SamplerParams(temp=0.0), ck, cv)
+        outs[impl] = np.asarray(out)
+    np.testing.assert_array_equal(outs["xla"], outs["pallas_interpret"])
+
+
+def test_batcher_mesh_pins_xla_decode_attention(tiny_llm):
+    """A mesh-owning ContinuousBatcher must pin decode_attn="xla": a
+    pallas_call is opaque to the GSPMD partitioner, so a sharded chunk
+    step dispatching the kernel would fail to partition on real
+    multi-chip TPU while every CPU test stays green."""
+    from miotts_tpu.parallel.mesh import make_mesh
+    from miotts_tpu.serving.batching import ContinuousBatcher
+
+    path, *_ = tiny_llm
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    eng = LLMEngine(path, dtype=jnp.float32)
+    assert eng.config.decode_attn == "auto"
+    mesh = make_mesh(devs[:2], tp=1)
+    b = ContinuousBatcher(eng, n_lanes=2, max_ctx=64, chunk=4, mesh=mesh)
+    try:
+        assert b.cfg.decode_attn == "xla"
+        assert eng.config.decode_attn == "xla"
+    finally:
+        b.shutdown()

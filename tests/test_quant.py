@@ -176,3 +176,31 @@ def test_int8_generation_runs(int8_llm):
                           ck, cv)
     assert int(n[0]) == 8
     assert (np.asarray(out) >= 0).all()
+
+
+def test_output_int8_head_only(int8_llm):
+    """--llm-quant output_int8: ONLY the logits head is a W8A8 leaf (every
+    layer matmul stays dense), and generation matches the dense path's
+    greedy tokens on a clean synthetic model (the head is ~60% of the
+    0.1B step's weight bytes; measured 24% off the decode step on chip)."""
+    cfg_d, w_d, _w_q, tok = int8_llm
+    import tempfile, os
+    path = os.path.join(tempfile.gettempdir(), "m_oi8_test.gguf")
+    write_synthetic_llm_gguf(path, n_audio=64, dim=32, n_layers=2,
+                             n_heads=4, n_kv_heads=2, ffn=64, seed=0)
+    cfg, w, _ = load_llm_gguf(path, dtype=jnp.float32,
+                              quantize="output_int8")
+    assert isinstance(w["output"], dict) and "q8" in w["output"]
+    for k in ("wqkv", "w_gateup", "w_down", "wo"):
+        assert not isinstance(w[k], dict), k  # layers stay dense
+    tokens = np.array([[5, 200, 17, 92]], np.int32)
+    eog = jnp.asarray([-1], jnp.int32)
+    outs = []
+    for ww, cc in ((w_d, cfg_d), (w, cfg)):
+        ck, cv = init_kv_cache(cc, 1, 32, dtype=jnp.float32)
+        out, n = llm_generate(cc, ww, jnp.asarray(tokens),
+                              jnp.asarray([4], jnp.int32), eog,
+                              jax.random.PRNGKey(0), 8,
+                              SamplerParams(temp=0.0), ck, cv)
+        outs.append(np.asarray(out))
+    np.testing.assert_array_equal(outs[0], outs[1])
