@@ -52,12 +52,13 @@ class LLMConfig:
     has_qk_norm: bool = False
     tie_embeddings: bool = False
     # decode-step KV-cache attention implementation: "auto" resolves at
-    # trace time (Pallas fused kernel on single-device TPU when the cache's
-    # KVH*HD trail is lane-aligned, the XLA einsum path otherwise;
-    # MIOTTS_DECODE_ATTN overrides). Mesh-sharded runs must pin "xla" —
-    # a pallas_call is opaque to the GSPMD partitioner (the serving
-    # batcher does this when it owns a mesh). "pallas_interpret" runs the
-    # kernel in the Pallas interpreter (CPU test coverage of kernel math).
+    # trace time to the XLA path — the fused Pallas kernel measured EVEN
+    # with it on chip (see _resolve_decode_attn); "pallas" opts into the
+    # kernel (requires a lane-aligned KVH*HD cache trail, else falls back
+    # to xla), MIOTTS_DECODE_ATTN overrides "auto". Mesh-sharded runs must
+    # pin "xla" — a pallas_call is opaque to the GSPMD partitioner (the
+    # serving batcher does this when it owns a mesh). "pallas_interpret"
+    # runs the kernel in the Pallas interpreter (CPU test coverage).
     decode_attn: str = "auto"
     # layout of the dense logits head: True stores [V, D] (the GGUF-native
     # token-major layout) and contracts on the last dim. Default on CPU
@@ -434,8 +435,9 @@ def llm_prefill_kv(
     (``attach_lanes``) instead of allocating a throwaway [L, 1, max_ctx]
     cache per request and copying it in whole. Rows at t >= lengths[b] carry
     garbage K/V — harmless downstream, because decode attention masks keys
-    at positions > pos and every position is overwritten before pos reaches
-    it (llm_decode_step's kmask)."""
+    at positions >= pos (the strict-past `valid`/`kmask` masks in
+    ops/pallas/decode_attention.py; the current token's k/v ride in as
+    operands) and every position is overwritten before pos reaches it."""
     B, T = tokens.shape
     if start_pos is None:
         start_pos = jnp.zeros((B,), jnp.int32)
@@ -532,6 +534,13 @@ def _resolve_decode_attn(cfg: LLMConfig) -> str:
     if mode == "auto":
         mode = os.environ.get("MIOTTS_DECODE_ATTN", "auto")
     if mode == "auto":
+        mode = "xla"
+    if mode not in ("xla", "pallas", "pallas_interpret"):
+        import sys
+
+        print(f"warning: unknown decode_attn value {mode!r} (expected "
+              "'auto', 'xla', 'pallas' or 'pallas_interpret'); running the "
+              "XLA path", file=sys.stderr)
         mode = "xla"
     if mode == "pallas" and (cfg.n_kv_heads * cfg.head_dim) % 128 != 0:
         mode = "xla"  # kernel needs a lane-aligned [S, KVH*HD] cache view

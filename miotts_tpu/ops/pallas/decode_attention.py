@@ -154,12 +154,13 @@ def _kernel(pos_ref, q_ref, kc_ref, vc_ref, ck_ref, cv_ref, out_ref,
 
 def _pick_lane_block(B: int, S: int, C: int, NG: int) -> int:
     """Largest pow2 lane block (<= 8) whose working set stays well under
-    VMEM: per lane ~ 2*S*C cache bytes (bf16) + ~12 bytes per score cell
-    (f32 scores + masks + probs across lb*S columns)."""
+    VMEM. Per block: 2*lb*S*C cache bytes (bf16 as f32 in-flight ~ 4B/elem
+    charged) plus the score/e/probs/mask arrays, which are
+    [lb*NG, lb*S] — QUADRATIC in lb (~12 f32-equivalent bytes per cell)."""
     lb = 1
     while True:
         nxt = lb * 2
-        if nxt > min(B, 8) or nxt * S * (4 * C + 12 * NG) > 8_000_000:
+        if nxt > min(B, 8) or nxt * S * (4 * C + 12 * NG * nxt) > 8_000_000:
             return lb
         lb = nxt
 

@@ -843,7 +843,7 @@ def build_arg_parser():
                             "int8"],
                    help="LLM weight numerics (default bf16; int8 = W8A8 — "
                         "2x decode at 1B+ scale; output_int8 = W8A8 logits "
-                        "head only, 24% off the 0.1B step; see DESIGN.md)")
+                        "head only, 24%% off the 0.1B step; see DESIGN.md)")
     p.add_argument("-tp", "--tensor-parallel", dest="tensor_parallel",
                    type=int, default=1)
     # TPU addition: interleave codec prefix re-decodes with LLM generation

@@ -169,8 +169,9 @@ def main() -> int:
     for name in names:
         if name in ("ship", "shipxla"):
             # the shipped llm_decode_step (defer scatters + dispatched
-            # attention); "ship" resolves auto (pallas on TPU), "shipxla"
-            # pins the XLA attention path
+            # attention). "ship" resolves auto — which is the XLA path
+            # unless MIOTTS_DECODE_ATTN=pallas is exported; "shipxla" pins
+            # XLA, so the pair only differs under that env override.
             import dataclasses
 
             scfg = (dataclasses.replace(cfg, decode_attn="xla")

@@ -181,3 +181,14 @@ def test_error_paths(assets, tmp_path):
     bad = tmp_path / "bad.txt"
     bad.write_text("notacode\n")
     assert main(["-mv", codec, "--tts-mio-codes-in", str(bad), "-emb", emb]) == 1
+
+
+def test_help_renders_both_surfaces():
+    """argparse %-formats help strings at render time — an unescaped '%'
+    in any help text crashes `--help` (found live: '24% off' in the
+    server's --llm-quant help raised TypeError). Render both parsers."""
+    from miotts_tpu.cli import build_parser
+    from miotts_tpu.serving.server import build_arg_parser
+
+    assert "--llm-quant" in build_parser().format_help()
+    assert "--llm-quant" in build_arg_parser().format_help()

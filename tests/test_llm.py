@@ -459,3 +459,16 @@ def test_batcher_mesh_pins_xla_decode_attention(tiny_llm):
         assert eng.config.decode_attn == "xla"
     finally:
         b.shutdown()
+
+
+def test_unknown_decode_attn_warns_and_runs_xla(tiny_llm, capsys):
+    """A typo'd decode_attn value must not silently measure the wrong
+    implementation: warn on stderr and run the XLA path."""
+    import dataclasses
+
+    from miotts_tpu.models.llm import _resolve_decode_attn
+
+    path, cfg, w, tok, raw = tiny_llm
+    c = dataclasses.replace(cfg, decode_attn="palas")
+    assert _resolve_decode_attn(c) == "xla"
+    assert "unknown decode_attn" in capsys.readouterr().err
