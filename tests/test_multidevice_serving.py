@@ -362,3 +362,42 @@ def test_concurrent_requests_spread_over_mesh(engines):
     with concurrent.futures.ThreadPoolExecutor(4) as ex:
         results = list(ex.map(one, range(6)))
     assert all(n_codes > 0 and n_audio > 0 for n_codes, n_audio in results)
+
+
+def test_output_int8_tensor_parallel_serving(assets, engines):
+    """--llm-quant output_int8 on a tp mesh: ONLY the logits head is a
+    quant leaf (layers dense, so they tp-shard as plain arrays), the head's
+    int8 payload shards over tp when the vocab divides, and greedy codes
+    match the same-quant single-device engine."""
+    d, emb_path, cfg_codec = assets
+    dense_llm = d / "llm_dense.gguf"
+    if not dense_llm.exists():
+        write_synthetic_llm_gguf(str(dense_llm), n_audio=cfg_codec.vocab_size,
+                                 seed=1, audio_logit_scale=3.0)
+    oi_cfg = _mk_cfg(d, emb_path, "", n_parallel=2)
+    oi_cfg.model = str(dense_llm)
+    oi_cfg.llm_quant = "output_int8"
+    oi_single = ServingEngine(oi_cfg)
+    oitp_cfg = _mk_cfg(d, emb_path, "all", n_parallel=4, tensor_parallel=2)
+    oitp_cfg.model = str(dense_llm)
+    oitp_cfg.llm_quant = "output_int8"
+    oitp = ServingEngine(oitp_cfg)
+    w = oitp.llm.weights
+    assert isinstance(w["output"], dict) and "q8" in w["output"]
+    wq = w["wqkv"] if "wqkv" in w else w["wq"]
+    assert not isinstance(wq, dict), "layers must stay dense"
+    assert "tp" in jax.tree.leaves([wq])[0].sharding.spec
+
+    body = {"text": "head quant tp", "reference_key": "preset",
+            "n_predict": 24, "temp": 0.0, "seed": 3}
+    out_s: dict = {}
+    out_t: dict = {}
+    codes_s = oi_single._generate_codes(
+        parse_request_json(body, oi_single.cfg), out_s)
+    codes_t = oitp._generate_codes(parse_request_json(body, oitp.cfg), out_t)
+    assert codes_s == codes_t
+    rp = parse_request_json({"text": "oi8 synth", "reference_key": "preset",
+                             "n_predict": 12}, oitp.cfg)
+    out: dict = {}
+    audio, sr = oitp.run_tts_request(rp, out)
+    assert out["ok"] and audio.size > 0
