@@ -157,31 +157,43 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
     # bf16 HBM roofline (304 us of a 797 us step) — int8 halves its bytes
     # with a native MXU int8 dot while every layer stays dense bf16
     quant_out_int8 = quantize in ("output_int8", "output-int8")
+    # W4A8 the HEAD only: jnp.int4 storage streams 0.5 B/param — XLA:TPU
+    # runs the native integer dot straight off the packed form (measured
+    # exact vs an int4 host oracle). The leaf ships as int8 (the relay
+    # can't transfer int4) and converts in-graph once per decode loop
+    # (_prepare_decode_weights).
+    quant_out_int4 = quantize in ("output_int4", "output-int4")
     quant_all = quant_int8 or quantize in (True, "all", "q8", "q8_0", "1")
-    quant_output = quant_all or quant_out_int8 or quantize == "output"
+    quant_output = (quant_all or quant_out_int8 or quant_out_int4
+                    or quantize == "output")
     if quantize and not (quant_all or quant_output) and quantize is not False:
         import sys
 
         print(f"warning: unknown MIOTTS_LLM_QUANT value {quantize!r} "
-              "(expected 'int8', 'all', 'q8', 'output' or 'output_int8'); "
-              "running dense", file=sys.stderr)
+              "(expected 'int8', 'all', 'q8', 'output', 'output_int8' or "
+              "'output_int4'); running dense", file=sys.stderr)
 
-    def quantize_kn(wkn, int8: bool | None = None):
+    def quantize_kn(wkn, kind: str | None = None):
         """Quantize a transposed [K, N] weight, kept quantized in HBM. Q8_0
-        mode: {"q": int8 [K, N], "s": f32 [K//32, N]} dequantized inside the
-        Pallas matmul tile; int8 mode: {"q8": int8 [K, N], "s8": f32 [N]}
-        consumed by native MXU int8 dots (ops/pallas/quant_matmul.py). N is
-        padded to a lane multiple; callers slice outputs back to the true
-        width."""
-        from ..ops.pallas.quant_matmul import quantize_int8_percol, quantize_q8_cols
+        mode ("q8_0"): {"q": int8 [K, N], "s": f32 [K//32, N]} dequantized
+        inside the Pallas matmul tile; "int8": {"q8": int8 [K, N], "s8":
+        f32 [N]} consumed by native MXU int8 dots; "int4": {"q4i8": int8
+        storage of [-7,7] values, "s4": f32 [N]} converted to jnp.int4
+        in-graph (ops/pallas/quant_matmul.py). N is padded to a lane
+        multiple; callers slice outputs back to the true width."""
+        from ..ops.pallas.quant_matmul import (
+            quantize_int4_percol, quantize_int8_percol, quantize_q8_cols)
 
-        if int8 is None:
-            int8 = quant_int8
+        if kind is None:
+            kind = "int8" if quant_int8 else "q8_0"
         K, N = wkn.shape
         Np = ((N + 127) // 128) * 128
         if Np != N:
             wkn = np.pad(wkn, ((0, 0), (0, Np - N)))
-        if int8:
+        if kind == "int4":
+            q4, s4 = quantize_int4_percol(wkn)
+            return {"q4i8": q4, "s4": s4}
+        if kind == "int8":
             q8, s8 = quantize_int8_percol(wkn)
             return {"q8": q8, "s8": s8}
         q, s = quantize_q8_cols(wkn)
@@ -246,7 +258,9 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
         # the quant leaf is always [D, V]-derived (Pallas tile layout)
         "output": (None if tie
                    else quantize_kn(t("output.weight", transpose=True),
-                                    int8=quant_int8 or quant_out_int8)
+                                    kind=("int4" if quant_out_int4
+                                          else "int8" if quant_int8
+                                          or quant_out_int8 else "q8_0"))
                    if quant_output
                    else dev_out if dev_out is not None
                    else t("output.weight",
@@ -519,6 +533,25 @@ llm_prefill_jit = functools.partial(jax.jit, static_argnums=0)(llm_prefill)
 llm_prefill_kv_jit = functools.partial(jax.jit, static_argnums=0)(llm_prefill_kv)
 
 
+def _prepare_decode_weights(w: Pytree) -> Pytree:
+    """In-graph, once per jitted decode loop: materialize the int4 form of
+    a W4A8 head leaf ({"q4i8": int8 storage} -> {"q4": jnp.int4}).
+
+    The conversion reads the int8 storage once and writes the packed
+    0.5 B/param buffer the loop's dots then stream from HBM — done here
+    (loop entry) it amortizes over every decode step of the call, done
+    inside the step it would cost more than the head itself. The
+    optimization_barrier keeps XLA from folding the int8->int4->int8
+    convert chain back into a plain int8 dot. No-op for every other
+    weight layout."""
+    ow = w.get("output") if isinstance(w, dict) else None
+    if isinstance(ow, dict) and "q4i8" in ow:
+        q4 = jax.lax.optimization_barrier(ow["q4i8"].astype(jnp.int4))
+        w = dict(w)
+        w["output"] = {"q4": q4, "s4": ow["s4"]}
+    return w
+
+
 def _resolve_decode_attn(cfg: LLMConfig) -> str:
     """Trace-time choice of the decode attention implementation (see
     LLMConfig.decode_attn).
@@ -634,6 +667,7 @@ def llm_generate(
     n_generated [B]); lanes stop at their first EOG token (which is included,
     matching generate_audio_tokens, tts-mio-cli.cpp:1042-1058)."""
     B = prompt_tokens.shape[0]
+    w = _prepare_decode_weights(w)
     logits, cache_k, cache_v = llm_prefill(cfg, w, prompt_tokens, prompt_lengths,
                                            cache_k, cache_v)
 
@@ -705,6 +739,7 @@ def llm_generate_chunk(
     """Run up to n_steps decode steps from a GenState. Returns
     (tokens [B, n_steps], n_new [B], state). Already-done lanes emit 0s."""
     B = state.logits.shape[0]
+    w = _prepare_decode_weights(w)
     out = jnp.zeros((B, n_steps), jnp.int32)
 
     def cond(c):
@@ -743,6 +778,7 @@ def _chunk_loop_batched(
     steps (continuous batching: per-lane sampler arrays, mixed requests
     share one batch)."""
     B = state.logits.shape[0]
+    w = _prepare_decode_weights(w)
     out = jnp.zeros((B, n_steps), jnp.int32)
 
     def cond(c):

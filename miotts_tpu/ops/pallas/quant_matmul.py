@@ -144,13 +144,47 @@ def int8_matmul(x: jnp.ndarray, q8: jnp.ndarray, s8: jnp.ndarray) -> jnp.ndarray
     return y.reshape(*lead, -1)
 
 
+def quantize_int4_percol(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Quantize a [K, N] float weight per output column to 4-bit symmetric
+    ([-7, 7]). Returns (q4 stored AS INT8 [K, N], s4 f32 [N]) — int4 arrays
+    can't ride every PJRT transport (the axon relay raises UNIMPLEMENTED on
+    int4 transfers), so the leaf ships as int8 and the decode loops convert
+    to jnp.int4 ON device, once per jitted call (llm._prepare_decode_weights)."""
+    amax = np.abs(w).max(axis=0)
+    s = (amax / 7.0).astype(np.float32)
+    q = np.round(w / np.where(s == 0, 1, s)[None, :])
+    return np.clip(q, -7, 7).astype(np.int8), s
+
+
+def int4_matmul(x: jnp.ndarray, q4: jnp.ndarray, s4: jnp.ndarray) -> jnp.ndarray:
+    """x [..., K] @ (q4 [K, N] * s4 [N]) with dynamic per-row int8 activation
+    quantization; returns f32 [..., N]. q4 may be jnp.int4 (the in-graph
+    converted form — XLA:TPU streams the packed 0.5 B/param from HBM, the
+    measured speed-of-light head) or int8 storage (astype int8 is then a
+    no-op): both run the native MXU integer dot."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x2), axis=-1, keepdims=True)
+    sx = jnp.where(amax > 0, amax / 127.0, 1.0)
+    x8 = jnp.round(x2 / sx).astype(jnp.int8)
+    y = jax.lax.dot_general(x8, q4.astype(jnp.int8),
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * sx * s4[None, :]
+    return y.reshape(*lead, -1)
+
+
 def maybe_quant_matmul(x, w):
     """Dispatch helper: w is a dense [K, N] array or a quantized leaf dict —
     {"q": int8 [K, N], "s": f32 [K//32, N]} for Q8_0 blocks (Pallas dequant
-    kernel, TPU-only), or {"q8": int8 [K, N], "s8": f32 [N]} for W8A8
-    per-channel int8 (native MXU int8 dot, any backend).
+    kernel, TPU-only), {"q8": int8 [K, N], "s8": f32 [N]} for W8A8
+    per-channel int8 (native MXU int8 dot, any backend), or
+    {"q4"/"q4i8": int4-or-int8 [K, N], "s4": f32 [N]} for the W4A8 head.
     x: [..., K] -> [..., N]."""
     if isinstance(w, dict):
+        if "q4" in w or "q4i8" in w:
+            q = w["q4"] if "q4" in w else w["q4i8"]
+            return int4_matmul(x, q, w["s4"]).astype(x.dtype)
         if "q8" in w:
             return int8_matmul(x, w["q8"], w["s8"]).astype(x.dtype)
         if jax.default_backend() != "tpu":

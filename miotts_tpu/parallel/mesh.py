@@ -77,7 +77,7 @@ def _vocab_axis_specs(mesh: Mesh, weights: Any) -> tuple:
     out_spec = P(None, None)
     if tp > 1 and ow is not None:
         if isinstance(ow, dict):  # quant leaves are [D, V]-derived
-            v = ow["q8" if "q8" in ow else "q"].shape[-1]
+            v = next(ow[k] for k in ("q8", "q4i8", "q") if k in ow).shape[-1]
             if v % tp == 0:
                 out_spec = P(None, "tp")
         else:
@@ -131,11 +131,11 @@ def llm_weight_shardings(mesh: Mesh, weights: Any) -> Any:
         # down K -> same spec as the weight.
         out = {}
         for name, arr in v.items():
-            if name in ("q", "q8"):
+            if name in ("q", "q8", "q4i8"):
                 out[name] = NamedSharding(mesh, spec)
             elif name == "s":
                 out[name] = NamedSharding(mesh, spec)
-            elif name == "s8":
+            elif name in ("s8", "s4"):
                 # drop the K axis from the spec: P(l, k, n) -> P(l, n)
                 parts = list(spec)
                 n_axis = parts[-1] if len(parts) >= 1 else None

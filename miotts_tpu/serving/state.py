@@ -58,8 +58,11 @@ class ServerConfig:
     # --llm-quant: LLM weight numerics — "" (env/bf16 default), "output"
     # (quantize only the 152k-vocab logits matmul), "output_int8" (W8A8
     # logits head only: the head is ~60% of the 0.1B step's weight bytes
-    # and sits at its bf16 HBM roofline — measured 24% off the decode
-    # step), "q8_0" (Q8_0 blocks, Pallas dequant matmul), "int8" (W8A8:
+    # and sits at its bf16 HBM roofline — measured 25% off the decode
+    # step), "output_int4" (W4A8 head: jnp.int4 streams 0.5 B/param —
+    # measured 36% off the step; the aggressive end, analogous to the
+    # reference's Q4_0 mobile exports where EVERY weight is 4-bit),
+    # "q8_0" (Q8_0 blocks, Pallas dequant matmul), "int8" (W8A8:
     # per-channel int8 weights + dynamic int8 activations; 2.0x decode at
     # 1.63B, DESIGN.md). TPU addition — the reference inherits whatever
     # GGUF quant llama.cpp loads (and llama.cpp's Q8_0 matmuls quantize

@@ -42,8 +42,8 @@ def main() -> int:
 
     from miotts_tpu.models.llm import (
         _layer_blk, _layer_ffn, _layer_qkv, _logits_matmul, _mm,
-        apply_rope_llm, init_kv_cache, llm_decode_step, load_llm_gguf,
-        rms_norm,
+        _prepare_decode_weights, apply_rope_llm, init_kv_cache,
+        llm_decode_step, load_llm_gguf, rms_norm,
     )
     from miotts_tpu.runtime.compile_cache import enable_compile_cache
     from miotts_tpu.testing import write_synthetic_llm_gguf
@@ -142,6 +142,8 @@ def main() -> int:
     def timed(step, n):
         @jax.jit
         def loop(w, token, pos0, ck, cv):
+            w = _prepare_decode_weights(w)  # int4 head: convert once/call
+
             def body(i, c):
                 logits, ck, cv, pos = c
                 logits, ck, cv = step(w, token, pos, ck, cv)

@@ -54,7 +54,6 @@ def main() -> int:
     s4 = jnp.asarray(np.abs(w).max(axis=0) / 7.0, jnp.float32)
     q4_i8 = jnp.asarray(
         np.clip(np.round(w / np.asarray(s4)[None, :]), -7, 7), jnp.int8)
-    q4 = q4_i8.astype(jnp.int4)
 
     x0 = jnp.asarray(rng.randn(B, D), jnp.bfloat16)
 
@@ -64,55 +63,62 @@ def main() -> int:
         sx = jnp.where(amax > 0, amax / 127.0, 1.0)
         return jnp.round(xf / sx).astype(jnp.int8), sx
 
-    def body_bf16(x, _w=w_bf16):
-        y = jax.lax.dot_general(x, _w, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        return y
+    def body_bf16(x, wts):
+        return jax.lax.dot_general(x, wts[0], (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
 
-    def body_int8(x, _q=q8, _s=s8):
+    def body_quant(x, wts):
+        q, s = wts
         x8, sx = quant_act(x)
-        y = jax.lax.dot_general(x8, _q, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.int32)
-        return y.astype(jnp.float32) * sx * _s[None, :]
-
-    def body_int4(x, _q=q4, _s=s4):
-        x8, sx = quant_act(x)
-        y = jax.lax.dot_general(x8, _q.astype(jnp.int8),
+        y = jax.lax.dot_general(x8, q.astype(jnp.int8),
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
-        return y.astype(jnp.float32) * sx * _s[None, :]
+        return y.astype(jnp.float32) * sx * s[None, :]
 
-    def body_int4u(x, _q=q4_i8, _s=s4):
-        x8, sx = quant_act(x)
-        y = jax.lax.dot_general(x8, _q, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.int32)
-        return y.astype(jnp.float32) * sx * _s[None, :]
-
-    bodies = {"bf16": body_bf16, "int8": body_int8, "int4": body_int4,
-              "int4u": body_int4u}
-    names = sys.argv[1:] or list(bodies)
+    # weights ride as jit ARGUMENTS (a closed-over device array becomes a
+    # compile-time constant: executable bloat + a host round trip that is
+    # UNIMPLEMENTED for int4 through the relay). int4 can't even be a jit
+    # argument here (device_put relayout recursion through the relay), so
+    # the int4 case passes int8 and converts ONCE inside the jit, behind an
+    # optimization_barrier so the convert can't fold into the loop's dots.
+    cases = {"bf16": (body_bf16, (w_bf16,), None),
+             "int8": (body_quant, (q8, s8), None),
+             "int4": (body_quant, (q4_i8, s4), "int4"),
+             "int4u": (body_quant, (q4_i8, s4), None)}
+    names = sys.argv[1:] or list(cases)
     print(f"devices={jax.devices()} B={B} head [{B},{D}]x[{D},{V}] "
           f"slope N {n1}->{n2}", file=sys.stderr)
 
     for name in names:
-        body = bodies[name]
+        body, wts, conv = cases[name]
 
-        def loop_fn(x, n, _body=body):
+        def loop_fn(x, wts, n, _body=body, _conv=conv):
+            if _conv == "int4":
+                q4w = jax.lax.optimization_barrier(
+                    wts[0].astype(jnp.int4))
+                wts = (q4w,) + tuple(wts[1:])
+
             def step(i, c):
-                y = _body(c)
-                # feed a cheap function of y back so the loop can't hoist
-                return c + (y[:, :1].astype(c.dtype) * 1e-6)
+                y = _body(c, wts)
+                # feed a NON-LINEAR reduction over every output element
+                # back: a slice invites DCE pushing it into the dot, and a
+                # sum invites the algebraic rewrite dot(x,W)@1 -> x@(W@1)
+                # with the reduced vector hoisted out of the loop (both
+                # observed: int4 "measured" 16-29 us/call, below its
+                # streaming roofline). max survives neither rewrite.
+                return c + (jnp.max(y, axis=1, keepdims=True) * 1e-6
+                            ).astype(c.dtype)
 
             return jax.lax.fori_loop(0, n, step, x)[:, :8].sum()
 
-        loop = jax.jit(loop_fn, static_argnums=1)
+        loop = jax.jit(loop_fn, static_argnums=2)
 
-        def run(n):
-            np.asarray(loop(x0, n))  # compile + run
+        def run(n, _wts=wts):
+            np.asarray(loop(x0, _wts, n))  # compile + run
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                np.asarray(loop(x0, n))
+                np.asarray(loop(x0, _wts, n))
                 best = min(best, time.perf_counter() - t0)
             return best
 

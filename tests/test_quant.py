@@ -204,3 +204,57 @@ def test_output_int8_head_only(int8_llm):
                               SamplerParams(temp=0.0), ck, cv)
         outs.append(np.asarray(out))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_int4_matmul_storage_and_converted_forms_agree():
+    """int4_matmul must be EXACT integer math in both leaf forms: the int8
+    storage form ("q4i8", what the loader ships — the relay can't transfer
+    int4) and the in-graph converted jnp.int4 form ("q4"), vs a numpy
+    oracle."""
+    import jax
+    from miotts_tpu.ops.pallas.quant_matmul import (
+        int4_matmul, quantize_int4_percol)
+
+    rng = np.random.RandomState(3)
+    w = rng.randn(64, 256).astype(np.float32)
+    q4, s4 = quantize_int4_percol(w)
+    assert q4.dtype == np.int8 and q4.min() >= -7 and q4.max() <= 7
+    x = rng.randn(5, 64).astype(np.float32)
+
+    amax = np.abs(x).max(axis=1, keepdims=True)
+    sx = np.where(amax > 0, amax / 127.0, 1.0)
+    x8 = np.round(x / sx).astype(np.int8)
+    ref = (x8.astype(np.int64) @ q4.astype(np.int64)) * sx * s4[None, :]
+
+    y_i8 = np.asarray(int4_matmul(jnp.asarray(x), jnp.asarray(q4),
+                                  jnp.asarray(s4)))
+    q4dev = jax.jit(lambda a: a.astype(jnp.int4))(jnp.asarray(q4))
+    y_i4 = np.asarray(int4_matmul(jnp.asarray(x), q4dev, jnp.asarray(s4)))
+    np.testing.assert_allclose(y_i8, ref, rtol=1e-6)
+    np.testing.assert_array_equal(y_i8, y_i4)
+
+
+def test_output_int4_head_only_generates(int8_llm):
+    """--llm-quant output_int4: only the head is a {"q4i8","s4"} leaf, every
+    layer stays dense, and greedy generation runs through the in-graph
+    int4 conversion (_prepare_decode_weights at the decode-loop entry)."""
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "m_oi4_test.gguf")
+    write_synthetic_llm_gguf(path, n_audio=64, dim=32, n_layers=2,
+                             n_heads=4, n_kv_heads=2, ffn=64, seed=0)
+    cfg, w, _ = load_llm_gguf(path, dtype=jnp.float32,
+                              quantize="output_int4")
+    assert isinstance(w["output"], dict) and "q4i8" in w["output"]
+    for k in ("wqkv", "w_gateup", "w_down", "wo"):
+        assert not isinstance(w[k], dict), k
+    tokens = np.array([[5, 200, 17, 92]], np.int32)
+    ck, cv = init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+    out, n = llm_generate(cfg, w, jnp.asarray(tokens),
+                          jnp.asarray([4], jnp.int32),
+                          jnp.asarray([-1], jnp.int32),
+                          jax.random.PRNGKey(0), 8,
+                          SamplerParams(temp=0.0), ck, cv)
+    assert int(n[0]) == 8
+    assert (np.asarray(out) >= 0).all()
