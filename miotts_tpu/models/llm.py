@@ -256,7 +256,7 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
         "output_norm": t("output_norm.weight"),
         # dense head: [V, D] token-major (cfg.output_token_major) or [D, V];
         # the quant leaf is always [D, V]-derived (Pallas tile layout)
-        "output": (None if tie
+        "output": (_warn_tied_quant_noop(quant_output, quantize) if tie
                    else quantize_kn(t("output.weight", transpose=True),
                                     kind=("int4" if quant_out_int4
                                           else "int8" if quant_int8
@@ -531,6 +531,21 @@ def llm_prefill(
 # prefill); llm_generate/llm_start trace llm_prefill inside their own jits
 llm_prefill_jit = functools.partial(jax.jit, static_argnums=0)(llm_prefill)
 llm_prefill_kv_jit = functools.partial(jax.jit, static_argnums=0)(llm_prefill_kv)
+
+
+def _warn_tied_quant_noop(head_quant_requested: bool, quantize) -> None:
+    """Tied-embedding models have no output.weight: a head-quant request
+    ("output"/"output_int8"/"output_int4", or the head leg of "all"/"int8")
+    cannot apply — the logits matmul reuses the dense token_embd. Warn
+    instead of silently serving dense while /mio/health reports the
+    requested mode. Returns None (the tied-head leaf value)."""
+    if head_quant_requested:
+        import sys
+
+        print(f"warning: --llm-quant {quantize!r} cannot quantize the "
+              "logits head of a tied-embedding model (no output.weight; "
+              "the head reuses the dense token embedding)", file=sys.stderr)
+    return None
 
 
 def _prepare_decode_weights(w: Pytree) -> Pytree:
@@ -1020,7 +1035,8 @@ class LLMEngine:
 
         enable_compile_cache()
         # quantize: None defers to MIOTTS_LLM_QUANT; the CLI/server surface
-        # it as --llm-quant bf16|output|q8_0|int8 (load_llm_gguf semantics)
+        # it as --llm-quant bf16|output|output_int8|output_int4|q8_0|int8
+        # (load_llm_gguf semantics)
         self.config, self.weights, self.tokenizer = load_llm_gguf(
             path, dtype=dtype, quantize=quantize)
         self.quantize = (quantize if quantize is not None

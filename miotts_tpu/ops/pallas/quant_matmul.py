@@ -161,17 +161,9 @@ def int4_matmul(x: jnp.ndarray, q4: jnp.ndarray, s4: jnp.ndarray) -> jnp.ndarray
     quantization; returns f32 [..., N]. q4 may be jnp.int4 (the in-graph
     converted form — XLA:TPU streams the packed 0.5 B/param from HBM, the
     measured speed-of-light head) or int8 storage (astype int8 is then a
-    no-op): both run the native MXU integer dot."""
-    lead = x.shape[:-1]
-    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
-    amax = jnp.max(jnp.abs(x2), axis=-1, keepdims=True)
-    sx = jnp.where(amax > 0, amax / 127.0, 1.0)
-    x8 = jnp.round(x2 / sx).astype(jnp.int8)
-    y = jax.lax.dot_general(x8, q4.astype(jnp.int8),
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32)
-    y = y.astype(jnp.float32) * sx * s4[None, :]
-    return y.reshape(*lead, -1)
+    no-op): both run the native MXU integer dot, identical math to
+    int8_matmul after the widening cast."""
+    return int8_matmul(x, q4.astype(jnp.int8), s4)
 
 
 def maybe_quant_matmul(x, w):

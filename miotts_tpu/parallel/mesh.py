@@ -77,7 +77,11 @@ def _vocab_axis_specs(mesh: Mesh, weights: Any) -> tuple:
     out_spec = P(None, None)
     if tp > 1 and ow is not None:
         if isinstance(ow, dict):  # quant leaves are [D, V]-derived
-            v = next(ow[k] for k in ("q8", "q4i8", "q") if k in ow).shape[-1]
+            payload = [ow[k] for k in ("q8", "q4i8", "q4", "q") if k in ow]
+            if not payload:
+                raise ValueError(
+                    f"unrecognized quantized head leaf keys {sorted(ow)}")
+            v = payload[0].shape[-1]
             if v % tp == 0:
                 out_spec = P(None, "tp")
         else:
@@ -131,7 +135,7 @@ def llm_weight_shardings(mesh: Mesh, weights: Any) -> Any:
         # down K -> same spec as the weight.
         out = {}
         for name, arr in v.items():
-            if name in ("q", "q8", "q4i8"):
+            if name in ("q", "q8", "q4i8", "q4"):
                 out[name] = NamedSharding(mesh, spec)
             elif name == "s":
                 out[name] = NamedSharding(mesh, spec)

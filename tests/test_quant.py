@@ -234,7 +234,7 @@ def test_int4_matmul_storage_and_converted_forms_agree():
     np.testing.assert_array_equal(y_i8, y_i4)
 
 
-def test_output_int4_head_only_generates(int8_llm):
+def test_output_int4_head_only_generates():
     """--llm-quant output_int4: only the head is a {"q4i8","s4"} leaf, every
     layer stays dense, and greedy generation runs through the in-graph
     int4 conversion (_prepare_decode_weights at the decode-loop entry)."""
@@ -258,3 +258,15 @@ def test_output_int4_head_only_generates(int8_llm):
                           SamplerParams(temp=0.0), ck, cv)
     assert int(n[0]) == 8
     assert (np.asarray(out) >= 0).all()
+
+
+def test_tied_embedding_head_quant_warns(capsys):
+    """Head-quant requests can't apply to tied-embedding models (no
+    output.weight): the loader warns instead of silently serving dense
+    while /mio/health reports the requested mode."""
+    from miotts_tpu.models.llm import _warn_tied_quant_noop
+
+    assert _warn_tied_quant_noop(True, "output_int4") is None
+    assert "cannot quantize" in capsys.readouterr().err
+    assert _warn_tied_quant_noop(False, "") is None
+    assert capsys.readouterr().err == ""
