@@ -49,11 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-fa", "--flash-attn", dest="flash_attn", default="auto")
     p.add_argument("--llm-quant", dest="llm_quant", default="",
                    choices=["", "bf16", "output", "output_int8",
-                            "output_int4", "q8_0", "int8"],
+                            "output_int4", "q8_0", "int8",
+                            "int8_output_int4"],
                    help="LLM weight numerics (default bf16; int8 = W8A8 "
                         "everywhere; output_int8/output_int4 = W8A8/W4A8 "
                         "logits head only — measured 25%%/36%% off the 0.1B "
-                        "decode step; int4 is the aggressive end, like the "
+                        "decode step; int8_output_int4 stacks both; "
+                        "int4 is the aggressive end, like the "
                         "reference's Q4_0 mobile exports)")
     # env fallback MIOTTS_CPU_NATIVE=1/0 (the knob llm_cpu.py documents)
     _cpu_native_env = {"1": "on", "on": "on", "0": "off", "off": "off"}.get(

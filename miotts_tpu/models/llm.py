@@ -162,7 +162,14 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
     # exact vs an int4 host oracle). The leaf ships as int8 (the relay
     # can't transfer int4) and converts in-graph once per decode loop
     # (_prepare_decode_weights).
-    quant_out_int4 = quantize in ("output_int4", "output-int4")
+    # combined mode: W8A8 every layer AND W4A8 the head — the two wins
+    # stack (each targets disjoint weight bytes). Slope-measured at 0.1B
+    # (scripts/bench_decode_step.py, same relay window): dense 0.725,
+    # int8 0.477, output_int4 0.464 ms/step — int8 layers save ~73 MB of
+    # layer traffic, int4 the head's remaining 117 -> 58 MB.
+    quant_combo = quantize in ("int8_output_int4", "int8+output_int4")
+    quant_int8 = quant_int8 or quant_combo
+    quant_out_int4 = quantize in ("output_int4", "output-int4") or quant_combo
     quant_all = quant_int8 or quantize in (True, "all", "q8", "q8_0", "1")
     quant_output = (quant_all or quant_out_int8 or quant_out_int4
                     or quantize == "output")
@@ -170,8 +177,9 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
         import sys
 
         print(f"warning: unknown MIOTTS_LLM_QUANT value {quantize!r} "
-              "(expected 'int8', 'all', 'q8', 'output', 'output_int8' or "
-              "'output_int4'); running dense", file=sys.stderr)
+              "(expected 'int8', 'all', 'q8', 'output', 'output_int8', "
+              "'output_int4' or 'int8_output_int4'); running dense",
+              file=sys.stderr)
 
     def quantize_kn(wkn, kind: str | None = None):
         """Quantize a transposed [K, N] weight, kept quantized in HBM. Q8_0

@@ -840,11 +840,12 @@ def build_arg_parser():
     # device count; the rest forms the dp request-fan-out axis)
     p.add_argument("--llm-quant", dest="llm_quant", default="",
                    choices=["", "bf16", "output", "output_int8",
-                            "output_int4", "q8_0", "int8"],
+                            "output_int4", "q8_0", "int8",
+                            "int8_output_int4"],
                    help="LLM weight numerics (default bf16; int8 = W8A8 — "
                         "2x decode at 1B+ scale; output_int8/output_int4 = "
                         "W8A8/W4A8 logits head only, 25%%/36%% off the 0.1B "
-                        "step; see DESIGN.md)")
+                        "step; int8_output_int4 stacks both; see DESIGN.md)")
     p.add_argument("-tp", "--tensor-parallel", dest="tensor_parallel",
                    type=int, default=1)
     # TPU addition: interleave codec prefix re-decodes with LLM generation

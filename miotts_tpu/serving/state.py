@@ -64,7 +64,9 @@ class ServerConfig:
     # reference's Q4_0 mobile exports where EVERY weight is 4-bit),
     # "q8_0" (Q8_0 blocks, Pallas dequant matmul), "int8" (W8A8:
     # per-channel int8 weights + dynamic int8 activations; 2.0x decode at
-    # 1.63B, DESIGN.md). TPU addition — the reference inherits whatever
+    # 1.63B and -34% on the 0.1B step, DESIGN.md), "int8_output_int4"
+    # (W8A8 layers + W4A8 head — the two wins stack; the fastest measured
+    # 0.1B decode config). TPU addition — the reference inherits whatever
     # GGUF quant llama.cpp loads (and llama.cpp's Q8_0 matmuls quantize
     # activations to int8 blocks too, so W8A8 is the closer analog).
     llm_quant: str = ""

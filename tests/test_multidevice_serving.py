@@ -438,3 +438,44 @@ def test_output_int4_tensor_parallel_serving(assets, engines):
     out: dict = {}
     audio, sr = tp.run_tts_request(rp, out)
     assert out["ok"] and audio.size > 0
+
+
+def test_int8_output_int4_tensor_parallel_serving(assets, engines):
+    """--llm-quant int8_output_int4 on a tp mesh: every layer matmul is a
+    W8A8 {"q8","s8"} leaf (int8 payload column-shards, per-N scales
+    follow) AND the head is the W4A8 {"q4i8","s4"} leaf sharded over the
+    vocab axis — the combined mode composes the two tested shardings.
+    Greedy codes match the same-quant single-device engine."""
+    d, emb_path, cfg_codec = assets
+    dense_llm = d / "llm_dense.gguf"
+    if not dense_llm.exists():
+        write_synthetic_llm_gguf(str(dense_llm), n_audio=cfg_codec.vocab_size,
+                                 seed=1, audio_logit_scale=3.0)
+    s_cfg = _mk_cfg(d, emb_path, "", n_parallel=2)
+    s_cfg.model = str(dense_llm)
+    s_cfg.llm_quant = "int8_output_int4"
+    single = ServingEngine(s_cfg)
+    tp_cfg = _mk_cfg(d, emb_path, "all", n_parallel=4, tensor_parallel=2)
+    tp_cfg.model = str(dense_llm)
+    tp_cfg.llm_quant = "int8_output_int4"
+    tp = ServingEngine(tp_cfg)
+    w = tp.llm.weights
+    assert isinstance(w["output"], dict) and "q4i8" in w["output"]
+    assert "tp" in w["output"]["q4i8"].sharding.spec
+    wq = w["wqkv"] if "wqkv" in w else w["wq"]
+    assert isinstance(wq, dict) and "q8" in wq, "layers must be W8A8"
+    assert "tp" in wq["q8"].sharding.spec
+
+    body = {"text": "combo quant tp", "reference_key": "preset",
+            "n_predict": 24, "temp": 0.0, "seed": 3}
+    out_s: dict = {}
+    out_t: dict = {}
+    codes_s = single._generate_codes(
+        parse_request_json(body, single.cfg), out_s)
+    codes_t = tp._generate_codes(parse_request_json(body, tp.cfg), out_t)
+    assert codes_s == codes_t
+    rp = parse_request_json({"text": "combo synth", "reference_key": "preset",
+                             "n_predict": 12}, tp.cfg)
+    out: dict = {}
+    audio, sr = tp.run_tts_request(rp, out)
+    assert out["ok"] and audio.size > 0
