@@ -84,22 +84,34 @@ def _build_1b_llm(log, vocab_size: int):
     n_params = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(w1b))
     log(f"bench: {n_params / 1e9:.2f}B params")
 
-    if os.environ.get("MIOTTS_LLM_QUANT", "") in ("int8", "w8a8"):
+    quant = os.environ.get("MIOTTS_LLM_QUANT", "")
+    combo = quant in ("int8_output_int4", "int8+output_int4")
+    if quant in ("int8", "w8a8") or combo:
         # W8A8: per-output-channel int8 weights, native MXU int8 dots
-        # (ops/pallas/quant_matmul.py int8_matmul)
-        log("bench: quantizing matmul weights to per-channel int8...")
+        # (ops/pallas/quant_matmul.py int8_matmul). Combined mode keeps
+        # the layers W8A8 and stores the head as the W4A8 {"q4i8","s4"}
+        # leaf (_prepare_decode_weights converts to jnp.int4 in-graph).
+        log(f"bench: quantizing matmul weights ({quant})...")
 
-        def quant_leaf(w):
+        def quant_leaf(w, qmax=127):
             wf = w.astype(jnp.float32)
             amax = jnp.max(jnp.abs(wf), axis=-2)
-            s = amax / 127.0
+            s = amax / qmax
             sd = jnp.where(s == 0, 1.0, s)[..., None, :]
-            q = jnp.clip(jnp.round(wf / sd), -127, 127).astype(jnp.int8)
+            q = jnp.clip(jnp.round(wf / sd), -qmax, qmax).astype(jnp.int8)
+            return q, s
+
+        def q8_leaf(w):
+            q, s = quant_leaf(w)
             return {"q8": q, "s8": s}
 
-        for k in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
-                  "output"):
-            w1b[k] = jax.jit(quant_leaf)(w1b[k])
+        def q4_leaf(w):
+            q, s = quant_leaf(w, qmax=7)
+            return {"q4i8": q, "s4": s}
+
+        for k in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+            w1b[k] = jax.jit(q8_leaf)(w1b[k])
+        w1b["output"] = jax.jit(q4_leaf if combo else q8_leaf)(w1b["output"])
     return cfg1b, w1b
 
 
