@@ -165,7 +165,7 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
     # combined mode: W8A8 every layer AND W4A8 the head — the two wins
     # stack (each targets disjoint weight bytes). Slope-measured at 0.1B
     # (scripts/bench_decode_step.py, same relay window): dense 0.725,
-    # int8 0.477, output_int4 0.464 ms/step — int8 layers save ~73 MB of
+    # int8 0.477, output_int4 0.475 ms/step — int8 layers save ~73 MB of
     # layer traffic, int4 the head's remaining 117 -> 58 MB.
     quant_combo = quantize in ("int8_output_int4", "int8+output_int4")
     quant_int8 = quant_int8 or quant_combo

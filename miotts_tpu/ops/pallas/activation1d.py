@@ -99,10 +99,78 @@ def _ablate_mode() -> str:
     return os.environ.get("MIOTTS_ACT1D_ABLATE", "full")
 
 
+def _sincos_mode() -> str:
+    """"fast" (default): in-kernel Cody-Waite + minimax sin/cos (below);
+    "xla": the stock jnp.sin/jnp.cos lowering, kept for A/B measurement."""
+    import os
+
+    return os.environ.get("MIOTTS_ACT1D_SINCOS", "fast")
+
+
+# π/2 split for Cody-Waite reduction: C1/C2 keep only 12 mantissa bits, so
+# k·C1 and k·C2 are EXACT f32 products for |k| ≤ 2^12 (12+12 ≤ 24 mantissa
+# bits) and the first two subtractions cancel without rounding;
+# C1+C2+C3 carries π/2 to ~1.7e-15. Worst-case reduced-argument error
+# ~1e-7 at the clamp bound (rounding of k·C3), inside the kernel's 2e-6
+# parity budget. The clamp bounds |k| ≤ 2^12: snake arguments a·x beyond
+# ±6433 are far outside any audio-range activation.
+_PIO2_C1 = 1.5703125
+_PIO2_C2 = 4.837512969970703e-04
+_PIO2_C3 = 7.549790126404332e-08
+_SINCOS_CLAMP = 6433.0  # |k| ≤ 4096 = 2^12
+
+
+def _fast_sincos(theta, want_sin: bool, want_cos: bool):
+    """Vectorized f32 sin/cos: round-to-nearest quadrant reduction to
+    r ∈ [-π/4, π/4], degree-7/6 minimax polys, quadrant select.
+
+    ~15 VPU ops per requested output vs the generic jnp.sin/jnp.cos
+    lowering (branchy large-argument reduction) — the snake's sin/cos
+    pair is the measured dominator of the fused Activation1d kernel
+    (block comment above: ~6-7 of 9.6 ms/call at the top vocoder stage).
+    Max abs error ~1e-7 on [-3e4, 3e4] (tests/test_vocoder.py
+    test_fast_sincos_accuracy); arguments beyond the clamp are pinned to
+    ±3e4 (the snake's a·x there is far past any audio-range value).
+    """
+    t = jnp.clip(theta, -_SINCOS_CLAMP, _SINCOS_CLAMP)
+    kf = jnp.round(t * (2.0 / jnp.pi))
+    q = kf.astype(jnp.int32)
+    r = t - kf * _PIO2_C1
+    r = r - kf * _PIO2_C2
+    r = r - kf * _PIO2_C3
+    r2 = r * r
+    # Cephes sinf/cosf minimax coefficients on [-π/4, π/4]
+    ps = r + r * r2 * (-1.6666654611e-1
+                       + r2 * (8.3321608736e-3 + r2 * (-1.9515295891e-4)))
+    pc = 1.0 - 0.5 * r2 + r2 * r2 * (
+        4.166664568298827e-2
+        + r2 * (-1.388731625493765e-3 + r2 * 2.443315711809948e-5))
+    odd = (q & 1) == 1
+    flip_s = (q & 2) == 2          # sin sign flips in quadrants 2,3
+    out_s = out_c = None
+    if want_sin:
+        s = jnp.where(odd, pc, ps)
+        out_s = jnp.where(flip_s, -s, s)
+    if want_cos:
+        flip_c = ((q + 1) & 2) == 2  # cos sign flips in quadrants 1,2
+        c = jnp.where(odd, ps, pc)
+        out_c = jnp.where(flip_c, -c, c)
+    return out_s, out_c
+
+
+def fast_sin(theta):
+    return _fast_sincos(theta, True, False)[0]
+
+
+def fast_cos(theta):
+    return _fast_sincos(theta, False, True)[1]
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k1", "k2", "block_t", "interpret", "ablate"))
+    jax.jit,
+    static_argnames=("k1", "k2", "block_t", "interpret", "ablate", "sincos"))
 def _fused_call(x, lengths, fu, fd, a_vec, inv_vec, k1, k2, block_t,
-                interpret, ablate="full"):
+                interpret, ablate="full", sincos="fast"):
     B, T, C = x.shape
     g = _geometry(k1, k2)
     h_lo, h_hi = g["h_lo"], g["h_hi"]
@@ -150,8 +218,14 @@ def _fused_call(x, lengths, fu, fd, a_vec, inv_vec, k1, k2, block_t,
             else:
                 r = pl.reciprocal(ad_safe, approx=True)
                 r = r * (2.0 - ad_safe * r)
-            sinc = jnp.where(tiny, 1.0, jnp.sin(ad) * r)
-            return s_ * 0.5 + inv * (1.0 - jnp.cos(a * s_) * sinc)
+            if sincos == "fast":
+                sin_ad = fast_sin(ad)
+                cos_as = fast_cos(a * s_)
+            else:
+                sin_ad = jnp.sin(ad)
+                cos_as = jnp.cos(a * s_)
+            sinc = jnp.where(tiny, 1.0, sin_ad * r)
+            return s_ * 0.5 + inv * (1.0 - cos_as * sinc)
 
         def compute(edges: bool):
             # replicate-extend x at the true per-batch edges: positions < 0
@@ -288,5 +362,5 @@ def fused_activation1d(x, lengths, up_filter, alpha, beta, down_filter,
     fd = down_filter.astype(jnp.float32).reshape(1, -1)
     y = _fused_call(x, lengths, fu, fd, a_vec, inv_vec,
                     int(fu.shape[1]), int(fd.shape[1]), block_t, interpret,
-                    _ablate_mode())
+                    _ablate_mode(), _sincos_mode())
     return y, lengths

@@ -125,6 +125,30 @@ def test_vocoder_ragged_kernels_fused_matches_oracle(tmp_path, monkeypatch):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_fast_sincos_accuracy():
+    """The in-kernel Cody-Waite + minimax sin/cos (the snake's fast path)
+    stays within ~1e-7 of float64 numpy across the full clamp range,
+    including quadrant boundaries and denormal-small arguments."""
+    from miotts_tpu.ops.pallas.activation1d import (_SINCOS_CLAMP, fast_cos,
+                                                    fast_sin)
+
+    rng = np.random.RandomState(0)
+    cl = float(_SINCOS_CLAMP)
+    cases = [
+        rng.uniform(-10, 10, 100000).astype(np.float32),
+        rng.uniform(-cl, cl, 200000).astype(np.float32),
+        (rng.randn(50000) * 1e-6).astype(np.float32),
+        (np.arange(-8000, 8000) * (np.pi / 4)).astype(np.float32),
+    ]
+    for th in cases:
+        s = np.asarray(fast_sin(jnp.asarray(th)))
+        c = np.asarray(fast_cos(jnp.asarray(th)))
+        np.testing.assert_allclose(s, np.sin(th.astype(np.float64)),
+                                   atol=2e-7, rtol=0)
+        np.testing.assert_allclose(c, np.cos(th.astype(np.float64)),
+                                   atol=2e-7, rtol=0)
+
+
 @pytest.mark.parametrize("k1,k2,T,C,B,bt", [
     (12, 12, 300, 16, 3, 64),   # even/even, ragged lengths, multi-tile
     (13, 15, 97, 8, 2, 64),     # odd filters, non-dividing T
