@@ -39,6 +39,17 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _stats(xs, nd: int = 2) -> dict:
+    """{median, min, max} over repeated in-process measurements — the relay's
+    drift is documented at ±20%+, so one-shot gate numbers reflect whatever
+    window the driver hits, not the code (round-3 verdict item 7). Headline
+    values are the median; min/max record the window spread."""
+    s = sorted(xs)
+    mid = (s[(len(s) - 1) // 2] + s[len(s) // 2]) / 2
+    return {"median": round(mid, nd), "min": round(s[0], nd),
+            "max": round(s[-1], nd)}
+
+
 def _build_1b_llm(log, vocab_size: int):
     """~1.63B-param stretch TTS LLM (BASELINE.json config 5 scale —
     Orpheus/CosyVoice class), synthetic weights materialized directly on
@@ -309,15 +320,18 @@ def main() -> int:
         t0 = time.perf_counter()
         run_codec()
         log(f"bench: first call {time.perf_counter() - t0:.1f}s")
-        dt = min(run_steady_state(dispatch_codec, fetch_codec, iters)
-                 for _ in range(2))
         audio_sec = lanes * audio_sec_per_lane
-        log(f"bench: {dt * 1e3:.1f} ms for {audio_sec:.1f}s of audio")
+        xrts = [audio_sec / run_steady_state(dispatch_codec, fetch_codec,
+                                             iters) for _ in range(3)]
+        st = _stats(xrts)
+        log(f"bench: codec xrt median {st['median']} "
+            f"[{st['min']}, {st['max']}]")
         print(json.dumps({
             "metric": "codec_xrt_per_chip",
-            "value": round(audio_sec / dt, 2),
+            "value": st["median"],
             "unit": "audio-sec/sec",
-            "vs_baseline": round(audio_sec / dt / 50.0, 3),
+            "vs_baseline": round(st["median"] / 50.0, 3),
+            "stats": st,
         }))
         return 0
 
@@ -343,20 +357,21 @@ def main() -> int:
         run1b()
         log(f"bench: first call {time.perf_counter() - t0:.1f}s")
         times = []
-        for _ in range(iters):
+        for _ in range(max(3, iters)):
             t0 = time.perf_counter()
             run1b()
             times.append(time.perf_counter() - t0)
-        dt = min(times)
         audio_sec = lanes * n_gen * spt / sr
-        xrt = audio_sec / dt
-        log(f"bench: 1B llm {dt * 1e3:.1f} ms for {audio_sec:.1f}s of audio "
-            f"({lanes * n_gen / dt:.0f} tok/s)")
+        st = _stats([audio_sec / t for t in times])
+        log(f"bench: 1B llm xrt median {st['median']} "
+            f"[{st['min']}, {st['max']}] "
+            f"({lanes * n_gen / sorted(times)[len(times) // 2]:.0f} tok/s)")
         print(json.dumps({
             "metric": "llm1b_xrt_per_chip",
-            "value": round(xrt, 2),
+            "value": st["median"],
             "unit": "audio-sec/sec",
-            "vs_baseline": round(xrt / 50.0, 3),
+            "vs_baseline": round(st["median"] / 50.0, 3),
+            "stats": st,
         }))
         return 0
 
@@ -437,18 +452,20 @@ def main() -> int:
         t0 = time.perf_counter()
         round_trip()
         log(f"bench: warm round {time.perf_counter() - t0:.1f}s")
-        best = 0.0
-        for _ in range(iters):
+        rates = []
+        for _ in range(max(3, iters)):
             n_tok, dt = round_trip()
-            best = max(best, n_tok / dt)
+            rates.append(n_tok / dt)
             log(f"bench: {n_tok} tokens in {dt * 1e3:.0f} ms "
                 f"({n_tok / dt:.0f} tok/s served)")
-        xrt = best * spt / sr  # all-codes convention (same as llm1b mode)
+        st = _stats(rates, nd=1)
+        xrt = st["median"] * spt / sr  # all-codes convention (as llm1b mode)
         print(json.dumps({
             "metric": "llm1b_serving_tok_s",
-            "value": round(best, 1),
+            "value": st["median"],
             "unit": "tok/s",
             "vs_baseline": round(xrt / 50.0, 3),
+            "stats": st,
         }))
         return 0
 
@@ -500,16 +517,18 @@ def main() -> int:
         t0 = time.perf_counter()
         fetch_voc(dispatch_voc())
         log(f"bench: first call {time.perf_counter() - t0:.1f}s")
-        dt = min(run_steady_state(dispatch_voc, fetch_voc, iters)
-                 for _ in range(2))
         audio_sec = vlanes * n_gen * mcfg.samples_per_token / mcfg.sample_rate
-        log(f"bench: {dt * 1e3:.1f} ms for {audio_sec:.1f}s of audio "
-            f"(ch={ch}, {vlanes} lanes)")
+        xrts = [audio_sec / run_steady_state(dispatch_voc, fetch_voc, iters)
+                for _ in range(3)]
+        st = _stats(xrts)
+        log(f"bench: vocoder xrt median {st['median']} "
+            f"[{st['min']}, {st['max']}] (ch={ch}, {vlanes} lanes)")
         return {
             "metric": "mel_vocoder_xrt_per_chip",
-            "value": round(audio_sec / dt, 2),
+            "value": st["median"],
             "unit": "audio-sec/sec",
-            "vs_baseline": round(audio_sec / dt / 50.0, 3),
+            "vs_baseline": round(st["median"] / 50.0, 3),
+            "stats": st,
         }
 
     if mode == "vocoder":
@@ -618,13 +637,14 @@ def main() -> int:
         once()
         log(f"bench: first call {time.perf_counter() - t0:.1f}s")
         ttfas = sorted(once() for _ in range(max(3, iters)))
-        p50 = ttfas[len(ttfas) // 2]
+        st = _stats([t * 1e3 for t in ttfas], nd=1)
         log(f"bench: ttfa samples {['%.0fms' % (t * 1e3) for t in ttfas]}")
         return {
             "metric": "ttfa_p50",
-            "value": round(p50 * 1e3, 1),
+            "value": st["median"],
             "unit": "ms",
-            "vs_baseline": round(300.0 / (p50 * 1e3), 3),  # target p50 < 300 ms
+            "vs_baseline": round(300.0 / st["median"], 3),  # target < 300 ms
+            "stats": st,
         }
 
     if mode == "fidelity":
@@ -635,36 +655,36 @@ def main() -> int:
         print(json.dumps(bench_ttfa()))
         return 0
 
+    audio_sec = lanes * audio_sec_per_lane
     if mode == "llm":
         log("bench: compiling (first call)...")
         t0 = time.perf_counter()
         run_llm()
         log(f"bench: first call {time.perf_counter() - t0:.1f}s")
-        times = []
-        for _ in range(iters):
+        dts = []
+        for _ in range(max(3, iters)):
             t0 = time.perf_counter()
             run_llm()
-            times.append(time.perf_counter() - t0)
-        dt = min(times)
+            dts.append(time.perf_counter() - t0)
     else:  # pipeline / all: steady-state with fetch/compute overlap
         log("bench: compiling (first call)...")
         t0 = time.perf_counter()
         fetch_codec(dispatch_pipeline())
         log(f"bench: first call {time.perf_counter() - t0:.1f}s")
-        dt = min(run_steady_state(dispatch_pipeline, fetch_codec, iters)
-                 for _ in range(2))
+        dts = [run_steady_state(dispatch_pipeline, fetch_codec, iters)
+               for _ in range(3)]
 
-    audio_sec = lanes * audio_sec_per_lane
-    xrt = audio_sec / dt
-    log(f"bench: {dt * 1e3:.1f} ms for {audio_sec:.1f}s of audio "
+    st = _stats([audio_sec / d for d in dts])
+    log(f"bench: xrt median {st['median']} [{st['min']}, {st['max']}] "
         f"({lanes} lanes x {audio_sec_per_lane:.1f}s)")
 
     result = {
         "metric": ("pipeline_xrt_per_chip" if mode == "all"
                    else f"{mode}_xrt_per_chip"),
-        "value": round(xrt, 2),
+        "value": st["median"],
         "unit": "audio-sec/sec",
-        "vs_baseline": round(xrt / 50.0, 3),
+        "vs_baseline": round(st["median"] / 50.0, 3),
+        "stats": st,
     }
     if mode == "all":
         # all three BASELINE headline numbers on the one driver-visible line

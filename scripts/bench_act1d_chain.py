@@ -21,7 +21,8 @@ from miotts_tpu.ops.pallas import activation1d as mod  # noqa: E402
 B, T, C = 2, 245760, 128
 
 
-def run_chain(n, x, lengths, fu, alpha, beta, fd, ablate, bt=512):
+def run_chain(n, x, lengths, fu, alpha, beta, fd, ablate, bt=512,
+              sincos="fast"):
     fu2 = fu.reshape(1, -1)
     fd2 = fd.reshape(1, -1)
 
@@ -34,7 +35,7 @@ def run_chain(n, x, lengths, fu, alpha, beta, fd, ablate, bt=512):
                                 (1.0 / (2.0 * (jnp.exp(beta) + 1e-9))
                                  ).reshape(1, -1),
                                 int(fu2.shape[1]), int(fd2.shape[1]), bt,
-                                False, ablate)
+                                False, ablate, sincos)
             y = y * 0.99  # keep values bounded through deep chains
         return y[0, :1, :1]
 
@@ -62,14 +63,17 @@ def main():
     abls = os.environ.get("MIOTTS_CHAIN_ABLS", "copy,nosnake,nofir,full")
     bts = [int(b) for b in os.environ.get(
         "MIOTTS_CHAIN_BTS", "512").split(",")]
+    scs = os.environ.get("MIOTTS_CHAIN_SINCOS", "fast").split(",")
     for bt in bts:
-        for ab in abls.split(","):
-            t2 = run_chain(2, x, lengths, fu, alpha, beta, fd, ab, bt)
-            t10 = run_chain(10, x, lengths, fu, alpha, beta, fd, ab, bt)
-            per = (t10 - t2) / 8
-            print(f"bt={bt:4d} {ab:10s} N=2 {t2 * 1e3:7.1f} ms  "
-                  f"N=10 {t10 * 1e3:7.1f} ms "
-                  f"-> {per * 1e3:6.2f} ms/call in-graph", flush=True)
+        for sc in scs:
+            for ab in abls.split(","):
+                t2 = run_chain(2, x, lengths, fu, alpha, beta, fd, ab, bt, sc)
+                t10 = run_chain(10, x, lengths, fu, alpha, beta, fd, ab, bt,
+                                sc)
+                per = (t10 - t2) / 8
+                print(f"bt={bt:4d} sincos={sc:4s} {ab:10s} "
+                      f"N=2 {t2 * 1e3:7.1f} ms  N=10 {t10 * 1e3:7.1f} ms "
+                      f"-> {per * 1e3:6.2f} ms/call in-graph", flush=True)
 
 
 if __name__ == "__main__":
