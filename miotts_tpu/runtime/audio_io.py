@@ -143,27 +143,133 @@ def resample_linear(x: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
     return (x[i0] * (1.0 - frac) + x[i1] * frac).astype(np.float32)
 
 
+def _mp3_info(data: bytes) -> tuple[int, int] | None:
+    """(sample_rate, channels) from the first MPEG audio frame header, or
+    None if no sync is found in the first 64 KiB. Skips a leading ID3v2 tag
+    (syncsafe size)."""
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        pos = 10 + size
+    end = min(len(data) - 3, pos + 65536)
+    rates = {3: (44100, 48000, 32000),   # MPEG1
+             2: (22050, 24000, 16000),   # MPEG2
+             0: (11025, 12000, 8000)}    # MPEG2.5
+    while pos < end:
+        if data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0:
+            version = (data[pos + 1] >> 3) & 3
+            layer = (data[pos + 1] >> 1) & 3
+            sr_idx = (data[pos + 2] >> 2) & 3
+            if version != 1 and layer != 0 and sr_idx != 3:
+                rate = rates[version][sr_idx]
+                channels = 1 if ((data[pos + 3] >> 6) & 3) == 3 else 2
+                return rate, channels
+        pos += 1
+    return None
+
+
+import threading as _threading
+
+_SDL_LOCK = _threading.Lock()
+
+
+def _decode_via_sdl(path: str, rate_hint: int | None) -> tuple[np.ndarray, int] | None:
+    """Decode through pygame's bundled SDL_mixer (dr_mp3/dr_flac/stb_vorbis)
+    when pygame is installed — no system audio device needed (dummy
+    driver). The mixer decodes at its init frequency; we init it at the
+    container's native rate when the header tells us (mp3), else 44.1 kHz."""
+    try:
+        import os as _os
+
+        _os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
+        import pygame  # type: ignore
+        import pygame.sndarray  # type: ignore
+    except ImportError:
+        return None
+    with _SDL_LOCK:
+        try:
+            init = pygame.mixer.get_init()
+            want = int(rate_hint or 44100)
+            if init is None:
+                pygame.mixer.init(frequency=want, size=-16, channels=2)
+                init = pygame.mixer.get_init()
+            rate = int(init[0])
+            arr = pygame.sndarray.array(pygame.mixer.Sound(path))
+        except Exception:
+            return None
+    x = np.asarray(arr)
+    scale = (float(1 << (8 * x.dtype.itemsize - 1))
+             if x.dtype.kind == "i" else 1.0)
+    if x.ndim > 1:
+        x = x.mean(axis=1)
+    return (x / scale).astype(np.float32), rate
+
+
+def _decode_via_ffmpeg(path: str, rate_hint: int | None) -> tuple[np.ndarray, int] | None:
+    """Documented last-resort: an ffmpeg subprocess decoding to raw f32
+    mono on stdout (no-op when ffmpeg is not on PATH)."""
+    import shutil
+    import subprocess
+
+    if shutil.which("ffmpeg") is None:
+        return None
+    rate = int(rate_hint or 44100)
+    try:
+        p = subprocess.run(
+            ["ffmpeg", "-v", "error", "-i", str(path), "-f", "f32le",
+             "-acodec", "pcm_f32le", "-ac", "1", "-ar", str(rate), "-"],
+            capture_output=True, timeout=120)
+    except Exception:
+        return None
+    if p.returncode != 0 or not p.stdout:
+        return None
+    return np.frombuffer(p.stdout, np.float32).copy(), rate
+
+
 def load_audio(path: str | Path, target_rate: int | None = None,
                max_seconds: float | None = None) -> tuple[np.ndarray, int]:
     """Decode an audio file to f32 mono, optionally resample and truncate.
 
-    WAV is parsed natively; other containers fall back to torchaudio when
-    available (the image bundles torch-cpu)."""
+    Self-contained decode matching the reference's miniaudio surface
+    (wavlm-extractor.cpp:153-203): WAV and FLAC are parsed natively (FLAC
+    via the C++ runtime, runtime/flac.py pure-Python fallback); mp3 and
+    other containers go through a decoder chain — torchaudio if installed,
+    pygame's bundled SDL_mixer (dr_mp3), then an ffmpeg subprocess."""
     data = Path(path).read_bytes()
     if data[:4] == b"RIFF":
         x, rate = _parse_wav(data)
+    elif data[:4] == b"fLaC":
+        from .native import flac_decode_native
+
+        res = flac_decode_native(data)
+        if res is None:
+            from .flac import decode_flac
+
+            res = decode_flac(data)
+        x, rate = res
     else:
+        mp3 = _mp3_info(data)
+        rate_hint = mp3[0] if mp3 else None
+        res = None
         try:
             import torchaudio  # type: ignore
-        except ImportError:
-            raise ValueError(
-                f"unsupported audio format in {path}: only WAV is decoded "
-                "natively (install torchaudio for other containers)") from None
-        try:
+
             wav, rate = torchaudio.load(str(path))
-            x = wav.mean(dim=0).numpy().astype(np.float32)
-        except Exception as e:  # pragma: no cover - depends on image contents
-            raise ValueError(f"cannot decode audio file {path}: {e}") from e
+            res = wav.mean(dim=0).numpy().astype(np.float32), int(rate)
+        except ImportError:
+            pass
+        except Exception:
+            res = None
+        if res is None:
+            res = _decode_via_sdl(str(path), rate_hint)
+        if res is None:
+            res = _decode_via_ffmpeg(str(path), rate_hint)
+        if res is None:
+            raise ValueError(
+                f"cannot decode audio file {path}: WAV/FLAC decode natively; "
+                "mp3 and other containers need torchaudio, pygame, or ffmpeg")
+        x, rate = res
     if target_rate is not None and rate != target_rate:
         x = resample_linear(x, rate, target_rate)
         rate = target_rate

@@ -42,7 +42,7 @@ def _load():
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.mio_runtime_abi_version.restype = ctypes.c_int
         abi = lib.mio_runtime_abi_version()
-        if abi < 4:
+        if abi < 5:
             # stale library from an older checkout: rebuild once in place
             try:
                 from .build_native import build
@@ -101,6 +101,14 @@ def _load():
                     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                     ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
                     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+        if abi >= 5:  # FLAC decode
+            lib.mio_flac_probe.restype = ctypes.c_int
+            lib.mio_flac_probe.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            lib.mio_flac_decode.restype = ctypes.c_int
+            lib.mio_flac_decode.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p]
         _lib = lib
     except OSError:
         return None
@@ -149,6 +157,36 @@ def resample_linear_native(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray
     rc = lib.mio_resample_linear(x.ctypes.data, x.size, sr_in, sr_out,
                                  out.ctypes.data, n_out)
     return out if rc == 0 else None
+
+
+def flac_decode_native(data: bytes) -> tuple[np.ndarray, int] | None:
+    """Native FLAC stream decode -> (f32 mono, rate); None if the native
+    library is unavailable or the stream fails to parse (callers fall back
+    to the pure-Python decoder in runtime/flac.py)."""
+    lib = _load()
+    if lib is None or lib.mio_runtime_abi_version() < 5:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    info = np.zeros(4, np.int64)
+    if lib.mio_flac_probe(buf.ctypes.data, buf.size, info.ctypes.data) != 0:
+        return None
+    channels = int(info[1])
+    cap = int(info[3]) or max(4096, buf.size * 4 // max(1, channels))
+    for _ in range(8):  # total_samples may be 0 (unknown) — grow and retry
+        out = np.empty(cap * channels, np.int32)
+        rc = lib.mio_flac_decode(buf.ctypes.data, buf.size, out.ctypes.data,
+                                 cap, info.ctypes.data)
+        if rc == 0:
+            n = int(info[3])
+            rate = int(info[0])
+            bps = int(info[2])
+            x = out[: n * channels].reshape(n, channels).mean(axis=1)
+            return (x / float(1 << (bps - 1))).astype(np.float32), rate
+        if rc == -2:
+            cap *= 4
+            continue
+        return None
+    return None
 
 
 # ---------------------------------------------------------------------------

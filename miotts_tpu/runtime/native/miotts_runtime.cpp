@@ -1090,6 +1090,319 @@ void mio_q4_row_dequant(const uint8_t* w, int64_t row, int64_t k, float* out) {
     }
 }
 
-int mio_runtime_abi_version(void) { return 4; }
+// ---------------------------------------------------------------------------
+// FLAC stream decoder (RFC 9639) — self-contained reference-audio decode
+// (the reference uses miniaudio for wav/mp3/flac uploads,
+// wavlm-extractor.cpp:153-203). Cross-checked against the independent
+// pure-Python decoder in runtime/flac.py (tests/test_audio_decode.py).
+// CRC-8/16 are parsed but not enforced (best-effort upload decode).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct FlacBits {
+    const uint8_t* data;
+    int64_t nbits;
+    int64_t pos = 0;
+    bool err = false;
+
+    inline int peek_bit() const {
+        return (data[pos >> 3] >> (7 - (pos & 7))) & 1;
+    }
+    inline uint64_t read(int n) {
+        if (pos + n > nbits) { err = true; return 0; }
+        uint64_t v = 0;
+        int64_t p = pos;
+        pos += n;
+        while (n > 0) {
+            int off = (int)(p & 7);
+            int take = 8 - off;
+            if (take > n) take = n;
+            uint32_t byte = data[p >> 3];
+            v = (v << take) | ((byte >> (8 - off - take)) & ((1u << take) - 1));
+            p += take;
+            n -= take;
+        }
+        return v;
+    }
+    inline int64_t read_signed(int n) {
+        uint64_t v = read(n);
+        if (n && (v >> (n - 1)))
+            return (int64_t)v - ((int64_t)1 << n);
+        return (int64_t)v;
+    }
+    inline uint32_t unary() {
+        uint32_t q = 0;
+        while (true) {
+            if (pos >= nbits) { err = true; return 0; }
+            if (peek_bit()) { pos++; return q; }
+            pos++;
+            q++;
+        }
+    }
+    inline void align() { pos = (pos + 7) & ~(int64_t)7; }
+};
+
+struct FlacInfo {
+    int sample_rate = 0, channels = 0, bps = 0;
+    int64_t total_samples = 0;
+    int64_t data_offset = 0;
+};
+
+static bool flac_parse_streaminfo(const uint8_t* d, int64_t n, FlacInfo* fi) {
+    if (n < 8 || memcmp(d, "fLaC", 4) != 0) return false;
+    int64_t pos = 4;
+    bool have = false;
+    while (pos + 4 <= n) {
+        int hdr = d[pos];
+        bool last = (hdr & 0x80) != 0;
+        int btype = hdr & 0x7F;
+        int64_t blen = ((int64_t)d[pos + 1] << 16) | ((int64_t)d[pos + 2] << 8)
+                       | d[pos + 3];
+        if (btype == 0 && pos + 4 + 18 <= n) {
+            const uint8_t* b = d + pos + 4;
+            uint64_t raw = 0;
+            for (int i = 10; i < 18; ++i) raw = (raw << 8) | b[i];
+            fi->sample_rate = (int)(raw >> 44);
+            fi->channels = (int)((raw >> 41) & 0x7) + 1;
+            fi->bps = (int)((raw >> 36) & 0x1F) + 1;
+            fi->total_samples = (int64_t)(raw & (((uint64_t)1 << 36) - 1));
+            have = true;
+        }
+        pos += 4 + blen;
+        if (last) break;
+    }
+    fi->data_offset = pos;
+    return have && pos <= n;
+}
+
+static bool flac_read_utf8(FlacBits* br, uint64_t* out) {
+    uint32_t b0 = (uint32_t)br->read(8);
+    if (br->err) return false;
+    if (b0 < 0x80) { *out = b0; return true; }
+    int n_cont = 0;
+    uint32_t mask = 0x40;
+    while (b0 & mask) { n_cont++; mask >>= 1; }
+    if (n_cont < 1 || n_cont > 6) return false;
+    uint64_t v = b0 & (mask - 1);
+    for (int i = 0; i < n_cont; ++i) {
+        uint32_t c = (uint32_t)br->read(8);
+        if (br->err || (c & 0xC0) != 0x80) return false;
+        v = (v << 6) | (c & 0x3F);
+    }
+    *out = v;
+    return true;
+}
+
+static bool flac_residual(FlacBits* br, int blocksize, int order,
+                          int64_t* out /* blocksize-order */) {
+    int method = (int)br->read(2);
+    if (method > 1) return false;
+    int plen = method == 0 ? 4 : 5;
+    uint32_t escape = (1u << plen) - 1;
+    int po = (int)br->read(4);
+    int n_part = 1 << po;
+    if (blocksize % n_part) return false;
+    int part_n = blocksize >> po;
+    int64_t w = 0;
+    for (int pi = 0; pi < n_part; ++pi) {
+        int cnt = part_n - (pi == 0 ? order : 0);
+        if (cnt < 0) return false;
+        uint32_t param = (uint32_t)br->read(plen);
+        if (param == escape) {
+            int nb = (int)br->read(5);
+            for (int i = 0; i < cnt; ++i) out[w++] = br->read_signed(nb);
+        } else {
+            for (int i = 0; i < cnt; ++i) {
+                uint64_t q = br->unary();
+                uint64_t v = (q << param) | br->read((int)param);
+                out[w++] = (int64_t)(v >> 1) ^ -(int64_t)(v & 1);
+            }
+        }
+        if (br->err) return false;
+    }
+    return true;
+}
+
+static bool flac_subframe(FlacBits* br, int blocksize, int bps, int64_t* x,
+                          std::vector<int64_t>* scratch) {
+    if (br->read(1)) return false;
+    int ftype = (int)br->read(6);
+    int wasted = 0;
+    if (br->read(1)) wasted = (int)br->unary() + 1;
+    if (br->err) return false;
+    int eff = bps - wasted;
+    if (eff <= 0) return false;
+    if (ftype == 0) {
+        int64_t v = br->read_signed(eff);
+        for (int i = 0; i < blocksize; ++i) x[i] = v;
+    } else if (ftype == 1) {
+        for (int i = 0; i < blocksize; ++i) x[i] = br->read_signed(eff);
+    } else if (ftype >= 8 && ftype <= 12) {
+        int order = ftype - 8;
+        for (int i = 0; i < order; ++i) x[i] = br->read_signed(eff);
+        scratch->resize((size_t)blocksize);
+        int64_t* res = scratch->data();
+        if (!flac_residual(br, blocksize, order, res)) return false;
+        static const int fc[5][4] = {{0, 0, 0, 0}, {1, 0, 0, 0}, {2, -1, 0, 0},
+                                     {3, -3, 1, 0}, {4, -6, 4, -1}};
+        for (int i = order; i < blocksize; ++i) {
+            int64_t acc = res[i - order];
+            for (int j = 0; j < order; ++j) acc += fc[order][j] * x[i - 1 - j];
+            x[i] = acc;
+        }
+    } else if (ftype >= 32) {
+        int order = (ftype & 31) + 1;
+        for (int i = 0; i < order; ++i) x[i] = br->read_signed(eff);
+        int prec = (int)br->read(4) + 1;
+        if (prec == 16) return false;
+        int shift = (int)br->read_signed(5);
+        if (shift < 0) return false;
+        int64_t coefs[32];
+        for (int i = 0; i < order; ++i) coefs[i] = br->read_signed(prec);
+        scratch->resize((size_t)blocksize);
+        int64_t* res = scratch->data();
+        if (!flac_residual(br, blocksize, order, res)) return false;
+        for (int i = order; i < blocksize; ++i) {
+            int64_t acc = 0;
+            for (int j = 0; j < order; ++j) acc += coefs[j] * x[i - 1 - j];
+            x[i] = res[i - order] + (acc >> shift);
+        }
+    } else {
+        return false;
+    }
+    if (br->err) return false;
+    if (wasted)
+        for (int i = 0; i < blocksize; ++i) x[i] <<= wasted;
+    return true;
+}
+
+}  // namespace
+
+// info_out: [0]=sample_rate [1]=channels [2]=bps [3]=total_samples(lo32)
+// [4]=total_samples(hi32). Returns 0, or -1 on a non-FLAC/corrupt stream.
+int mio_flac_probe(const uint8_t* data, int64_t n, int64_t* info_out) {
+    FlacInfo fi;
+    if (!flac_parse_streaminfo(data, n, &fi)) return -1;
+    info_out[0] = fi.sample_rate;
+    info_out[1] = fi.channels;
+    info_out[2] = fi.bps;
+    info_out[3] = fi.total_samples;
+    return 0;
+}
+
+// Decode to interleaved int32. cap = max frames (per-channel samples) out
+// can hold. info_out as mio_flac_probe with [3] = frames actually written.
+// Returns 0 ok, -1 parse error before any frame, -2 capacity exhausted
+// (out holds the first cap frames; caller retries with a larger buffer).
+int mio_flac_decode(const uint8_t* data, int64_t n, int32_t* out,
+                    int64_t cap, int64_t* info_out) {
+    FlacInfo fi;
+    if (!flac_parse_streaminfo(data, n, &fi)) return -1;
+    FlacBits br{data, n * 8};
+    br.pos = fi.data_offset * 8;
+    static const int kBlock[16] = {0, 192, 576, 1152, 2304, 4608, -1, -2,
+                                   256, 512, 1024, 2048, 4096, 8192, 16384,
+                                   32768};
+    static const int kRate[16] = {0, 88200, 176400, 192000, 8000, 16000,
+                                  22050, 24000, 32000, 44100, 48000, 96000,
+                                  -1, -2, -3, -4};
+    static const int kBits[8] = {0, 8, 12, -1, 16, 20, 24, 32};
+    std::vector<std::vector<int64_t>> ch(fi.channels);
+    std::vector<int64_t> scratch;
+    int64_t written = 0;
+    int rate = fi.sample_rate;
+    while (br.pos + 32 <= br.nbits
+           && (!fi.total_samples || written < fi.total_samples)) {
+        if (br.read(14) != 0x3FFE) break;
+        if (br.read(1)) break;
+        br.read(1);
+        int bs_code = (int)br.read(4);
+        int sr_code = (int)br.read(4);
+        int ch_code = (int)br.read(4);
+        int ss_code = (int)br.read(3);
+        if (br.read(1)) break;
+        uint64_t coded;
+        if (!flac_read_utf8(&br, &coded)) break;
+        int blocksize;
+        if (bs_code == 0) break;
+        else if (bs_code == 6) blocksize = (int)br.read(8) + 1;
+        else if (bs_code == 7) blocksize = (int)br.read(16) + 1;
+        else blocksize = kBlock[bs_code];
+        if (sr_code == 12) rate = (int)br.read(8) * 1000;
+        else if (sr_code == 13) rate = (int)br.read(16);
+        else if (sr_code == 14) rate = (int)br.read(16) * 10;
+        else if (sr_code == 15) break;
+        else if (sr_code != 0) rate = kRate[sr_code];
+        int bps = ss_code == 0 ? fi.bps : kBits[ss_code];
+        if (bps <= 0) break;
+        br.read(8);  // header CRC-8
+        if (br.err || blocksize <= 0) break;
+
+        int n_ch = ch_code <= 7 ? ch_code + 1 : 2;
+        if (n_ch != fi.channels) break;
+        for (int c = 0; c < n_ch; ++c)
+            ch[c].resize((size_t)blocksize);
+        bool ok = true;
+        if (ch_code <= 7) {
+            for (int c = 0; c < n_ch && ok; ++c)
+                ok = flac_subframe(&br, blocksize, bps, ch[c].data(),
+                                   &scratch);
+        } else if (ch_code <= 10) {
+            int side_idx = (ch_code == 9) ? 0 : 1;
+            for (int c = 0; c < 2 && ok; ++c)
+                ok = flac_subframe(&br, blocksize,
+                                   bps + (c == side_idx ? 1 : 0),
+                                   ch[c].data(), &scratch);
+            if (ok) {
+                int64_t* a = ch[0].data();
+                int64_t* b = ch[1].data();
+                if (ch_code == 8) {  // left/side
+                    for (int i = 0; i < blocksize; ++i) b[i] = a[i] - b[i];
+                } else if (ch_code == 9) {  // right/side
+                    for (int i = 0; i < blocksize; ++i) a[i] = a[i] + b[i];
+                } else {  // mid/side
+                    for (int i = 0; i < blocksize; ++i) {
+                        int64_t mid2 = (a[i] << 1) | (b[i] & 1);
+                        int64_t s = b[i];
+                        a[i] = (mid2 + s) >> 1;
+                        b[i] = (mid2 - s) >> 1;
+                    }
+                }
+            }
+        } else {
+            break;
+        }
+        if (!ok || br.err) break;
+        br.align();
+        br.read(16);  // frame CRC-16
+        int take = blocksize;
+        if (fi.total_samples && written + take > fi.total_samples)
+            take = (int)(fi.total_samples - written);
+        if (written + take > cap) {
+            take = (int)(cap - written);
+            for (int i = 0; i < take; ++i)
+                for (int c = 0; c < fi.channels; ++c)
+                    out[(written + i) * fi.channels + c] = (int32_t)ch[c][i];
+            written += take;
+            info_out[0] = rate;
+            info_out[1] = fi.channels;
+            info_out[2] = fi.bps;
+            info_out[3] = written;
+            return -2;
+        }
+        for (int i = 0; i < take; ++i)
+            for (int c = 0; c < fi.channels; ++c)
+                out[(written + i) * fi.channels + c] = (int32_t)ch[c][i];
+        written += take;
+    }
+    info_out[0] = rate;
+    info_out[1] = fi.channels;
+    info_out[2] = fi.bps;
+    info_out[3] = written;
+    return written > 0 || fi.total_samples == 0 ? 0 : -1;
+}
+
+int mio_runtime_abi_version(void) { return 5; }
 
 }  // extern "C"

@@ -4,6 +4,7 @@ import base64
 import json
 import urllib.error
 import urllib.request
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -200,6 +201,44 @@ def test_generate_reference_multipart_and_synthesis(server, tmp_path):
 
     # now usable as reference_key
     with _post_json(srv, "/mio/tts", {"codes": [1, 2, 3, 4], "reference_key": "cloned1"}) as r:
+        assert json.loads(r.read())["ok"] is True
+
+
+_MP3_FIXTURE = next((p for p in (
+    "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/house_lo.mp3",
+    "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3",
+) if Path(p).exists()), None)
+
+
+@pytest.mark.skipif(_MP3_FIXTURE is None, reason="no mp3 fixture in image")
+def test_generate_reference_mp3_upload(server, monkeypatch):
+    """An mp3 reference upload produces an embedding with torchaudio
+    absent — the decode chain (runtime/audio_io.py) covers what the
+    reference's miniaudio accepts (wavlm-extractor.cpp:153-203)."""
+    import sys as _sys
+
+    monkeypatch.setitem(_sys.modules, "torchaudio", None)
+    srv, d, emb_path, cfg_codec = server
+    mp3_bytes = Path(_MP3_FIXTURE).read_bytes()
+    boundary = "----miomp3boundary"
+    parts = [
+        f'--{boundary}\r\nContent-Disposition: form-data; '
+        'name="reference_key"\r\n\r\nmp3clone\r\n',
+        f'--{boundary}\r\nContent-Disposition: form-data; name="audio"; '
+        'filename="voice.mp3"\r\nContent-Type: audio/mpeg\r\n\r\n',
+    ]
+    body = "".join(parts).encode() + mp3_bytes \
+        + f"\r\n--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        _url(srv, "/mio/generate_reference"), data=body,
+        headers={"Content-Type":
+                 f"multipart/form-data; boundary={boundary}"})
+    with urllib.request.urlopen(req, timeout=180) as r:
+        assert r.headers["X-Reference-Key"] == "mp3clone"
+        payload = r.read()
+    assert payload[:4] == b"GGUF"
+    with _post_json(srv, "/mio/tts", {"codes": [1, 2, 3],
+                                      "reference_key": "mp3clone"}) as r:
         assert json.loads(r.read())["ok"] is True
 
 
