@@ -541,6 +541,70 @@ llm_prefill_jit = functools.partial(jax.jit, static_argnums=0)(llm_prefill)
 llm_prefill_kv_jit = functools.partial(jax.jit, static_argnums=0)(llm_prefill_kv)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def llm_prefill_generate_jit(cfg: "LLMConfig", w: "Pytree", eog_ids,
+                             n_steps: int, tokens, lengths, seeds, sampler):
+    """Fused submit-time prefill + the request's FIRST ``n_steps`` decode
+    steps, in one executable.
+
+    The continuous batcher's unfused submit path made a fresh request's
+    first tokens wait out (a) the current cohort chunk before its attach
+    applied and (b) a small first chunk whose size pulled the WHOLE
+    cohort's dispatch down (TTFA vs throughput tension —
+    serving/batching.py _dispatch_size). Fusing the first steps into the
+    prefill removes both: tokens reach the host one dispatch+fetch after
+    submit, and lanes join the batch mid-ladder so established lanes
+    never drop back to the small chunk.
+
+    Returns (out [B, n_steps], n_new [B], mini GenState) — the mini
+    state's cache covers [0, T + n_steps) and scatters into the batched
+    state via ``attach_lanes_gen``. Tokens are bit-identical to the
+    unfused path at repeat_penalty == 1 (per-lane PRNG streams split the
+    same way); the penalty ring crosses the attach with its entries at
+    mini-loop positions, so the 64-token window is approximate across
+    that boundary (exact for the reference default penalty 1.0).
+    """
+    B, T = tokens.shape
+    last, new_k, new_v = llm_prefill_kv(cfg, w, tokens, lengths)
+    ck, cv = init_kv_cache(cfg, B, T + n_steps)
+    # rows at t >= lengths[b] carry garbage K/V — decode masks keys at
+    # positions >= pos, so a plain full-T write is safe (and cheaper than
+    # the scatter llm_prefill needs against a shared cache)
+    ck = ck.at[:, :, :T].set(new_k.astype(ck.dtype))
+    cv = cv.at[:, :, :T].set(new_v.astype(cv.dtype))
+    s0 = init_sampler_state(B)
+    st = GenState(
+        logits=last.astype(jnp.float32), cache_k=ck, cache_v=cv,
+        pos=lengths.astype(jnp.int32), ring=s0.ring, ring_idx=s0.idx,
+        done=jnp.zeros((B,), bool),
+        key=jax.vmap(jax.random.PRNGKey)(seeds))
+    return _chunk_loop_batched(cfg, w, eog_ids, n_steps, sampler, st)
+
+
+@jax.jit
+def attach_lanes_gen(state: "GenState", lanes, gst: "GenState") -> "GenState":
+    """Install k fused prefill+first-chunk lanes (llm_prefill_generate_jit)
+    into the batched state in ONE device call: cache [:, lanes, :T+n],
+    pos/ring/logits/PRNG/done all come from the mini state mid-generation.
+    Pad rows carry an out-of-range lane index (writes drop). The global
+    ring cursor stays the main state's (see llm_prefill_generate_jit on
+    the penalty-window approximation)."""
+    T = gst.cache_k.shape[2]
+    return GenState(
+        logits=state.logits.at[lanes].set(
+            gst.logits.astype(state.logits.dtype), mode="drop"),
+        cache_k=state.cache_k.at[:, lanes, :T].set(
+            gst.cache_k.astype(state.cache_k.dtype), mode="drop"),
+        cache_v=state.cache_v.at[:, lanes, :T].set(
+            gst.cache_v.astype(state.cache_v.dtype), mode="drop"),
+        pos=state.pos.at[lanes].set(gst.pos, mode="drop"),
+        ring=state.ring.at[lanes].set(gst.ring, mode="drop"),
+        ring_idx=state.ring_idx,
+        done=state.done.at[lanes].set(gst.done, mode="drop"),
+        key=state.key.at[lanes].set(gst.key, mode="drop"),
+    )
+
+
 def _warn_tied_quant_noop(head_quant_requested: bool, quantize) -> None:
     """Tied-embedding models have no output.weight: a head-quant request
     ("output"/"output_int8"/"output_int4", or the head leg of "all"/"int8")

@@ -16,6 +16,7 @@ high-latency relay.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import queue
 import threading
@@ -26,10 +27,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.llm import (
-    CHAT_TEMPLATE, GenState, LLMEngine, attach_lanes, finish_chunk_fetch,
-    init_batched_state, llm_generate_chunk_batched,
-    llm_generate_chunk_batched_sliced, llm_prefill_kv_jit,
-    set_lane_done, start_chunk_fetch,
+    CHAT_TEMPLATE, GenState, LLMEngine, attach_lanes, attach_lanes_gen,
+    finish_chunk_fetch, init_batched_state, llm_generate_chunk_batched,
+    llm_generate_chunk_batched_sliced, llm_prefill_generate_jit,
+    llm_prefill_kv_jit, set_lane_done, start_chunk_fetch,
 )
 from ..models.sampling import MAX_TOP_K, BatchSamplerParams, SamplerParams
 
@@ -150,10 +151,20 @@ class ContinuousBatcher:
 
             self.state = shard_gen_state(mesh, self.state)
         self.lanes: list[_Lane | None] = [None] * n_lanes
+        # fused submit path: the prefill executable also runs the request's
+        # first `first_chunk` decode steps (llm_prefill_generate_jit) and
+        # the prefill thread delivers those tokens IMMEDIATELY — TTFA no
+        # longer waits for the attach boundary plus a cohort-wide small
+        # first chunk, and established lanes never get pulled down the
+        # chunk ladder by fresh arrivals. MIOTTS_FUSED_PREFILL=0 restores
+        # the unfused submit path (A/B knob).
+        self.fused_prefill = os.environ.get(
+            "MIOTTS_FUSED_PREFILL", "1") != "0"
         # attaches are queued and applied only by the worker loop, so the
         # post-chunk state write-back can never clobber a concurrent attach:
-        # (host lane list, attach_lanes device args)
-        self._pending: list[tuple[list[int], tuple]] = []
+        # (host lane list, apply(state) -> state, finish list of
+        #  (lane_idx, needs_set_lane_done) already-delivered lanes)
+        self._pending: list[tuple[list[int], object, list]] = []
         # submits enqueue tokenized prompts here; a dedicated worker drains
         # the queue and prefills simultaneous arrivals as ONE batched
         # forward per prompt bucket (see _prefill_loop)
@@ -320,6 +331,7 @@ class ContinuousBatcher:
         import os
         import time as _t
 
+        fused = self._use_fused(bucket)
         t0 = _t.perf_counter()
         try:
             # the host->device uploads sit inside the try too: a transient
@@ -327,17 +339,33 @@ class ContinuousBatcher:
             # a failed prefill dispatch and must not escape to the caller
             if self._work_started is None:
                 self._work_started = _wall.monotonic()
-            logits, new_k, new_v = llm_prefill_kv_jit(
-                self.cfg, self.engine.weights, jnp.asarray(toks),
-                jnp.asarray(lens))
-            attach = (jnp.asarray(lanes), logits, new_k, new_v,
-                      jnp.asarray(lens), jnp.asarray(seeds))
+            if fused:
+                sampler = self._group_sampler(kp, group)
+                out, n_new, gst = llm_prefill_generate_jit(
+                    self.cfg, self.engine.weights, self.engine.eog_ids,
+                    self.first_chunk, jnp.asarray(toks), jnp.asarray(lens),
+                    jnp.asarray(seeds), sampler)
+                lanes_j = jnp.asarray(lanes)
+                # ONE packed fetch for the whole group's first tokens —
+                # delivered below, before the attach even applies
+                out_np, n_np, done_np = finish_chunk_fetch(
+                    start_chunk_fetch(out, n_new, gst))
+                apply_fn = functools.partial(
+                    attach_lanes_gen, lanes=lanes_j, gst=gst)
+            else:
+                logits, new_k, new_v = llm_prefill_kv_jit(
+                    self.cfg, self.engine.weights, jnp.asarray(toks),
+                    jnp.asarray(lens))
+                attach = (jnp.asarray(lanes), logits, new_k, new_v,
+                          jnp.asarray(lens), jnp.asarray(seeds))
+                apply_fn = lambda state: attach_lanes(state, *attach)  # noqa: E731
             self._last_progress = _wall.monotonic()
             if os.environ.get("MIOTTS_BATCH_DEBUG"):
                 import sys
 
                 print(f"prefill_group: bucket={bucket} k={len(group)} "
-                      f"kp={kp} dispatch={( _t.perf_counter() - t0) * 1e3:.1f}ms",
+                      f"kp={kp} fused={fused} "
+                      f"dispatch={(_t.perf_counter() - t0) * 1e3:.1f}ms",
                       file=sys.stderr)
         except Exception as e:  # fail this group's requests; keep serving
             import sys
@@ -347,9 +375,48 @@ class ContinuousBatcher:
             return
         with self._warm_lock:
             self._warm_prefills = self._warm_prefills | {(bucket, kp)}
+        finish: list[tuple[int, bool]] = []
         with self._cv:
-            self._pending.append(([it[0] for it in group], attach))
+            if fused:
+                # deliver the fused first tokens NOW: the consumer's stream
+                # starts one dispatch+fetch after submit, independent of the
+                # cohort's chunk boundaries
+                for i, (lane_idx, _ids, _T, _b, _seed) in enumerate(group):
+                    lane = self.lanes[lane_idx]
+                    if lane is None:
+                        continue
+                    n = min(int(n_np[i]), lane.n_predict)
+                    toks_out = [int(t) for t in out_np[i, :n]]
+                    lane.generated = len(toks_out)
+                    lane.dispatched = self.first_chunk
+                    if toks_out and not lane.handle.cancelled.is_set():
+                        lane.handle._q.put(toks_out)
+                    if (bool(done_np[i])
+                            or lane.generated >= lane.n_predict
+                            or lane.handle.cancelled.is_set()):
+                        # finished inside the fused steps: the worker frees
+                        # the lane right after the attach applies (the
+                        # attach itself writes done for EOG rows)
+                        finish.append((lane_idx, not bool(done_np[i])))
+            self._pending.append(([it[0] for it in group], apply_fn, finish))
             self._cv.notify_all()
+
+    def _use_fused(self, bucket: int) -> bool:
+        # the mini cache spans bucket + first_chunk rows and scatters into
+        # [*, max_ctx]: skip fusing when the prompt bucket leaves no room
+        return self.fused_prefill and bucket + self.first_chunk <= self.max_ctx
+
+    def _group_sampler(self, kp: int, group: list[tuple]) -> BatchSamplerParams:
+        temps = np.full(kp, 0.8, np.float32)
+        top_ks = np.full(kp, 50, np.int32)
+        top_ps = np.ones(kp, np.float32)
+        pens = np.ones(kp, np.float32)
+        for i, (lane_idx, *_rest) in enumerate(group):
+            temps[i] = self._temps[lane_idx]
+            top_ks[i] = self._top_ks[lane_idx]
+            top_ps[i] = self._top_ps[lane_idx]
+            pens[i] = self._pens[lane_idx]
+        return BatchSamplerParams.make(temps, top_ks, top_ps, pens)
 
     @property
     def device_stalled(self) -> bool:
@@ -380,16 +447,28 @@ class ContinuousBatcher:
     def warm_prefill(self, bucket: int, n_lanes: int = 1) -> None:
         """Compile/load the submit-time prefill executable for this prompt
         bucket (at the given pow2 lane count) without running a generation.
-        Thread-safe (jit dispatch on immutable weights) — ServingEngine
-        .warmup calls this from a pool so the per-bucket compiles overlap
-        in the backend instead of serializing through token-generating
-        submits."""
+        Warms the FUSED prefill+first-chunk executable when that's what
+        submits will dispatch (see _use_fused). Thread-safe (jit dispatch
+        on immutable weights) — ServingEngine.warmup calls this from a
+        pool so the per-bucket compiles overlap in the backend instead of
+        serializing through token-generating submits."""
         bucket = min(bucket, self.max_ctx)
-        logits, _, _ = llm_prefill_kv_jit(
-            self.cfg, self.engine.weights,
-            jnp.asarray(np.ones((n_lanes, bucket), np.int32)),
-            jnp.asarray([min(4, bucket)] * n_lanes, jnp.int32))
-        np.asarray(logits[:, :1])  # force execution through the relay
+        toks = jnp.asarray(np.ones((n_lanes, bucket), np.int32))
+        lens = jnp.asarray([min(4, bucket)] * n_lanes, jnp.int32)
+        if self._use_fused(bucket):
+            sampler = BatchSamplerParams.make(
+                np.full(n_lanes, 0.8, np.float32),
+                np.full(n_lanes, 50, np.int32),
+                np.ones(n_lanes, np.float32), np.ones(n_lanes, np.float32))
+            out, n_new, gst = llm_prefill_generate_jit(
+                self.cfg, self.engine.weights, self.engine.eog_ids,
+                self.first_chunk, toks, lens,
+                jnp.asarray(np.zeros(n_lanes, np.uint32)), sampler)
+            finish_chunk_fetch(start_chunk_fetch(out, n_new, gst))
+        else:
+            logits, _, _ = llm_prefill_kv_jit(
+                self.cfg, self.engine.weights, toks, lens)
+            np.asarray(logits[:, :1])  # force execution through the relay
         with self._warm_lock:
             self._warm_prefills = self._warm_prefills | {(bucket, n_lanes)}
 
@@ -530,12 +609,12 @@ class ContinuousBatcher:
                     self._cv.wait()
                 if self._shutdown:
                     return
-                for lane_list, attach_args in self._pending:
+                for lane_list, apply_fn, finish in self._pending:
                     # a failed attach (poisoned device arrays after a
                     # fault, relay error) must not kill the worker thread —
                     # fail just this group's requests and keep serving
                     try:
-                        self.state = attach_lanes(self.state, *attach_args)
+                        self.state = apply_fn(self.state)
                     except Exception as e:
                         import sys
 
@@ -553,6 +632,23 @@ class ContinuousBatcher:
                         lane = self.lanes[lane_idx]
                         if lane is not None:
                             lane.started = True
+                    # lanes that already finished inside the fused prefill
+                    # steps (EOG / budget / cancel): their tokens were
+                    # delivered by the prefill thread — free them now that
+                    # the attach has applied (EOG rows attached done=True;
+                    # budget/cancel rows need the explicit done write so
+                    # the device loop never steps them)
+                    for lane_idx, needs_done in finish:
+                        lane = self.lanes[lane_idx]
+                        if lane is None:
+                            continue
+                        lane.handle._q.put(None)
+                        self.lanes[lane_idx] = None
+                        self._pens[lane_idx] = 1.0
+                        if needs_done:
+                            self.state = set_lane_done(self.state,
+                                                       jnp.int32(lane_idx))
+                        self._cv.notify_all()
                 self._pending.clear()
                 sampler = BatchSamplerParams.make(
                     self._temps, self._top_ks, self._top_ps, self._pens)

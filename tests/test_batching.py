@@ -107,13 +107,14 @@ def test_cold_group_sizes_split_to_warmed_during_warmup_tail(tmp_path):
         b.split_cold_until_warm = True
 
         seen_group_sizes = []
-        real = batching_mod.llm_prefill_kv_jit
+        real = batching_mod.llm_prefill_generate_jit
 
-        def spy(cfg, weights, toks, lens):
+        def spy(cfg, weights, eog_ids, n_steps, toks, lens, seeds, sampler):
             seen_group_sizes.append(int(toks.shape[0]))
-            return real(cfg, weights, toks, lens)
+            return real(cfg, weights, eog_ids, n_steps, toks, lens, seeds,
+                        sampler)
 
-        batching_mod.llm_prefill_kv_jit = spy
+        batching_mod.llm_prefill_generate_jit = spy
         try:
             texts = ["a", "bb", "ccc", "dddd"]  # all land in bucket 32
             barrier = threading.Barrier(len(texts))
@@ -126,7 +127,7 @@ def test_cold_group_sizes_split_to_warmed_during_warmup_tail(tmp_path):
             with concurrent.futures.ThreadPoolExecutor(len(texts)) as ex:
                 results = list(ex.map(one, texts))
         finally:
-            batching_mod.llm_prefill_kv_jit = real
+            batching_mod.llm_prefill_generate_jit = real
         # drain timing may or may not coalesce the burst, but no prefill
         # may exceed the largest warmed group size
         assert seen_group_sizes and max(seen_group_sizes) <= 2
@@ -209,11 +210,14 @@ def test_worker_survives_chunk_failure(batcher, monkeypatch):
         monkeypatch.setattr(bmod, "llm_generate_chunk_batched", boom)
         monkeypatch.setattr(bmod, "llm_generate_chunk_batched_sliced",
                             boom_sliced)
-        h = b.submit("fail me", n_predict=8)
+        # n_predict must exceed first_chunk: the fused prefill serves the
+        # first first_chunk tokens without any chunk dispatch, and the
+        # injected failure targets the chunk step
+        h = b.submit("fail me", n_predict=40)
         with pytest.raises(RuntimeError, match="injected device failure"):
             h.collect()
         # the worker recovered: a new request completes normally
-        h2 = b.submit("works again", n_predict=8)
+        h2 = b.submit("works again", n_predict=40)
         toks = h2.collect()
         assert len(toks) > 0
     finally:
@@ -257,9 +261,10 @@ def test_chunk_growth_ladder(batcher, monkeypatch):
     assert got == expect
     assert set(sizes) <= {8, 16}
     if len(expect) == 40:  # no early EOG: the exact ladder walk is fixed
-        # 8 (fresh) -> 8 (dispatched 8 < first+chunk=16) -> 16 (graduated)
-        # -> 8 (remaining budget 8 shrinks the final dispatch)
-        assert sizes == [8, 8, 16, 8]
+        # first 8 tokens ride the FUSED prefill (no chunk dispatch), then:
+        # 8 (dispatched 8 < first+chunk=16) -> 16 (graduated) -> 8
+        # (remaining budget 8 shrinks the final dispatch)
+        assert sizes == [8, 16, 8]
 
 
 def test_width_sliced_chunk_used_and_identical(batcher, monkeypatch):
@@ -386,11 +391,11 @@ def test_binary_lane_skips_first_chunk(batcher, monkeypatch):
     assert got == expect and got_early == expect  # math is size-invariant
     assert 4 not in binary_sizes  # binary never dispatches first_chunk
     if len(expect) == 24:  # no early EOG: exact walks are fixed
-        # binary: 8 (fresh, steady) -> 8 (dispatched 8 < 4+8) -> 8
-        # (remaining 8 shrinks the graduated 16)
-        assert binary_sizes == [8, 8, 8]
-        # early: 4 (fresh) -> 8 -> 8 -> 4 (remaining-budget shrink)
-        assert early_sizes[0] == 4
+        # both consumers get their first first_chunk=4 tokens from the
+        # FUSED prefill (no dispatch), then walk the ladder identically:
+        # 8 (dispatched 4 < 4+8) -> 16 (graduated; covers remaining 12)
+        assert binary_sizes == [8, 16]
+        assert early_sizes == [8, 16]
 
 
 def test_chunk_max_env_flat(batcher, monkeypatch):
@@ -474,16 +479,16 @@ def test_worker_survives_attach_failure(batcher, monkeypatch):
     eng, _shared = batcher
     b = ContinuousBatcher(eng, n_lanes=2, max_ctx=160, chunk=8, seed=0)
     try:
-        real = bmod.attach_lanes
+        real = bmod.attach_lanes_gen
         calls = {"n": 0}
 
-        def boom(state, *args):
+        def boom(state, *args, **kwargs):
             calls["n"] += 1
             if calls["n"] == 1:
                 raise RuntimeError("injected attach failure")
-            return real(state, *args)
+            return real(state, *args, **kwargs)
 
-        monkeypatch.setattr(bmod, "attach_lanes", boom)
+        monkeypatch.setattr(bmod, "attach_lanes_gen", boom)
         h = b.submit("fail in attach", n_predict=8)
         with pytest.raises(RuntimeError, match="injected attach failure"):
             h.collect()
@@ -517,3 +522,47 @@ def test_device_stall_watchdog(batcher):
         assert not b.device_stalled
     finally:
         b.shutdown()
+
+
+def test_unfused_prefill_fallback(batcher, monkeypatch):
+    """MIOTTS_FUSED_PREFILL=0 restores the unfused submit path (plain
+    prefill + attach + small first chunk) with identical greedy tokens;
+    and a prompt bucket with no room for the fused steps falls back
+    automatically (_use_fused)."""
+    from miotts_tpu.serving.batching import ContinuousBatcher
+
+    eng, _shared = batcher
+    monkeypatch.setenv("MIOTTS_FUSED_PREFILL", "0")
+    b = ContinuousBatcher(eng, n_lanes=2, max_ctx=160, chunk=8, seed=0)
+    try:
+        assert not b.fused_prefill
+        got = b.submit("hi", SamplerParams(temp=0.0), n_predict=20).collect()
+    finally:
+        b.shutdown()
+    expect = eng.generate_audio_tokens("hi", n_predict=20, n_ctx=64,
+                                       sampler=SamplerParams(temp=0.0))
+    assert got == expect
+    monkeypatch.delenv("MIOTTS_FUSED_PREFILL")
+    # bucket 32 + first_chunk 8 > max_ctx 39: fused is skipped per-bucket
+    b2 = ContinuousBatcher(eng, n_lanes=2, max_ctx=39, chunk=8, seed=0)
+    try:
+        assert b2.fused_prefill and not b2._use_fused(32)
+        got2 = b2.submit("hi", SamplerParams(temp=0.0), n_predict=4).collect()
+    finally:
+        b2.shutdown()
+    expect2 = eng.generate_audio_tokens("hi", n_predict=4, n_ctx=64,
+                                        sampler=SamplerParams(temp=0.0))
+    assert got2 == expect2
+
+
+def test_fused_prefill_early_eog_and_budget(batcher):
+    """Requests that finish entirely inside the fused prefill steps
+    (tiny n_predict) complete cleanly — tokens delivered, lane freed —
+    and the lane is reusable immediately."""
+    eng, b = batcher
+    expect = eng.generate_audio_tokens("hello", n_predict=3, n_ctx=64,
+                                       sampler=SamplerParams(temp=0.0))
+    for _ in range(6):  # cycle lanes through the fused-finish path
+        got = b.submit("hello", SamplerParams(temp=0.0),
+                       n_predict=3).collect()
+        assert got == expect
