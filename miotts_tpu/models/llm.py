@@ -181,6 +181,37 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
               "'output_int4' or 'int8_output_int4'); running dense",
               file=sys.stderr)
 
+    # deploy artifact (round-3 verdict item 6): the packed host groups +
+    # weight-tree spec persist to disk after the first load; a warm restart
+    # replays them with one file read + one upload, skipping the GGUF
+    # tensor reads, host quantization, and packing below entirely.
+    art = None
+    if pk is not None:
+        from ..runtime.device_dequant import (
+            load_packed_artifact, packed_artifact_path)
+
+        art = packed_artifact_path(
+            path, sig=f"llm|{np.dtype(dtype)}|{quantize}"
+                      f"|{cfg.output_token_major}")
+        if art is not None and art.exists():
+            loaded = load_packed_artifact(art)
+            if loaded is not None and loaded[1]:
+                built, wspec = loaded
+                try:
+                    w = {k: (None if v is None else
+                             {sk: built[key] for sk, key in v[1].items()}
+                             if v[0] == "dict" else built[v[1]])
+                         for k, v in wspec.items()}
+                except KeyError:
+                    w = None
+                if w is not None:
+                    r.close()
+                    for k in ("attn_norm", "ffn_norm", "output_norm",
+                              "q_norm", "k_norm"):
+                        if w[k] is not None:
+                            w[k] = w[k].astype(jnp.float32)
+                    return cfg, w, tokenizer
+
     def quantize_kn(wkn, kind: str | None = None):
         """Quantize a transposed [K, N] weight, kept quantized in HBM. Q8_0
         mode ("q8_0"): {"q": int8 [K, N], "s": f32 [K//32, N]} dequantized
@@ -316,7 +347,11 @@ def load_llm_gguf(path: str, dtype=jnp.bfloat16,
                         for sk, a in v.items()}
             else:
                 w[k] = pk.add_array(("arr", k), v, out_dtype=dtype)
-        built = pk.finalize()
+        wspec = {k: (None if v is None else
+                     ("dict", {sk: sv.key for sk, sv in v.items()})
+                     if isinstance(v, dict) else ("leaf", v.key))
+                 for k, v in w.items()}
+        built = pk.finalize(artifact_path=art, extra_meta=wspec)
 
         def resolve(v):
             return built[v.key] if isinstance(v, _Pending) else v

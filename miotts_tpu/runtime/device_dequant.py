@@ -211,12 +211,14 @@ class PackedLoader:
 
     # -- build ----------------------------------------------------------------
 
-    def finalize(self, out_sharding=None) -> dict:
+    def finalize(self, out_sharding=None, artifact_path=None,
+                 extra_meta=None) -> dict:
         """``out_sharding`` places every assembled leaf directly (e.g.
         replicated over an sp mesh) — one upload instead of upload +
-        re-transfer."""
-        import jax.numpy as jnp
-
+        re-transfer. ``artifact_path`` additionally persists the packed
+        host groups + assembly metadata as a deploy artifact
+        (save_packed_artifact) so the next process start can skip the
+        GGUF tensor reads, host quantization, and packing entirely."""
         if not self._parts:
             return {}
         # pack per dtype: a handful of large typed 1-D transfers instead of
@@ -245,86 +247,181 @@ class PackedLoader:
                 self._parts[i] = None
             host_groups.append(buf)
 
-        part_shape = list(self._shapes)
-        leaves = dict(self._leaves)
-
-        def cut(bufs, idx):
-            g, start, n = part_loc[idx]
-            seg = jax.lax.slice(bufs[g], (start,), (start + n,))
-            return seg.reshape(part_shape[idx])
-
         # map each leaf to the indices of its staged parts (staging order)
         order: dict[Any, list[int]] = {}
         idx = 0
-        for key, spec in leaves.items():
+        for key, spec in self._leaves.items():
             n = 1 if spec[0] == "arr" else spec[4]
             order[key] = list(range(idx, idx + n))
             idx += n
+        meta = {
+            "part_loc": part_loc,
+            "part_shape": list(self._shapes),
+            "leaves": dict(self._leaves),
+            "order": order,
+        }
+        if artifact_path is not None:
+            try:
+                save_packed_artifact(artifact_path, host_groups, meta,
+                                     extra_meta)
+            except Exception as e:  # pragma: no cover - disk-dependent
+                import sys
 
-        def assemble_all(*bufs):
-            out = {}
-            for key, spec in leaves.items():
-                idxs = order[key]
-                if spec[0] == "arr":
-                    out[key] = cut(bufs, idxs[0])
-                else:
-                    _, specs, transpose, out_dtype, _n = spec
-                    arrays = [cut(bufs, j) for j in idxs]
-                    out[key] = _assemble_leaf(specs, transpose, out_dtype,
-                                              arrays)
-            return out
-
-        # donation frees the packed buffers as outputs materialize (peak
-        # HBM = buffers + outputs); XLA:CPU can't donate host-committed
-        # buffers, so skip there to avoid the warning
-        donate = (tuple(range(len(host_groups)))
-                  if jax.default_backend() != "cpu" else ())
-        fn = jax.jit(assemble_all, donate_argnums=donate,
-                     out_shardings=out_sharding)
-        try:
-            import warnings
-
-            with warnings.catch_warnings():
-                # "Some donated buffers were not usable": no output aliases
-                # the packed input (outputs are reshaped slices), but the
-                # input still frees after its last read — the warning is
-                # noise in every server start log
-                warnings.filterwarnings(
-                    "ignore", message="Some donated buffers were not usable")
-                result = fn(*host_groups)
-        except Exception as e:  # pragma: no cover - device-dependent
-            # e.g. HBM pressure from buffers+outputs resident together, or
-            # a compile failure on an exotic leaf mix: fall back to
-            # assembling leaf-by-leaf (smaller peak, more transfers) rather
-            # than failing the whole model load
-            import sys
-
-            print(f"mio: packed weight upload failed ({e!r}); falling back "
-                  "to per-leaf assembly", file=sys.stderr)
-
-            def put(j):
-                # the staged copies were released into the packed buffers
-                # (donation only frees the DEVICE copies, the host arrays
-                # survive a failed call) — cut each part back out
-                g, start, n = part_loc[j]
-                seg = host_groups[g][start:start + n].reshape(part_shape[j])
-                if out_sharding is not None:
-                    return jax.device_put(seg, out_sharding)
-                return jax.numpy.asarray(seg)
-
-            result = {}
-            for key, spec in leaves.items():
-                idxs = order[key]
-                if spec[0] == "arr":
-                    result[key] = put(idxs[0])
-                else:
-                    _, specs, transpose, out_dtype, _n = spec
-                    result[key] = _assemble(specs, transpose, out_dtype,
-                                            *[put(j) for j in idxs])
+                print(f"mio: packed-artifact save failed ({e!r})",
+                      file=sys.stderr)
+        result = _assemble_groups(host_groups, meta, out_sharding)
         self._parts.clear()
         self._shapes.clear()
         self._leaves.clear()
         return result
+
+
+def _assemble_groups(host_groups, meta, out_sharding=None) -> dict:
+    """Upload the packed dtype groups and run the single assemble program
+    (shared by the staging path and the deploy-artifact replay path)."""
+    part_loc = meta["part_loc"]
+    part_shape = meta["part_shape"]
+    leaves = meta["leaves"]
+    order = meta["order"]
+
+    def cut(bufs, idx):
+        g, start, n = part_loc[idx]
+        seg = jax.lax.slice(bufs[g], (start,), (start + n,))
+        return seg.reshape(part_shape[idx])
+
+    def assemble_all(*bufs):
+        out = {}
+        for key, spec in leaves.items():
+            idxs = order[key]
+            if spec[0] == "arr":
+                out[key] = cut(bufs, idxs[0])
+            else:
+                _, specs, transpose, out_dtype, _n = spec
+                arrays = [cut(bufs, j) for j in idxs]
+                out[key] = _assemble_leaf(specs, transpose, out_dtype,
+                                          arrays)
+        return out
+
+    # donation frees the packed buffers as outputs materialize (peak
+    # HBM = buffers + outputs); XLA:CPU can't donate host-committed
+    # buffers, so skip there to avoid the warning
+    donate = (tuple(range(len(host_groups)))
+              if jax.default_backend() != "cpu" else ())
+    fn = jax.jit(assemble_all, donate_argnums=donate,
+                 out_shardings=out_sharding)
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            # "Some donated buffers were not usable": no output aliases
+            # the packed input (outputs are reshaped slices), but the
+            # input still frees after its last read — the warning is
+            # noise in every server start log
+            warnings.filterwarnings(
+                "ignore", message="Some donated buffers were not usable")
+            return fn(*host_groups)
+    except Exception as e:  # pragma: no cover - device-dependent
+        # e.g. HBM pressure from buffers+outputs resident together, or
+        # a compile failure on an exotic leaf mix: fall back to
+        # assembling leaf-by-leaf (smaller peak, more transfers) rather
+        # than failing the whole model load
+        import sys
+
+        print(f"mio: packed weight upload failed ({e!r}); falling back "
+              "to per-leaf assembly", file=sys.stderr)
+
+        def put(j):
+            # the staged copies were released into the packed buffers
+            # (donation only frees the DEVICE copies, the host arrays
+            # survive a failed call) — cut each part back out
+            g, start, n = part_loc[j]
+            seg = host_groups[g][start:start + n].reshape(part_shape[j])
+            if out_sharding is not None:
+                return jax.device_put(seg, out_sharding)
+            return jax.numpy.asarray(seg)
+
+        result = {}
+        for key, spec in leaves.items():
+            idxs = order[key]
+            if spec[0] == "arr":
+                result[key] = put(idxs[0])
+            else:
+                _, specs, transpose, out_dtype, _n = spec
+                result[key] = _assemble(specs, transpose, out_dtype,
+                                        *[put(j) for j in idxs])
+        return result
+
+
+# ---------------------------------------------------------------------------
+# deploy artifact: packed groups + assembly metadata persisted to disk.
+# A warm process start replays it with one mmap + one upload, skipping the
+# GGUF tensor reads, host quantization, and packing of the first start.
+# ---------------------------------------------------------------------------
+
+_ARTIFACT_VERSION = 1
+
+
+def packed_artifact_path(src_path: str, sig: str):
+    """Deploy-artifact file for a source model + load-config signature.
+
+    Opt-in (artifacts are model-sized): returns None unless
+    MIOTTS_PACKED_CACHE is set — "1"/"on" uses the default
+    ~/.cache/miotts_tpu/packed, anything else is the directory. The server
+    entrypoint defaults it on (serving/server.py) — restart speed is a
+    deploy concern; library loads stay side-effect-free. The artifact name
+    carries the source's (size, mtime) so a replaced model file never
+    replays a stale pack."""
+    import hashlib
+    from pathlib import Path
+
+    setting = os.environ.get("MIOTTS_PACKED_CACHE", "")
+    if setting in ("", "0", "off", "false"):
+        return None
+    base = (Path(os.path.expanduser("~")) / ".cache" / "miotts_tpu"
+            / "packed") if setting in ("1", "on") else Path(setting)
+    try:
+        st = os.stat(src_path)
+        ident = f"{os.path.abspath(src_path)}|{st.st_size}|{int(st.st_mtime)}|{sig}|v{_ARTIFACT_VERSION}"
+    except OSError:
+        return None
+    h = hashlib.sha256(ident.encode()).hexdigest()[:20]
+    return base / f"{Path(src_path).stem}-{h}.packed.npz"
+
+
+def save_packed_artifact(path, host_groups, meta, extra_meta=None) -> None:
+    import pickle
+    from pathlib import Path
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    payload = {"meta": meta, "extra": extra_meta,
+               "version": _ARTIFACT_VERSION,
+               "group_dtypes": [str(g.dtype) for g in host_groups]}
+    blob = np.frombuffer(pickle.dumps(payload), np.uint8)
+    arrays = {f"g{i}": g.view(np.uint8) if g.dtype == np.dtype("bfloat16")
+              else g for i, g in enumerate(host_groups)}
+    tmp = path.with_suffix(".tmp.npz")
+    np.savez(tmp, meta_pickle=blob, **arrays)
+    os.replace(tmp, path)
+
+
+def load_packed_artifact(path, out_sharding=None):
+    """Replay a deploy artifact -> (leaves dict, extra_meta), or None when
+    the file is missing/unreadable/version-mismatched."""
+    import pickle
+
+    try:
+        with np.load(path, mmap_mode="r") as z:
+            payload = pickle.loads(bytes(z["meta_pickle"]))
+            if payload.get("version") != _ARTIFACT_VERSION:
+                return None
+            dts = payload["group_dtypes"]
+            host_groups = [np.asarray(z[f"g{i}"]).view(np.dtype(dt))
+                           for i, dt in enumerate(dts)]
+    except Exception:
+        return None
+    built = _assemble_groups(host_groups, payload["meta"], out_sharding)
+    return built, payload.get("extra")
 
 
 def build_leaf(reader, fmts: list[str], n_layers: int | None = None,

@@ -876,6 +876,11 @@ def main(argv=None) -> int:
     from ..cli import _apply_platform_env
 
     _apply_platform_env()
+    # restart speed is a deploy concern: persist the packed-weight deploy
+    # artifact by default for servers (one file read + one upload on warm
+    # restart instead of GGUF reads + quantization + packing);
+    # MIOTTS_PACKED_CACHE=0 opts out, =dir overrides the location
+    os.environ.setdefault("MIOTTS_PACKED_CACHE", "1")
     args = build_arg_parser().parse_args(argv)
     cfg = ServerConfig(
         model_vocoder=args.model_vocoder, model=args.model,

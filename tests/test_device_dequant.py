@@ -172,3 +172,45 @@ def test_duplicate_leaf_key_rejected():
     pk.add_array("k", np.ones(4, np.float32))
     with pytest.raises(AssertionError):
         pk.add_array("k", np.zeros(4, np.float32))
+
+
+@pytest.mark.parametrize("quant_mode", ["", "int8_output_int4"])
+def test_packed_deploy_artifact_roundtrip(gguf_path, monkeypatch, tmp_path,
+                                          quant_mode):
+    """The deploy artifact (packed groups + weight-tree spec on disk)
+    replays to bit-identical leaves WITHOUT touching GGUF tensor payloads:
+    the second load succeeds even with the tensor reader poisoned."""
+    import miotts_tpu.models.llm as llm_mod
+    from miotts_tpu.gguf import GGUFReader
+
+    monkeypatch.setenv("MIOTTS_DEVICE_DEQUANT", "1")
+    monkeypatch.setenv("MIOTTS_PACKED_CACHE", str(tmp_path / "packed"))
+    cfg1, w1, _ = load_llm_gguf(gguf_path, quantize=quant_mode)
+    arts = list((tmp_path / "packed").glob("*.packed.npz"))
+    assert len(arts) == 1, arts
+
+    real_tensor = GGUFReader.tensor
+
+    def poisoned(self, name, dtype=None):
+        raise AssertionError(
+            f"artifact replay read tensor payload {name!r}")
+
+    monkeypatch.setattr(GGUFReader, "tensor", poisoned)
+    try:
+        cfg2, w2, _ = load_llm_gguf(gguf_path, quantize=quant_mode)
+    finally:
+        monkeypatch.setattr(GGUFReader, "tensor", real_tensor)
+    assert cfg1 == cfg2
+    for k in w1:
+        a, b = w1[k], w2[k]
+        if a is None:
+            assert b is None
+            continue
+        if isinstance(a, dict):
+            assert set(a) == set(b)
+            for sk in a:
+                assert np.array_equal(np.asarray(a[sk]), np.asarray(b[sk])), (k, sk)
+        else:
+            assert a.dtype == b.dtype and np.array_equal(
+                np.asarray(a.astype(jnp.float32)),
+                np.asarray(b.astype(jnp.float32))), k
