@@ -413,8 +413,21 @@ def main() -> int:
         # relay) for no steady-state gain — a real server's warmup
         # precompiles the width grid instead
         os.environ.setdefault("MIOTTS_CHUNK_SLICE", "0")
+        # bulk-serving chunk profile: every chunk boundary pays the ~60 ms
+        # relay fetch RTT, and codes_only consumers don't need fine token
+        # granularity — graduate lanes to big chunks. The fused prefill
+        # already delivers the first 12 tokens without a boundary, so
+        # fresh arrivals never pull the cohort size down; dispatch sizes
+        # are runtime operands (step_cap) of one chunk_max-sized
+        # executable, and per-lane budgets stop the cohort's final chunk
+        # at the true remaining work, so a big chunk_max costs nothing
+        # when requests are short.
+        serve_chunk = int(os.environ.get("MIOTTS_BENCH_SERVE_CHUNK", "64"))
+        os.environ.setdefault("MIOTTS_CHUNK_MAX",
+                              str(max(256, 2 * serve_chunk)))
         eng.batcher = ContinuousBatcher(
-            eng.llm, n_lanes=conc, max_ctx=64 + n_gen + 64, chunk=32, seed=0)
+            eng.llm, n_lanes=conc, max_ctx=64 + n_gen + 64,
+            chunk=serve_chunk, seed=0)
 
         def one_request(results, i):
             out: dict = {}

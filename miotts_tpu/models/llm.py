@@ -895,17 +895,40 @@ def _chunk_loop_batched(
     n_steps: int,
     sampler: BatchSamplerParams,
     state: GenState,
+    step_cap: jnp.ndarray | None = None,
+    rem: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, GenState]:
     """Trace-time body shared by the full-width and width-sliced chunk
     steps (continuous batching: per-lane sampler arrays, mixed requests
-    share one batch)."""
+    share one batch).
+
+    ``step_cap`` (scalar int32, optional) bounds the loop at runtime:
+    ONE compiled executable (sized ``n_steps`` = the ladder max) serves
+    every dispatch size the batcher picks — the 12-step TTFA first chunk
+    and the 256-step bulk chunk are the same program with a different
+    operand, so the warm set holds one chunk executable per width instead
+    of one per (ladder size x width).
+
+    ``rem`` ([B] int32, optional) is each lane's remaining token budget:
+    a lane that has emitted ``rem`` tokens this chunk is marked done
+    in-graph, exactly like EOG. Without it, a cohort in its final chunk
+    kept stepping ALL lanes until the step cap even when every budget was
+    exhausted (tokens past the budget are dropped by the delivery clamp):
+    at 32 lanes x 1.63B that tail waste was ~3.7 ms/step. With it the
+    ``~all(done)`` exit fires on the exact step the last lane finishes,
+    and freed-lane zombies (EOG never sampled, request already delivered)
+    stop holding the early exit hostage.
+    """
     B = state.logits.shape[0]
     w = _prepare_decode_weights(w)
     out = jnp.zeros((B, n_steps), jnp.int32)
 
     def cond(c):
         i, st, *_ = c
-        return (i < n_steps) & ~jnp.all(st.done)
+        live = (i < n_steps) & ~jnp.all(st.done)
+        if step_cap is not None:
+            live &= i < step_cap
+        return live
 
     def body(c):
         i, st, out, n_new = c
@@ -920,6 +943,11 @@ def _chunk_loop_batched(
         out = out.at[:, i].set(jnp.where(st.done, 0, tok))
         n_new = n_new + (~st.done).astype(jnp.int32)
         done_next = st.done | is_eog
+        if rem is not None:
+            # the token emitted this step is the lane's rem-th: it is
+            # still within budget (delivery keeps it); the NEXT step is
+            # not, so the lane leaves the live set now
+            done_next |= n_new >= rem
         logits, ck, cv = llm_decode_step(cfg, w, tok, st.pos, st.cache_k, st.cache_v)
         pos = st.pos + jnp.where(done_next, 0, 1)
         return (i + 1, GenState(logits, ck, cv, pos, sstate.ring, sstate.idx,
@@ -938,9 +966,12 @@ def llm_generate_chunk_batched(
     n_steps: int,
     sampler: BatchSamplerParams,
     state: GenState,
+    step_cap: jnp.ndarray | None = None,
+    rem: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, GenState]:
     """Continuous-batching chunk step over every lane of the state."""
-    return _chunk_loop_batched(cfg, w, eog_ids, n_steps, sampler, state)
+    return _chunk_loop_batched(cfg, w, eog_ids, n_steps, sampler, state,
+                               step_cap, rem)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4))
@@ -953,6 +984,8 @@ def llm_generate_chunk_batched_sliced(
     sampler: BatchSamplerParams,
     state: GenState,
     lanes: jnp.ndarray,
+    step_cap: jnp.ndarray | None = None,
+    rem: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, GenState]:
     """Width-sliced chunk step: gather ``width`` lanes, decode, scatter back.
 
@@ -996,8 +1029,9 @@ def llm_generate_chunk_batched_sliced(
         top_p=jnp.take(sampler.top_p, idx, axis=0),
         repeat_penalty=jnp.take(sampler.repeat_penalty, idx, axis=0),
     )
+    rem_w = None if rem is None else jnp.take(rem, idx, axis=0)
     out_w, n_new_w, sub = _chunk_loop_batched(
-        cfg, w, eog_ids, n_steps, sub_sampler, sub)
+        cfg, w, eog_ids, n_steps, sub_sampler, sub, step_cap, rem_w)
     out = jnp.zeros((B, n_steps), jnp.int32).at[lanes].set(
         out_w, mode="drop")
     n_new = jnp.zeros((B,), jnp.int32).at[lanes].set(n_new_w, mode="drop")

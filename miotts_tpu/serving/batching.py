@@ -502,13 +502,19 @@ class ContinuousBatcher:
             return None
         return w
 
-    def warm_chunk(self, size: int, width: int | None = None) -> None:
+    def warm_chunk(self, size: int | None = None,
+                   width: int | None = None) -> None:
         """Compile/load a chunk-step executable (width-sliced, or the
         full-width step for width None/>=n_lanes) without touching live
         generation state: runs on a throwaway GenState whose lanes are
-        all done, so the in-graph loop exits after zero steps — the cost
-        is the compile/cache-load plus one dispatch. Thread-safe; called
-        from ServingEngine.warmup's pool."""
+        all done with a zero step_cap, so the in-graph loop exits before
+        any step — the cost is the compile/cache-load plus one dispatch.
+        The executable is always the single chunk_max-sized program the
+        dispatch loop runs (``size`` is accepted for call-site symmetry
+        but the step count is a runtime operand, not a shape — one warm
+        per width covers every dispatch size). Thread-safe; called from
+        ServingEngine.warmup's pool."""
+        del size  # one executable per width; sizes are runtime operands
         with self._cv:
             ws = self._warm_state
             if ws is None:
@@ -516,17 +522,19 @@ class ContinuousBatcher:
                     self.cfg, self.n_lanes, self.max_ctx, self.seed)
         sampler = BatchSamplerParams.make(
             self._temps, self._top_ks, self._top_ps, self._pens)
+        cap = jnp.asarray(0, jnp.int32)
+        rem = jnp.asarray(np.zeros(self.n_lanes, np.int32))
         if width is None or width >= self.n_lanes:
             out, n_new, st = llm_generate_chunk_batched(
                 self.cfg, self.engine.weights, self.engine.eog_ids,
-                size, sampler, ws)
-            key = (size, self.n_lanes)
+                self.chunk_max, sampler, ws, cap, rem)
+            key = (self.chunk_max, self.n_lanes)
         else:
             lanes = jnp.asarray(np.full(width, self.n_lanes, np.int32))
             out, n_new, st = llm_generate_chunk_batched_sliced(
                 self.cfg, self.engine.weights, self.engine.eog_ids,
-                size, width, sampler, ws, lanes)
-            key = (size, width)
+                self.chunk_max, width, sampler, ws, lanes, cap, rem)
+            key = (self.chunk_max, width)
         finish_chunk_fetch(start_chunk_fetch(out, n_new, st))
         with self._warm_lock:
             self._warm_chunks = self._warm_chunks | {key}
@@ -674,9 +682,22 @@ class ContinuousBatcher:
                 worth_dispatching = any(
                     (l.generated + steps_inflight.get(id(l), 0)) < l.n_predict
                     for _i, l in snapshot)
-                # first-chunk ramp + growth ladder (see _dispatch_size)
+                # first-chunk ramp + growth ladder (see _dispatch_size).
+                # `size` is a runtime operand (step_cap) of ONE compiled
+                # chunk executable sized chunk_max — not a shape — so any
+                # value <= chunk_max dispatches without a new compile.
                 size = self._dispatch_size(snapshot)
-                width = self._pick_width(size, len(snapshot))
+                width = self._pick_width(self.chunk_max, len(snapshot))
+                # per-lane remaining budget at dispatch: the in-graph loop
+                # marks a lane done the step its budget runs out, so the
+                # cohort's last chunk stops at the true remaining work
+                # instead of stepping every lane to the cap. Lanes not in
+                # the snapshot (free slots, zombies whose request was
+                # delivered before EOG) get 0 and leave the live set on
+                # their first step; a later attach rewrites their row.
+                rem_np = np.zeros(self.n_lanes, np.int32)
+                for i, l in snapshot:
+                    rem_np[i] = max(0, l.n_predict - l.dispatched)
 
             t0 = _t.perf_counter()
             dispatched = False
@@ -686,24 +707,27 @@ class ContinuousBatcher:
                 try:
                     if self._work_started is None:
                         self._work_started = _wall.monotonic()
+                    cap = jnp.asarray(size, jnp.int32)
+                    rem = jnp.asarray(rem_np)
                     if width is not None:
                         lanes_np = np.full(width, self.n_lanes, np.int32)
                         for j, (i, _) in enumerate(snapshot):
                             lanes_np[j] = i
                         out, n_new, state = llm_generate_chunk_batched_sliced(
                             self.cfg, self.engine.weights,
-                            self.engine.eog_ids, size, width, sampler,
-                            state, jnp.asarray(lanes_np))
+                            self.engine.eog_ids, self.chunk_max, width,
+                            sampler, state, jnp.asarray(lanes_np), cap, rem)
                     else:
                         out, n_new, state = llm_generate_chunk_batched(
                             self.cfg, self.engine.weights,
-                            self.engine.eog_ids, size, sampler, state)
+                            self.engine.eog_ids, self.chunk_max, sampler,
+                            state, cap, rem)
                     # register the executable (full-width dispatches too:
                     # a later occupancy ramp-down prefers reusing it over
                     # a cold narrower compile). Read-check first — the
                     # set stops growing after the first few chunks, and
                     # this path runs per dispatch.
-                    key_w = (size, width if width is not None
+                    key_w = (self.chunk_max, width if width is not None
                              else self.n_lanes)
                     if key_w not in self._warm_chunks:
                         with self._warm_lock:
@@ -778,11 +802,13 @@ class ContinuousBatcher:
           a fetch round trip through the device link), so a lane that has
           already run a steady chunk graduates to ``chunk_max``;
         - steps past the largest remaining budget are pure waste (the
-          delivery clamp drops their tokens), so the size shrinks to the
-          smallest ladder entry covering that remainder.
+          delivery clamp drops their tokens), so the size shrinks to
+          exactly that remainder.
 
-        Sizes always come from ``self.ladder`` so every chunk executable
-        the loop can dispatch is compiled once by warmup, never mid-burst.
+        The size is a runtime operand (step_cap) of the single
+        chunk_max-sized executable — any value dispatches without a
+        compile, so the ladder is pure pacing policy and the
+        budget-shrink is exact instead of rounded up to a ladder entry.
         """
         sizes = []
         remaining_max = 0
@@ -802,9 +828,7 @@ class ContinuousBatcher:
                 sizes.append(self.chunk_max)
         size = min(sizes) if sizes else self.chunk
         if 0 < remaining_max < size:
-            for s in self.ladder:
-                if s >= remaining_max:
-                    return s
+            return remaining_max
         return size
 
     def _deliver_chunk(self, out_np, n_np, done_np, snapshot) -> None:

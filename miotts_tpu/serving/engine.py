@@ -271,8 +271,11 @@ class ServingEngine:
                 widths.append(g)
                 g *= 2
             widths.append(self.batcher.n_lanes)  # full-width fallback
-            warm_calls += [(s, {"chunk_width": wd})
-                           for s in self.batcher.ladder for wd in widths]
+            # ONE chunk executable per width: dispatch sizes are runtime
+            # operands (step_cap) of the chunk_max-sized program, so the
+            # old (ladder x width) grid collapses to the width axis
+            warm_calls += [(self.batcher.chunk_max, {"chunk_width": wd})
+                           for wd in widths]
         # (on a dp mesh slicing is off and the warmup submit warms the
         # full-width ladder against the real sharded state, as before)
         return warm_calls
@@ -380,16 +383,14 @@ class ServingEngine:
             from ..models.llm import SamplerParams
 
             # one real submit warms the attach + chunk-step + fetch
-            # executables (shared across buckets). n_predict walks the FULL
-            # chunk ladder (first_chunk -> steady -> chunk_max) so every
-            # chunk size the dispatch loop can pick compiles here, not on
-            # the first long request. The budget must still cover a whole
-            # chunk_max dispatch when the loop reaches it, or the
-            # shrink-to-budget rule would swap in a smaller size.
+            # executables (shared across buckets). Dispatch sizes are
+            # runtime operands of the single chunk_max-sized executable,
+            # so the budget only needs to reach past the fused prefill
+            # into one real chunk dispatch — not walk a ladder.
             b = self.batcher
             handle = b.submit(
                 "warmup", sampler=SamplerParams(),
-                n_predict=b.first_chunk + b.chunk + b.chunk_max + 2)
+                n_predict=b.first_chunk + 4)
             for _ in handle.tokens():
                 pass
         self.warmup_bg_done = not bg_calls

@@ -227,8 +227,10 @@ def test_worker_survives_chunk_failure(batcher, monkeypatch):
 def test_chunk_growth_ladder(batcher, monkeypatch):
     """A long-running lane graduates from first_chunk to the steady chunk
     to chunk_max (each boundary pays a device fetch round trip), the last
-    dispatch shrinks to the smallest ladder size covering the remaining
-    budget, and the greedy output still matches the single-request path."""
+    dispatch shrinks to exactly the remaining budget, and the greedy
+    output still matches the single-request path. Every dispatch runs the
+    ONE chunk_max-sized executable — the walked sizes are its step_cap
+    operand, so the static n_steps must always be chunk_max."""
     import miotts_tpu.serving.batching as bmod
     from miotts_tpu.serving.batching import ContinuousBatcher
 
@@ -241,14 +243,17 @@ def test_chunk_growth_ladder(batcher, monkeypatch):
         real = bmod.llm_generate_chunk_batched
         real_sliced = bmod.llm_generate_chunk_batched_sliced
 
-        def spy(cfg, weights, eog, size, sampler, state):
-            sizes.append(size)
-            return real(cfg, weights, eog, size, sampler, state)
+        def spy(cfg, weights, eog, size, sampler, state, cap, rem):
+            assert size == b.chunk_max
+            sizes.append(int(cap))
+            return real(cfg, weights, eog, size, sampler, state, cap, rem)
 
-        def spy_sliced(cfg, weights, eog, size, width, sampler, state, lanes):
-            sizes.append(size)
+        def spy_sliced(cfg, weights, eog, size, width, sampler, state,
+                       lanes, cap, rem):
+            assert size == b.chunk_max
+            sizes.append(int(cap))
             return real_sliced(cfg, weights, eog, size, width, sampler,
-                               state, lanes)
+                               state, lanes, cap, rem)
 
         monkeypatch.setattr(bmod, "llm_generate_chunk_batched", spy)
         monkeypatch.setattr(bmod, "llm_generate_chunk_batched_sliced",
@@ -280,11 +285,12 @@ def test_width_sliced_chunk_used_and_identical(batcher, monkeypatch):
     real_sliced = bmod.llm_generate_chunk_batched_sliced
     real_full = bmod.llm_generate_chunk_batched
 
-    def spy_sliced(cfg, weights, eog, size, width, sampler, state, lanes):
+    def spy_sliced(cfg, weights, eog, size, width, sampler, state, lanes,
+                   *rest):
         widths.append(width)
         assert lanes.shape == (width,)
         return real_sliced(cfg, weights, eog, size, width, sampler,
-                           state, lanes)
+                           state, lanes, *rest)
 
     def spy_full(*a, **k):
         full_calls.append(1)
@@ -337,9 +343,9 @@ def test_warm_chunk_registers_and_releases(batcher):
     steps), registers (size, width), and release_warm_state drops the
     extra KV cache."""
     _eng, b = batcher
-    b.warm_chunk(8, width=2)
-    b.warm_chunk(8)  # full width
-    assert {(8, 2), (8, b.n_lanes)} <= set(b._warm_chunks)
+    b.warm_chunk(width=2)
+    b.warm_chunk()  # full width
+    assert {(b.chunk_max, 2), (b.chunk_max, b.n_lanes)} <= set(b._warm_chunks)
     assert b._warm_state is not None
     b.release_warm_state()
     assert b._warm_state is None
@@ -366,14 +372,15 @@ def test_binary_lane_skips_first_chunk(batcher, monkeypatch):
         real = bmod.llm_generate_chunk_batched
         real_sliced = bmod.llm_generate_chunk_batched_sliced
 
-        def spy(cfg, weights, eog, size, sampler, state):
-            sizes.append(size)
-            return real(cfg, weights, eog, size, sampler, state)
+        def spy(cfg, weights, eog, size, sampler, state, cap, rem):
+            sizes.append(int(cap))
+            return real(cfg, weights, eog, size, sampler, state, cap, rem)
 
-        def spy_sliced(cfg, weights, eog, size, width, sampler, state, lanes):
-            sizes.append(size)
+        def spy_sliced(cfg, weights, eog, size, width, sampler, state,
+                       lanes, cap, rem):
+            sizes.append(int(cap))
             return real_sliced(cfg, weights, eog, size, width, sampler,
-                               state, lanes)
+                               state, lanes, cap, rem)
 
         monkeypatch.setattr(bmod, "llm_generate_chunk_batched", spy)
         monkeypatch.setattr(bmod, "llm_generate_chunk_batched_sliced",
@@ -393,9 +400,11 @@ def test_binary_lane_skips_first_chunk(batcher, monkeypatch):
     if len(expect) == 24:  # no early EOG: exact walks are fixed
         # both consumers get their first first_chunk=4 tokens from the
         # FUSED prefill (no dispatch), then walk the ladder identically:
-        # 8 (dispatched 4 < 4+8) -> 16 (graduated; covers remaining 12)
-        assert binary_sizes == [8, 16]
-        assert early_sizes == [8, 16]
+        # 8 (dispatched 4 < 4+8) -> graduated, but the remaining budget
+        # (12) shrinks the final step_cap exactly (sizes are runtime
+        # operands now, so no rounding up to a ladder entry)
+        assert binary_sizes == [8, 12]
+        assert early_sizes == [8, 12]
 
 
 def test_chunk_max_env_flat(batcher, monkeypatch):
