@@ -9,6 +9,14 @@ MIOTTS_COMPILE_CACHE=0 disables.
 This subsumes the reference's shape-keyed GPU graph-copy cache
 (ggml-graph-copy-host.h) *across process restarts*, which the reference
 cannot do.
+
+Caveat (mixed-machine entries): under a remote-compile relay, XLA:CPU AOT
+results can be produced on the relay host with machine features the local
+VM lacks (avx512*, amx, +prefer-no-gather) — jax loads them anyway with a
+"could lead to execution errors such as SIGILL" warning, and such loads
+have intermittently segfaulted local-CPU processes. Processes that force
+the CPU backend on a machine that also runs relay sessions should set
+MIOTTS_COMPILE_CACHE to their own directory (tests/conftest.py does).
 """
 
 from __future__ import annotations
