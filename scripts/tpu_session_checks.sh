@@ -58,9 +58,14 @@ for i in $(seq 1 240); do
   sleep 15
 done
 # steady-state burst (everything warm) — the number to compare against the
-# burst-at-listening above
-python tests/bench_server.py --url "http://127.0.0.1:$PORT" --mode stream-audio \
-  --n-predict 120 --concurrency 8 --requests-per-worker 4 --out /tmp/sum_burst_steady.csv
+# burst-at-listening above. THREE consecutive runs: the round-3 verdict's
+# "done" bar is three steady conc=8 runs all under 300 ms TTFA p50, so one
+# lucky relay window can't claim the target.
+for k in 1 2 3; do
+  python tests/bench_server.py --url "http://127.0.0.1:$PORT" --mode stream-audio \
+    --n-predict 120 --concurrency 8 --requests-per-worker 4 \
+    --out "/tmp/sum_burst_steady$k.csv"
+done
 # reference-style concurrency sweep (test_performance.sh levels), binary mode
 python tests/bench_server.py --url "http://127.0.0.1:$PORT" \
   --n-predict 120 --concurrency 1,2,4,8,16,32 --requests-per-worker 3 \
@@ -70,4 +75,32 @@ kill -TERM "$(cat /tmp/tpu_srv.pid)"; sleep 10
 start_server run2
 grep -E "warmup" "/tmp/tpu_srv_run2.log" | tail -3
 kill -TERM "$(cat /tmp/tpu_srv.pid)" || true
+sleep 10
+
+# optional quant-server leg (QUANT=1): the 0.1B decode step's measured -62%
+# under int8_output_int4 must show up at the real HTTP surface, not only in
+# the slope bench (round-3 verdict item 4). Same assets, same levels.
+if [ "${QUANT:-0}" = "1" ]; then
+  date +%s > /tmp/tpu_t0
+  (python -m miotts_tpu.serving.server -mv "$TMP/miotts_bench_codec.gguf" \
+    -m "$TMP/miotts_bench_llm_q8.gguf" --port "$PORT" -np 8 -n 700 \
+    --ctx-size 700 --warmup on --llm-quant int8_output_int4 \
+    --output-dir /tmp/bench_out \
+    --reference-file-json "{\"key\":\"preset\",\"path\":\"$TMP/miotts_bench_voice.emb.gguf\"}" \
+    > /tmp/tpu_srv_quant.log 2>&1 & echo $! > /tmp/tpu_srv.pid)
+  until curl -s -m 3 "localhost:$PORT/mio/health" > /dev/null 2>&1; do sleep 10; done
+  echo "quant server listening at t=$(( $(date +%s) - $(cat /tmp/tpu_t0) ))s"
+  for i in $(seq 1 240); do
+    curl -s -m 3 "localhost:$PORT/mio/health" | grep -q '"warmup_complete": true' && break
+    sleep 15
+  done
+  python tests/bench_server.py --url "http://127.0.0.1:$PORT" \
+    --n-predict 120 --concurrency 1,8 --requests-per-worker 4 \
+    --out /tmp/sum_quant_binary.csv
+  python tests/bench_server.py --url "http://127.0.0.1:$PORT" --mode stream-audio \
+    --n-predict 120 --concurrency 1 --requests-per-worker 4 --out /tmp/sum_quant_sa1.csv
+  python tests/bench_server.py --url "http://127.0.0.1:$PORT" --mode stream-audio \
+    --n-predict 120 --concurrency 8 --requests-per-worker 4 --out /tmp/sum_quant_sa8.csv
+  kill -TERM "$(cat /tmp/tpu_srv.pid)" || true
+fi
 echo "done — record the numbers in DESIGN.md"
