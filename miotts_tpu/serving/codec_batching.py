@@ -104,7 +104,8 @@ class CodecMicroBatcher:
                    interp_anchor: int | None = None,
                    peak_normalize: bool = True,
                    pcm16: bool = False,
-                   window: tuple[int, int] | None = None) -> SynthesisResult:
+                   window: tuple[int, int] | None = None,
+                   priority: bool = False) -> SynthesisResult:
         """Blocking call; batches with concurrent callers that share the same
         (interp_anchor, peak_normalize, pcm16, window-length) options — e.g.
         all streaming prefix re-decodes batch together, as do all full
@@ -114,14 +115,21 @@ class CodecMicroBatcher:
         anyway; the result's ``audio`` is then int16. ``window=(start, len)``
         fetches only that slice per lane (f32; see MioTTSPipeline.synthesize)
         — the window LENGTH is part of the batch group (static shape), the
-        start is per-caller dynamic. Raises like MioTTSPipeline.synthesize
-        on invalid inputs."""
+        start is per-caller dynamic. ``priority=True`` (a fresh stream's
+        FIRST feed — the TTFA-critical call) makes the group containing
+        this item run before same-gather groups without one: under conc=N
+        streaming, a new request's first audio otherwise queues behind up
+        to N-1 steady-feed device calls (~40-85 ms each). Priority never
+        splits a group — a priority item still shares its group's single
+        device call. Raises like MioTTSPipeline.synthesize on invalid
+        inputs."""
         codes_arr, embedding = self.pipeline.validate_request(codes, embedding)
         fut: Future = Future()
         wlen = None if window is None else int(window[1])
         wstart = 0 if window is None else int(window[0])
         opts = (interp_anchor, peak_normalize, pcm16, wlen)
-        self._q.put((codes_arr.tolist(), embedding, opts, fut, wstart))
+        self._q.put((codes_arr.tolist(), embedding, opts, fut, wstart,
+                     bool(priority)))
         return fut.result()
 
     def warm(self, bucket: int,
@@ -209,11 +217,19 @@ class CodecMicroBatcher:
                 return
             # one device call per distinct option set (two in practice:
             # full synthesis and streaming prefix re-decodes)
-            groups: dict[tuple, list[tuple]] = {}
-            for item in batch:
-                groups.setdefault(item[2], []).append(item)
-            for opts, items in groups.items():
+            for opts, items in self._ordered_groups(batch):
                 self._run_group(opts, items)
+
+    @staticmethod
+    def _ordered_groups(batch: list[tuple]) -> list[tuple[tuple, list[tuple]]]:
+        """Group gathered items by option set; groups holding a priority
+        item (a fresh stream's first feed) run first. Stable within each
+        class, so steady feeds keep arrival order."""
+        groups: dict[tuple, list[tuple]] = {}
+        for item in batch:
+            groups.setdefault(item[2], []).append(item)
+        return sorted(groups.items(),
+                      key=lambda kv: 0 if any(it[5] for it in kv[1]) else 1)
 
     def _run_group(self, opts: tuple, batch: list[tuple]) -> None:
         import jax.numpy as jnp

@@ -63,6 +63,17 @@ class StreamingSynthesizer:
         # pluggable decode (pipeline.synthesize signature): the server passes
         # its CodecMicroBatcher so concurrent streams share device calls
         self._synth = synth_fn or pipeline.synthesize
+        # first-feed priority: if the synth_fn is a micro-batcher that
+        # accepts ``priority``, the TTFA-critical first window decode jumps
+        # ahead of other streams' steady feeds (pipeline.synthesize does
+        # not take the kwarg — detect instead of branching on type)
+        try:
+            import inspect
+
+            self._synth_priority = (
+                "priority" in inspect.signature(self._synth).parameters)
+        except (TypeError, ValueError):
+            self._synth_priority = False
 
     INTERP_ANCHOR = 1024  # fixed resample ratio across prefix re-decodes
 
@@ -76,12 +87,16 @@ class StreamingSynthesizer:
         idle lanes, so a "full" fetch moves max_batch x bucket bytes while
         the window path slices both the lanes and the samples."""
         if need + self.crossfade > self.window:
+            kw = ({"priority": True}
+                  if self._synth_priority and self.emitted == 0 else {})
             result = self._synth(self.codes, self.embedding,
                                  interp_anchor=self.INTERP_ANCHOR,
-                                 peak_normalize=False)
+                                 peak_normalize=False, **kw)
             total = int(result.audio.size)
             return np.asarray(result.audio[start:], np.float32), total
         kw = {"pcm16": True} if self.transfer_pcm16 else {}
+        if self._synth_priority and self.emitted == 0:
+            kw["priority"] = True  # first feed = the request's TTFA path
         result = self._synth(self.codes, self.embedding,
                              interp_anchor=self.INTERP_ANCHOR,
                              peak_normalize=False,

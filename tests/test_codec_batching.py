@@ -71,3 +71,59 @@ def test_validation_errors_propagate(setup):
         batcher.synthesize([1, 2, 3], None)
     with pytest.raises(ValueError, match="dimension mismatch"):
         batcher.synthesize([1, 2, 3], np.zeros(7, np.float32))
+
+
+def test_priority_group_runs_first(setup):
+    """A gather batch holding a priority item (a fresh stream's first feed)
+    must run that item's group before same-gather groups without one, while
+    steady groups keep arrival order (stable sort)."""
+    pipe, batcher, cfg = setup
+    # item layout: (codes, emb, opts, fut, wstart, priority)
+    steady_a = ([1], None, ("a",), None, 0, False)
+    steady_b = ([1], None, ("b",), None, 0, False)
+    prio_c = ([1], None, ("c",), None, 0, True)
+    ordered = CodecMicroBatcher._ordered_groups([steady_a, steady_b, prio_c])
+    assert [opts for opts, _ in ordered] == [("c",), ("a",), ("b",)]
+    # a priority item whose opts MATCH a steady group promotes that group
+    # (they share one device call) without reordering within the group
+    steady_c2 = ([2], None, ("c",), None, 0, False)
+    ordered = CodecMicroBatcher._ordered_groups(
+        [steady_a, steady_c2, prio_c, steady_b])
+    assert [opts for opts, _ in ordered] == [("c",), ("a",), ("b",)]
+    assert [it[0] for it in ordered[0][1]] == [[2], [1]]
+
+
+def test_priority_end_to_end_matches_solo(setup):
+    """priority=True must not change results — only scheduling order."""
+    pipe, batcher, cfg = setup
+    rng = np.random.RandomState(3)
+    codes = rng.randint(0, cfg.vocab_size, 12).tolist()
+    emb = rng.randn(cfg.decoder_adanorm_dim).astype(np.float32)
+    a = batcher.synthesize(codes, emb, priority=True)
+    b = pipe.synthesize(codes, emb)
+    np.testing.assert_allclose(a.audio, b.audio, rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_first_feed_passes_priority(setup):
+    """StreamingSynthesizer must flag exactly the first window decode as
+    priority when the synth_fn supports the kwarg."""
+    from miotts_tpu.streaming import StreamingSynthesizer
+
+    pipe, batcher, cfg = setup
+    rng = np.random.RandomState(4)
+    emb = rng.randn(cfg.decoder_adanorm_dim).astype(np.float32)
+    seen = []
+
+    def spy_synth(codes, embedding, priority=False, **kw):
+        seen.append(bool(priority))
+        return batcher.synthesize(codes, embedding, priority=priority, **kw)
+
+    ss = StreamingSynthesizer(pipe, emb, synth_fn=spy_synth,
+                              lookahead_tokens=2, min_decode_tokens=2)
+    rng2 = np.random.RandomState(5)
+    for _ in range(4):
+        ss.feed(rng2.randint(0, cfg.vocab_size, 4).tolist())
+    ss.finalize()
+    decodes_with_priority = [p for p in seen]
+    assert decodes_with_priority[0] is True  # the first feed
+    assert not any(decodes_with_priority[1:])  # never again
