@@ -212,6 +212,22 @@ class ContinuousBatcher:
         # route away or restart instead of waiting on silent hangs.
         self._work_started: float | None = None
         self._last_progress = _wall.monotonic()
+        # burst-attach hold: when MORE lanes are reserved-but-unattached
+        # (submitted, prefill in flight) than are running, a cohort chunk
+        # dispatched now prices full-width weight streaming for a minority
+        # of live lanes AND makes the about-to-attach majority idle out the
+        # whole chunk (they join only at the next boundary). Measured on
+        # the 1.63B 32-request llm1bserve round: the first 64-step chunk
+        # ran with 3/32 lanes attached (~400 ms of near-idle device time).
+        # The worker instead waits — bounded by this cap — for the pending
+        # attaches; the condition self-clears the moment the prefill
+        # thread's attach lands (cv notify). TTFA is unaffected: a fresh
+        # request's first tokens come from the fused prefill, not from the
+        # held cohort chunk. A steady trickle (1 new vs >=1 running) never
+        # holds — the condition is a strict majority of unattached lanes.
+        self.attach_hold_s = float(
+            os.environ.get("MIOTTS_ATTACH_HOLD_S", "1.0"))
+        self._attach_hold_t0: float | None = None
         self.stall_threshold_s = float(
             os.environ.get("MIOTTS_DEVICE_STALL_S", "120"))
         # sub-watchdog stall events: chunk fetches slower than this count
@@ -682,6 +698,18 @@ class ContinuousBatcher:
                 worth_dispatching = any(
                     (l.generated + steps_inflight.get(id(l), 0)) < l.n_predict
                     for _i, l in snapshot)
+                # burst-attach hold (see __init__): defer the dispatch while
+                # a strict majority of reserved lanes is still mid-prefill
+                n_unstarted = sum(1 for l in self.lanes
+                                  if l is not None and not l.started)
+                held = False
+                if snapshot and n_unstarted > len(snapshot):
+                    now = _wall.monotonic()
+                    if self._attach_hold_t0 is None:
+                        self._attach_hold_t0 = now
+                    held = now - self._attach_hold_t0 < self.attach_hold_s
+                else:
+                    self._attach_hold_t0 = None
                 # first-chunk ramp + growth ladder (see _dispatch_size).
                 # `size` is a runtime operand (step_cap) of ONE compiled
                 # chunk executable sized chunk_max — not a shape — so any
@@ -701,7 +729,14 @@ class ContinuousBatcher:
 
             t0 = _t.perf_counter()
             dispatched = False
-            if snapshot and worth_dispatching:
+            if held and not inflight:
+                # nothing to drain while waiting for the attach: sleep on
+                # the cv (the prefill thread's _pending.append notifies)
+                with self._cv:
+                    if not self._pending and not self._shutdown:
+                        self._cv.wait(timeout=0.01)
+                continue
+            if snapshot and worth_dispatching and not held:
                 for _, l in snapshot:
                     l.dispatched += size
                 try:
@@ -817,11 +852,18 @@ class ContinuousBatcher:
             if rem <= 0:
                 continue  # only owes in-flight delivery; don't hold size down
             remaining_max = max(remaining_max, rem)
-            if lane.dispatched == 0:
-                # only consumers that read tokens incrementally get the
-                # small TTFA-first chunk; binary lanes start at the steady
-                # size so arrival churn can't pin the cohort at first_chunk
-                sizes.append(self.first_chunk if lane.early else self.chunk)
+            if not lane.early:
+                # a binary/codes-only consumer reads nothing until its
+                # request completes: chunk boundaries only cost it fetch
+                # round trips. Vote for the cap outright — the budget
+                # shrink plus the in-graph rem exit make an oversized
+                # dispatch exact, and a mixed cohort is still paced by
+                # its streaming lanes (cohort size is the min vote).
+                sizes.append(self.chunk_max)
+            elif lane.dispatched == 0:
+                # consumers that read tokens incrementally get the small
+                # TTFA-first chunk
+                sizes.append(self.first_chunk)
             elif lane.dispatched < self.first_chunk + self.chunk:
                 sizes.append(self.chunk)
             else:

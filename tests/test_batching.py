@@ -396,14 +396,19 @@ def test_binary_lane_skips_first_chunk(batcher, monkeypatch):
     expect = eng.generate_audio_tokens("hi", n_predict=24, n_ctx=64,
                                        sampler=SamplerParams(temp=0.0))
     assert got == expect and got_early == expect  # math is size-invariant
-    assert 4 not in binary_sizes  # binary never dispatches first_chunk
+    # binary never dispatches the small TTFA-first chunk FIRST — its
+    # consumer reads nothing until completion, so it votes the cap
+    # outright (a trailing budget-shrunk size may coincide numerically
+    # with first_chunk; that's exactness, not TTFA pacing)
+    assert binary_sizes[0] != 4
     if len(expect) == 24:  # no early EOG: exact walks are fixed
         # both consumers get their first first_chunk=4 tokens from the
-        # FUSED prefill (no dispatch), then walk the ladder identically:
-        # 8 (dispatched 4 < 4+8) -> graduated, but the remaining budget
-        # (12) shrinks the final step_cap exactly (sizes are runtime
-        # operands now, so no rounding up to a ladder entry)
-        assert binary_sizes == [8, 12]
+        # FUSED prefill (no dispatch). The binary lane then votes
+        # chunk_max=16 immediately (boundaries only cost it fetch RTTs)
+        # and the remaining budget (4) shrinks the final step_cap
+        # exactly; the early lane walks the ladder: 8, then the
+        # remaining 12 (sizes are runtime operands, no rounding up)
+        assert binary_sizes == [16, 4]
         assert early_sizes == [8, 12]
 
 
