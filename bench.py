@@ -485,6 +485,13 @@ def main() -> int:
             llm_generate_chunk_batched, start_chunk_fetch)
 
         raw_steps = n_gen - eng.batcher.first_chunk
+        if raw_steps > eng.batcher.chunk_max:
+            # a single chunk executable can never run more than chunk_max
+            # steps; without the clamp every iteration would exit "early"
+            # yet be timed as conc*raw_steps tokens (advisor r4)
+            log(f"bench: raw_steps {raw_steps} > chunk_max "
+                f"{eng.batcher.chunk_max} — clamping to one full chunk")
+            raw_steps = eng.batcher.chunk_max
         rst = init_batched_state(eng.llm.config, conc,
                                  eng.batcher.max_ctx, seed=0)
         # a fresh state's all-zero logits are degenerate for the exact
@@ -505,6 +512,7 @@ def main() -> int:
         cap = jnp.asarray(raw_steps, jnp.int32)
         uncapped = jnp.full((conc,), 1 << 30, jnp.int32)
         raw_rates = []
+        raw_invalid = 0
         for it in range(max(3, iters)):
             # vary the PRNG stream per repeat so no layer of the stack can
             # serve a memoized result for identical (executable, operands)
@@ -515,10 +523,19 @@ def main() -> int:
                 eng.batcher.cfg, eng.llm.weights, no_eog,
                 eng.batcher.chunk_max, rsampler, rit, cap, uncapped)
             n_host = finish_chunk_fetch(start_chunk_fetch(out_r, n_r, _st))[1]
-            raw_rates.append(conc * raw_steps / (time.perf_counter() - t0))
+            dt = time.perf_counter() - t0
             if int(np.min(n_host)) < raw_steps:
+                # an early-exit sample overstates the raw rate — discard it
+                # rather than contaminate serving_efficiency (advisor r4)
+                raw_invalid += 1
                 log(f"bench: raw chunk exited early ({np.min(n_host)}"
-                    f"/{raw_steps} steps) — raw rate invalid")
+                    f"/{raw_steps} steps) — sample discarded")
+                continue
+            raw_rates.append(conc * raw_steps / dt)
+        if not raw_rates:
+            log("bench: every raw sample invalid — serving_efficiency "
+                "unavailable this run")
+            raw_rates = [float("nan")]
         raw_st = _stats(raw_rates, nd=1)
         ratio = round(st["median"] / raw_st["median"], 3)
         log(f"bench: raw chunk decode {raw_st['median']:.0f} tok/s "
@@ -532,6 +549,7 @@ def main() -> int:
             "vs_baseline": round(xrt / 50.0, 3),
             "stats": st,
             "raw_same_window": raw_st,
+            "raw_invalid_samples": raw_invalid,
             "serving_efficiency": ratio,
         }))
         return 0

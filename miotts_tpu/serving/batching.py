@@ -731,10 +731,17 @@ class ContinuousBatcher:
             dispatched = False
             if held and not inflight:
                 # nothing to drain while waiting for the attach: sleep on
-                # the cv (the prefill thread's _pending.append notifies)
+                # the cv (the prefill thread's _pending.append notifies).
+                # Sleep up to the hold's remaining budget (capped 50 ms so
+                # a racing attach that missed the notify is still seen
+                # promptly) instead of a 10 ms poll loop (advisor r4).
+                hold_left = self.attach_hold_s
+                if self._attach_hold_t0 is not None:
+                    hold_left = self.attach_hold_s - (
+                        _wall.monotonic() - self._attach_hold_t0)
                 with self._cv:
                     if not self._pending and not self._shutdown:
-                        self._cv.wait(timeout=0.01)
+                        self._cv.wait(timeout=max(0.001, min(0.05, hold_left)))
                 continue
             if snapshot and worth_dispatching and not held:
                 for _, l in snapshot:

@@ -10,6 +10,16 @@ PORT="${1:-18310}"
 TMP="${TMPDIR:-/tmp}"
 cd "$(dirname "$0")/.."
 
+# window-health probe (round-4 verdict item 2: every recorded row carries
+# its window probe). Runs before the session — while the server holds the
+# chip a probe would block in axon init, so mid-session probes are not
+# possible; probe again AFTER the server exits.
+probe_window() {
+  timeout 180 python scripts/probe_window.py | tee -a /tmp/tpu_window_probes.jsonl || \
+    echo '{"probe": "window", "error": "timeout-or-blocked"}' | tee -a /tmp/tpu_window_probes.jsonl
+}
+probe_window
+
 # serve the Q8_0 artifact (the published MioTTS-0.1B ships as Q8_0; raw
 # blocks ride the packed upload at ~half the f32 bytes). Generate every
 # asset the server needs if absent (codec, llm, preset voice embedding).
@@ -73,9 +83,20 @@ python tests/bench_server.py --url "http://127.0.0.1:$PORT" \
 grep -E "warmup" "/tmp/tpu_srv_run1.log" | tail -20
 kill -TERM "$(cat /tmp/tpu_srv.pid)"; sleep 10
 start_server run2
-grep -E "warmup" "/tmp/tpu_srv_run2.log" | tail -3
+grep -E "warmup|artifact" "/tmp/tpu_srv_run2.log" | tail -5
 kill -TERM "$(cat /tmp/tpu_srv.pid)" || true
 sleep 10
+
+# artifact ablation (round-4 verdict item 4): same warm compile cache, but
+# the packed deploy artifact deleted — run3 listening minus run2 listening
+# isolates what the artifact saves (GGUF read + host quantize + pack).
+mv "$HOME/.cache/miotts_tpu/packed" "$HOME/.cache/miotts_tpu/packed.aside" 2>/dev/null || true
+start_server run3
+grep -E "warmup|artifact" "/tmp/tpu_srv_run3.log" | tail -5
+kill -TERM "$(cat /tmp/tpu_srv.pid)" || true
+sleep 10
+rm -rf "$HOME/.cache/miotts_tpu/packed"
+mv "$HOME/.cache/miotts_tpu/packed.aside" "$HOME/.cache/miotts_tpu/packed" 2>/dev/null || true
 
 # optional quant-server leg (QUANT=1): the 0.1B decode step's measured -62%
 # under int8_output_int4 must show up at the real HTTP surface, not only in
@@ -102,5 +123,7 @@ if [ "${QUANT:-0}" = "1" ]; then
   python tests/bench_server.py --url "http://127.0.0.1:$PORT" --mode stream-audio \
     --n-predict 120 --concurrency 8 --requests-per-worker 4 --out /tmp/sum_quant_sa8.csv
   kill -TERM "$(cat /tmp/tpu_srv.pid)" || true
+  sleep 10
 fi
+probe_window
 echo "done — record the numbers in DESIGN.md"
