@@ -232,10 +232,11 @@ def load_audio(path: str | Path, target_rate: int | None = None,
     """Decode an audio file to f32 mono, optionally resample and truncate.
 
     Self-contained decode matching the reference's miniaudio surface
-    (wavlm-extractor.cpp:153-203): WAV and FLAC are parsed natively (FLAC
-    via the C++ runtime, runtime/flac.py pure-Python fallback); mp3 and
-    other containers go through a decoder chain — torchaudio if installed,
-    pygame's bundled SDL_mixer (dr_mp3), then an ffmpeg subprocess."""
+    (wavlm-extractor.cpp:153-203): WAV, FLAC, and mp3 are parsed natively
+    (FLAC via the C++ runtime with a runtime/flac.py pure-Python fallback;
+    mp3 via the runtime/mp3.py Layer III decoder). Other containers go
+    through a fallback chain — torchaudio if installed, pygame's bundled
+    SDL_mixer, then an ffmpeg subprocess."""
     data = Path(path).read_bytes()
     if data[:4] == b"RIFF":
         x, rate = _parse_wav(data)
@@ -252,23 +253,35 @@ def load_audio(path: str | Path, target_rate: int | None = None,
         mp3 = _mp3_info(data)
         rate_hint = mp3[0] if mp3 else None
         res = None
-        try:
-            import torchaudio  # type: ignore
+        if mp3 is not None:
+            # self-contained Layer III decoder (runtime/mp3.py, verified
+            # bit-close vs libmpg123 + dr_mp3); the external chain below
+            # remains only for non-mp3 containers and corrupt streams
+            try:
+                from .mp3 import decode_mp3
 
-            wav, rate = torchaudio.load(str(path))
-            res = wav.mean(dim=0).numpy().astype(np.float32), int(rate)
-        except ImportError:
-            pass
-        except Exception:
-            res = None
+                res = decode_mp3(data)
+            except Exception:
+                res = None
+        if res is None:
+            try:
+                import torchaudio  # type: ignore
+
+                wav, rate = torchaudio.load(str(path))
+                res = wav.mean(dim=0).numpy().astype(np.float32), int(rate)
+            except ImportError:
+                pass
+            except Exception:
+                res = None
         if res is None:
             res = _decode_via_sdl(str(path), rate_hint)
         if res is None:
             res = _decode_via_ffmpeg(str(path), rate_hint)
         if res is None:
             raise ValueError(
-                f"cannot decode audio file {path}: WAV/FLAC decode natively; "
-                "mp3 and other containers need torchaudio, pygame, or ffmpeg")
+                f"cannot decode audio file {path}: WAV, FLAC, and mp3 "
+                "decode natively; other containers (ogg/m4a/...) need "
+                "torchaudio, pygame, or ffmpeg installed")
         x, rate = res
     if target_rate is not None and rate != target_rate:
         x = resample_linear(x, rate, target_rate)
