@@ -266,10 +266,11 @@ def test_chunk_growth_ladder(batcher, monkeypatch):
     assert got == expect
     assert set(sizes) <= {8, 16}
     if len(expect) == 40:  # no early EOG: the exact ladder walk is fixed
-        # first 8 tokens ride the FUSED prefill (no chunk dispatch), then:
-        # 8 (dispatched 8 < first+chunk=16) -> 16 (graduated) -> 8
-        # (remaining budget 8 shrinks the final dispatch)
-        assert sizes == [8, 16, 8]
+        # first 8 tokens ride the FUSED prefill (no chunk dispatch); the
+        # lane is UNCONTENDED (no other reservation), so it skips the
+        # middle ladder rung and runs budget-shrunk chunk_max dispatches:
+        # 16 -> 16 (2 boundaries; round-5 solo fast path)
+        assert sizes == [16, 16]
 
 
 def test_width_sliced_chunk_used_and_identical(batcher, monkeypatch):
@@ -406,10 +407,53 @@ def test_binary_lane_skips_first_chunk(batcher, monkeypatch):
         # FUSED prefill (no dispatch). The binary lane then votes
         # chunk_max=16 immediately (boundaries only cost it fetch RTTs)
         # and the remaining budget (4) shrinks the final step_cap
-        # exactly; the early lane walks the ladder: 8, then the
-        # remaining 12 (sizes are runtime operands, no rounding up)
+        # exactly; the early lane is solo/uncontended, so it too skips
+        # the middle rung: 16, then the remaining 4
         assert binary_sizes == [16, 4]
-        assert early_sizes == [8, 12]
+        assert early_sizes == [16, 4]
+
+
+def test_contended_lanes_keep_middle_rung(batcher, monkeypatch):
+    """With two streaming requests in flight the solo fast path must NOT
+    engage: the middle ladder rung (steady chunk) stays, so fresh
+    arrivals keep frequent attach boundaries (TTFA protection). The solo
+    fast path is strictly an uncontended optimization."""
+    import miotts_tpu.serving.batching as bmod
+    from miotts_tpu.serving.batching import ContinuousBatcher
+
+    eng, _shared = batcher
+    b = ContinuousBatcher(eng, n_lanes=2, max_ctx=160, chunk=8, seed=0)
+    try:
+        sizes = []
+        real = bmod.llm_generate_chunk_batched
+        real_sliced = bmod.llm_generate_chunk_batched_sliced
+
+        def spy(cfg, weights, eog, size, sampler, state, cap, rem):
+            sizes.append(int(cap))
+            return real(cfg, weights, eog, size, sampler, state, cap, rem)
+
+        def spy_sliced(cfg, weights, eog, size, width, sampler, state,
+                       lanes, cap, rem):
+            sizes.append(int(cap))
+            return real_sliced(cfg, weights, eog, size, width, sampler,
+                               state, lanes, cap, rem)
+
+        monkeypatch.setattr(bmod, "llm_generate_chunk_batched", spy)
+        monkeypatch.setattr(bmod, "llm_generate_chunk_batched_sliced",
+                            spy_sliced)
+        h1 = b.submit("hi", SamplerParams(temp=0.0), n_predict=40)
+        h2 = b.submit("hi there", SamplerParams(temp=0.0), n_predict=40)
+        got1 = h1.collect()
+        got2 = h2.collect()
+    finally:
+        b.shutdown()
+    expect1 = eng.generate_audio_tokens("hi", n_predict=40, n_ctx=64,
+                                        sampler=SamplerParams(temp=0.0))
+    assert got1 == expect1 and len(got2) > 0
+    if len(expect1) == 40:
+        # while both lanes are live the cohort walks the middle rung at
+        # least once (8 = steady chunk vote under contention)
+        assert 8 in sizes
 
 
 def test_chunk_max_env_flat(batcher, monkeypatch):
