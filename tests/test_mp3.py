@@ -128,6 +128,13 @@ def test_chain_members_agree_on_real_fixture():
 
         from miotts_tpu.runtime.audio_io import _decode_via_sdl
 
+        # the mixer is process-global: an earlier test may have
+        # initialized it at a different frequency, which would resample
+        # the decode — reset so it re-inits at this file's native rate
+        try:
+            pygame.mixer.quit()
+        except Exception:
+            pass
         sdl = _decode_via_sdl(p, mrate)
     except ImportError:
         sdl = None
