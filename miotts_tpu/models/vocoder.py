@@ -384,6 +384,51 @@ def mel_postnet_apply(cfg, w, mel: jnp.ndarray, lengths: jnp.ndarray) -> jnp.nda
     return mel + mask_time(r, lengths)
 
 
+def _resblock_layer(r, r_len, rb, kk: int, dil: int,
+                    impl: str | None = None):
+    """One resblock layer: conv2(actB(conv1(actA(r)))) + r, same length.
+
+    On TPU the whole layer runs as ONE Pallas kernel
+    (ops/pallas/resblock.py): the four ops otherwise pay three
+    waveform-length HBM round trips between them, and the layer family is
+    ~78% of the vocoder forward (scripts/bench_vocoder_ablate.py). The
+    unfused chain below is the reference semantics and the small-input /
+    non-TPU path; MIOTTS_RESBLOCK_FUSE=0 restores it everywhere."""
+    import os
+
+    actA, actB = rb["acts"][2 * kk], rb["acts"][2 * kk + 1]
+    w1, b1 = rb["convs1"][kk]["w"], rb["convs1"][kk]["b"]
+    w2, b2 = rb["convs2"][kk]["w"], rb["convs2"][kk]["b"]
+    eff_impl = impl or _act1d_impl()
+    fusable = (
+        eff_impl != "xla"
+        and os.environ.get("MIOTTS_RESBLOCK_FUSE", "1") != "0"
+        and actA["up_filter"].ndim == 1 and actB["up_filter"].ndim == 1
+        and actA["up_filter"].shape[0] >= 2 and actB["up_filter"].shape[0] >= 2
+        and w1.shape[-1] % 2 == 1 and w2.shape[-1] % 2 == 1
+        and b1 is not None and b2 is not None
+        and w1.shape[0] == w1.shape[1] == r.shape[-1]
+        and w2.shape[0] == w2.shape[1] == r.shape[-1]
+        and r.shape[1] >= 1024)
+    if fusable:
+        from ..ops.attention import _pallas_available
+
+        if eff_impl in ("pallas", "interpret") or (
+                eff_impl == "auto" and _pallas_available()):
+            from ..ops.pallas.resblock import fused_resblock_layer
+
+            return fused_resblock_layer(
+                r, r_len, actA, w1, b1, dil, actB, w2, b2,
+                interpret=(eff_impl == "interpret"))
+    r_in = r
+    r1, l1 = activation1d(r, r_len, actA, impl=impl)
+    r1 = conv1d_same(r1, l1, w1, b1, dil, impl=impl)
+    r2, l2 = activation1d(r1, l1, actB, impl=impl)
+    # conv2 + residual + mask fused in one kernel
+    # (activation1d round-trip preserves length)
+    return conv1d_same(r2, l2, w2, b2, 1, residual=r_in, impl=impl)
+
+
 def vocoder_decode(cfg, w, mel: jnp.ndarray, lengths: jnp.ndarray,
                    impl: str | None = None):
     """mel [B, T, n_mels] -> (audio [B, S], n_samples [B]).
@@ -429,19 +474,8 @@ def vocoder_decode(cfg, w, mel: jnp.ndarray, lengths: jnp.ndarray,
                 r = x
                 r_len = cur_len
                 for kk in range(3):
-                    r_in = r
-                    r, r_len = activation1d(r, r_len, rb["acts"][2 * kk],
-                                            impl=impl)
-                    r = conv1d_same(r, r_len, rb["convs1"][kk]["w"],
-                                    rb["convs1"][kk]["b"], dilations[kk],
-                                    impl=impl)
-                    r, r_len = activation1d(r, r_len, rb["acts"][2 * kk + 1],
-                                            impl=impl)
-                    # conv2 + residual + mask fused in one kernel
-                    # (activation1d round-trip preserves length)
-                    r = conv1d_same(r, r_len, rb["convs2"][kk]["w"],
-                                    rb["convs2"][kk]["b"], 1, residual=r_in,
-                                    impl=impl)
+                    r = _resblock_layer(r, r_len, rb, kk, dilations[kk],
+                                        impl)
                 xs = xs + r
             x = xs * (1.0 / max(1, num_k))
 

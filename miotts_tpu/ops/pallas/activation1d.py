@@ -35,12 +35,14 @@ from two extra clamped-index-map block inputs (the banded-attention
 pattern — no manual DMA; the remote AOT helper crashes on it). Total HBM
 traffic is ~1.1 reads + 1 write of [B, T, C] vs ~15 passes unfused.
 
-block_t default 256: measured in-graph per-call at [2, 245760, 128]
-(v5e, scripts/bench_act1d_chain.py): 9.6 ms at bt=256 vs 19.2 at bt=512
-and 10.4-10.5 at 128/1024 — the 512 tiling roughly doubles the cost
-(VMEM pressure with all six live [bt+halo, C] buffers). Ablations at 512:
-snake-only 9.1, FIR-only 2.8 — the snake's sin/cos/divide chain
-dominates; at 256 the whole composite costs about the snake alone.
+block_t default 160: round-5 sweep in-graph per-call at [2, 245760, 128]
+(v5e, scripts/bench_act1d_chain.py, post fast-sincos): 6.06 ms at bt=96,
+5.34-5.52 at 160, 5.79 at 192, 6.80 at 224, 6.28 at 256, 7.26 at 512 —
+non-monotonic; 160 is the measured minimum (~15% under the old 256
+default). Fresh ablations at bt=256: copy floor 1.99, +FIRs 2.60,
++snake-only 5.14, full 6.28 — after the round-4 Cody-Waite/minimax trig
+the snake's ~45 VPU ops/elem over both 2x-rate phase buffers remain the
+dominator, with the copy floor at ~1/3 of the total.
 """
 
 from __future__ import annotations
@@ -347,7 +349,7 @@ def _fused_call(x, lengths, fu, fd, a_vec, inv_vec, k1, k2, block_t,
 
 
 def fused_activation1d(x, lengths, up_filter, alpha, beta, down_filter,
-                       block_t: int = 256, interpret: bool = False):
+                       block_t: int = 160, interpret: bool = False):
     """Drop-in for models/vocoder.py activation1d (per-tensor 1-D filters).
 
     x: [B, T, C]; returns (y [B, T, C], lengths) — the upsample/downsample
