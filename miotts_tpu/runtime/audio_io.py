@@ -191,6 +191,11 @@ def _decode_via_sdl(path: str, rate_hint: int | None) -> tuple[np.ndarray, int] 
         try:
             init = pygame.mixer.get_init()
             want = int(rate_hint or 44100)
+            if init is not None and rate_hint and int(init[0]) != want:
+                # the mixer is process-global: decode at the container's
+                # native rate instead of SDL-resampling to a stale one
+                pygame.mixer.quit()
+                init = None
             if init is None:
                 pygame.mixer.init(frequency=want, size=-16, channels=2)
                 init = pygame.mixer.get_init()
@@ -254,15 +259,21 @@ def load_audio(path: str | Path, target_rate: int | None = None,
         rate_hint = mp3[0] if mp3 else None
         res = None
         if mp3 is not None:
-            # self-contained Layer III decoder (runtime/mp3.py, verified
-            # bit-close vs libmpg123 + dr_mp3); the external chain below
-            # remains only for non-mp3 containers and corrupt streams
-            try:
-                from .mp3 import decode_mp3
+            # self-contained Layer III decode (verified bit-close vs
+            # libmpg123 + dr_mp3): native C++ (runtime/native.py) with the
+            # numpy decoder (runtime/mp3.py) as fallback — the FLAC
+            # pattern. The external chain below remains only for non-mp3
+            # containers and corrupt streams.
+            from .native import mp3_decode_native
 
-                res = decode_mp3(data)
-            except Exception:
-                res = None
+            res = mp3_decode_native(data)
+            if res is None:
+                try:
+                    from .mp3 import decode_mp3
+
+                    res = decode_mp3(data)
+                except Exception:
+                    res = None
         if res is None:
             try:
                 import torchaudio  # type: ignore

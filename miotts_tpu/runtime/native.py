@@ -42,7 +42,7 @@ def _load():
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.mio_runtime_abi_version.restype = ctypes.c_int
         abi = lib.mio_runtime_abi_version()
-        if abi < 5:
+        if abi < 6:
             # stale library from an older checkout: rebuild once in place
             try:
                 from .build_native import build
@@ -107,6 +107,14 @@ def _load():
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
             lib.mio_flac_decode.restype = ctypes.c_int
             lib.mio_flac_decode.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p]
+        if abi >= 6:  # mp3 (Layer III) decode
+            lib.mio_mp3_probe.restype = ctypes.c_int
+            lib.mio_mp3_probe.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            lib.mio_mp3_decode.restype = ctypes.c_int
+            lib.mio_mp3_decode.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_void_p]
         _lib = lib
@@ -182,6 +190,31 @@ def flac_decode_native(data: bytes) -> tuple[np.ndarray, int] | None:
             bps = int(info[2])
             x = out[: n * channels].reshape(n, channels).mean(axis=1)
             return (x / float(1 << (bps - 1))).astype(np.float32), rate
+        if rc == -2:
+            cap *= 4
+            continue
+        return None
+    return None
+
+
+def mp3_decode_native(data: bytes) -> tuple[np.ndarray, int] | None:
+    """Native MPEG-1/2/2.5 Layer III decode -> (f32 mono, rate); None if
+    the native library is unavailable or the stream fails to parse
+    (callers fall back to the numpy decoder in runtime/mp3.py)."""
+    lib = _load()
+    if lib is None or lib.mio_runtime_abi_version() < 6:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    info = np.zeros(4, np.int64)
+    if lib.mio_mp3_probe(buf.ctypes.data, buf.size, info.ctypes.data) != 0:
+        return None
+    cap = int(info[2]) or max(4096, buf.size * 16)
+    for _ in range(8):
+        out = np.empty(cap, np.float32)
+        rc = lib.mio_mp3_decode(buf.ctypes.data, buf.size, out.ctypes.data,
+                                cap, info.ctypes.data)
+        if rc == 0:
+            return out[: int(info[1])].copy(), int(info[0])
         if rc == -2:
             cap *= 4
             continue

@@ -121,7 +121,13 @@ def test_flac_third_party_oracle():
                            channel_mode=mode)
         p = Path("/tmp") / f"miotts_flac_oracle_{mode}.flac"
         p.write_bytes(data)
-        if pygame.mixer.get_init() is None:
+        init = pygame.mixer.get_init()
+        if init is not None and int(init[0]) != 44100:
+            # the mixer is process-global; an earlier test may have
+            # re-inited it at another rate, which would SDL-resample here
+            pygame.mixer.quit()
+            init = None
+        if init is None:
             pygame.mixer.init(frequency=44100, size=-16, channels=2)
         arr = sa.array(pygame.mixer.Sound(str(p))).astype(np.int64)
         assert arr.shape[0] == 12345

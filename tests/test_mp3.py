@@ -216,3 +216,36 @@ def test_truncated_mp3_decodes_prefix():
 def test_garbage_raises():
     with pytest.raises(ValueError):
         decode_mp3(b"\x00" * 5000)
+
+
+def _any_fixture() -> bytes | None:
+    if MP3_FIXTURES:
+        return Path(MP3_FIXTURES[0]).read_bytes()
+    if have_oracles():
+        return lame_encode(_test_signal(22050), 22050, bitrate=48)
+    return None
+
+
+def test_native_matches_numpy_bit_identical():
+    """The C++ decoder (miotts_runtime.cpp, mp3 section) is a port of the
+    numpy one with the same f64 operation order — outputs must be
+    IDENTICAL, the FLAC native-vs-python pattern (both share the
+    generated constant tables)."""
+    from miotts_tpu.runtime.native import mp3_decode_native
+
+    data = _any_fixture()
+    if data is None:
+        pytest.skip("no mp3 fixture")
+    nat = mp3_decode_native(data)
+    if nat is None:
+        pytest.skip("native library unavailable")
+    x_n, r_n = nat
+    x_p, r_p = decode_mp3(data)
+    assert r_n == r_p and x_n.size == x_p.size
+    np.testing.assert_array_equal(x_n, x_p)
+
+
+def test_native_rejects_garbage():
+    from miotts_tpu.runtime.native import mp3_decode_native
+
+    assert mp3_decode_native(b"\x00" * 5000) is None
