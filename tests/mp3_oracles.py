@@ -13,6 +13,10 @@ _MPG123 = "libmpg123.so.0"
 
 
 def have_oracles() -> bool:
+    import os
+
+    if os.environ.get("MIOTTS_MP3_ORACLES", "1") == "0":
+        return False
     try:
         ctypes.CDLL(_LAME)
         ctypes.CDLL(_MPG123)

@@ -226,26 +226,54 @@ def _any_fixture() -> bytes | None:
     return None
 
 
-def test_native_matches_numpy_bit_identical():
+def test_native_matches_numpy_bit_identical(tmp_path):
     """The C++ decoder (miotts_runtime.cpp, mp3 section) is a port of the
     numpy one with the same f64 operation order — outputs must be
     IDENTICAL, the FLAC native-vs-python pattern (both share the
-    generated constant tables)."""
-    from miotts_tpu.runtime.native import mp3_decode_native
+    generated constant tables). Runs in a SUBPROCESS: the native decode
+    is opt-in in-process (see runtime/native.py mp3_decode_native), so
+    the cross-check exercises the real .so in a child where a flake
+    cannot take the suite down."""
+    import subprocess
+    import sys as _sys
 
     data = _any_fixture()
     if data is None:
         pytest.skip("no mp3 fixture")
-    nat = mp3_decode_native(data)
-    if nat is None:
-        pytest.skip("native library unavailable")
-    x_n, r_n = nat
+    p = tmp_path / "fix.mp3"
+    p.write_bytes(data)
+    out = tmp_path / "native.npz"
+    script = (
+        "import sys, numpy as np\n"
+        "from miotts_tpu.runtime.native import mp3_decode_native\n"
+        f"data = open({str(p)!r}, 'rb').read()\n"
+        "r = mp3_decode_native(data)\n"
+        "assert r is not None, 'native decode unavailable'\n"
+        f"np.savez({str(out)!r}, x=r[0], rate=r[1])\n")
+    env = dict(__import__("os").environ, MIOTTS_NATIVE_MP3="1")
+    res = subprocess.run([_sys.executable, "-c", script], env=env,
+                         capture_output=True, timeout=300,
+                         cwd=str(Path(__file__).resolve().parents[1]))
+    if res.returncode != 0:
+        if b"unavailable" in res.stderr:
+            pytest.skip("native library unavailable")
+        raise AssertionError(res.stderr.decode()[-2000:])
+    z = np.load(out)
+    x_n, r_n = z["x"], int(z["rate"])
     x_p, r_p = decode_mp3(data)
     assert r_n == r_p and x_n.size == x_p.size
     np.testing.assert_array_equal(x_n, x_p)
 
 
-def test_native_rejects_garbage():
+def test_native_disabled_by_default():
+    """In-process the native mp3 path must stay opt-in (flaky-interaction
+    containment; the numpy decoder carries the self-contained surface)."""
     from miotts_tpu.runtime.native import mp3_decode_native
 
-    assert mp3_decode_native(b"\x00" * 5000) is None
+    data = _any_fixture()
+    if data is None:
+        pytest.skip("no mp3 fixture")
+    import os
+
+    assert os.environ.get("MIOTTS_NATIVE_MP3", "0") != "1"
+    assert mp3_decode_native(data) is None
